@@ -1,0 +1,32 @@
+"""speck_tpu — a TPU-native SpGEMM (sparse general matrix-matrix multiply) framework.
+
+Computes C = A @ B for CSR sparse matrices on TPU via JAX/XLA/Pallas, with the
+capabilities of the reference CUDA library GPUPeople/spECK (PPoPP'20):
+a lightweight analysis pass drives load-balanced row binning, followed by an
+exact two-phase pipeline (symbolic nnz counting, then numeric accumulation into
+exactly-sized, per-row-sorted CSR output).
+
+Reference entry point parity: ``spECK::MultiplyspECK`` at
+/root/reference/include/Multiply.h:15-19 -> :func:`speck_tpu.spgemm`.
+"""
+
+from .formats.csr import HostCSR, HostCOO, coo_to_csr, csr_transpose
+from .formats.mtx import load_mtx
+from .formats.hicsr import load_hicsr, store_hicsr
+from .formats.loader import DataLoader, load_matrix
+from .ops.device_csr import DeviceCSR, device_put_csr, device_get_csr
+from .ops.spgemm import spgemm, SpgemmPlan, plan_spgemm
+from .utils.config import Config, SpgemmConfig
+from .utils.timings import Timings
+from .utils.compare import compare_csr
+from .utils.oracle import oracle_spgemm
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "HostCSR", "HostCOO", "coo_to_csr", "csr_transpose",
+    "load_mtx", "load_hicsr", "store_hicsr", "DataLoader", "load_matrix",
+    "DeviceCSR", "device_put_csr", "device_get_csr",
+    "spgemm", "SpgemmPlan", "plan_spgemm",
+    "Config", "SpgemmConfig", "Timings", "compare_csr", "oracle_spgemm",
+]

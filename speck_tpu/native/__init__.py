@@ -1,0 +1,129 @@
+"""Native (C++) host-side fast paths.
+
+The reference's performance-critical host code is C++ (the .mtx parser,
+COO->CSR convert; SURVEY.md §2 #6-7). Here the hot loader path is a small
+C++ shared library built on demand with g++ and bound via ctypes (no pybind11
+in this image). Everything has a numpy fallback, so the native library is an
+accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_HERE, "libspeck_native.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    src = os.path.join(_HERE, "speck_native.cpp")
+    if not os.path.exists(src):
+        return False
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        src, "-o", _LIB_PATH,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(os.path.join(_HERE, "speck_native.cpp"))
+            and os.path.getmtime(_LIB_PATH)
+            < os.path.getmtime(os.path.join(_HERE, "speck_native.cpp"))
+        ):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.speck_mtx_parse.restype = ctypes.c_longlong
+        lib.speck_mtx_parse.argtypes = [
+            ctypes.c_char_p,   # body text
+            ctypes.c_longlong, # body length
+            ctypes.c_longlong, # expected entries
+            ctypes.c_int,      # values per entry (2/3/4)
+            ctypes.POINTER(ctypes.c_uint),    # out rows
+            ctypes.POINTER(ctypes.c_uint),    # out cols
+            ctypes.POINTER(ctypes.c_double),  # out vals
+        ]
+        _lib = lib
+        return _lib
+
+
+def mtx_parse_native(path: str, dtype):
+    """Fast .mtx parse via the native tokenizer; returns HostCOO or None."""
+    from ..formats.mtx import _parse_header
+    from ..formats.csr import HostCOO
+
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    with open(path, "rb") as fh:
+        header = fh.readline().decode("ascii", "replace")
+        field, symmetry = _parse_header(header)
+        # size line
+        while True:
+            line = fh.readline()
+            if not line:
+                raise ValueError(f"Failed to read matrix market header from {path!r}")
+            s = line.strip()
+            if not s or s.startswith(b"%"):
+                continue
+            parts = s.split()
+            num_rows, num_cols, num_nnz = int(parts[0]), int(parts[1]), int(parts[2])
+            break
+        body = fh.read()
+
+    ncol = {"pattern": 2, "complex": 4}.get(field, 3)
+    r = np.empty(num_nnz, dtype=np.uint32)
+    c = np.empty(num_nnz, dtype=np.uint32)
+    d = np.empty(num_nnz, dtype=np.float64)
+    got = lib.speck_mtx_parse(
+        body, len(body), num_nnz, ncol,
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if got != num_nnz:
+        return None  # malformed body; fall back to the python parser
+    if (r < 1).any() or (r > num_rows).any():
+        raise ValueError(f"Row index out of bounds in matrix market file {path!r}")
+    if (c < 1).any() or (c > num_cols).any():
+        raise ValueError(f"Column index out of bounds in matrix market file {path!r}")
+    r -= 1
+    c -= 1
+    if field == "pattern":
+        d[:] = 1.0
+    dd = d.astype(dtype) if np.dtype(dtype) != np.float64 else d
+    if symmetry in ("symmetric", "hermitian"):
+        off = r != c
+        r, c, dd = (
+            np.concatenate([r, c[off]]),
+            np.concatenate([c, r[off]]),
+            np.concatenate([dd, dd[off]]),
+        )
+    return HostCOO(rows=num_rows, cols=num_cols, row_ids=r, col_ids=c, data=dd)

@@ -1,0 +1,78 @@
+"""Analysis pass: per-row operation counts and global totals.
+
+TPU-native re-expression of the readOperations kernel
+(/root/reference/include/common.cuh:321-459): instead of a CUDA grid with
+atomics, per-row FLOP counts are a gather of B row lengths at A's column ids
+followed by a cumulative-sum difference at row boundaries (scatter-free,
+fully vectorized, one XLA fusion). Outputs mirror the reference's:
+
+  - row_ops[i]   = sum over A row i's nnz of len(B[a_col])   (ops per row)
+  - a_len[i]     = nnz of A row i
+  - work[i]      = max(row_ops, a_len) — the binning key; a row's true cost
+    includes iterating its A nonzeros even when referenced B rows are empty
+  - sum_products = total intermediate products (Multiply.cu:249-252),
+    reported as float64 (f32 when x64 is disabled) since it is a metric /
+    heuristic input, not an index
+  - max_work     = maxComputationsPerRow analogue
+
+Overflow note: the int32 cumulative sum may wrap when sum_products exceeds
+2^31, but the per-row differences remain exact (two's-complement wraparound)
+as long as each *row's* op count fits in int32 — the same per-row limit the
+reference has (its row ops are uint32).
+
+The reference's per-row B-column min/max (toRowColMinMax, common.cuh:303-319)
+feeds its dense-mode heuristic; the TPU dense-window path computes column
+ranges the same way (see ops/dense.py) and is gated by SpgemmConfig.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .device_csr import DeviceCSR
+
+
+@dataclasses.dataclass(frozen=True)
+class AnalysisResult:
+    row_ops: jax.Array       # (m,) int32  products per row of C
+    a_len: jax.Array         # (m,) int32  nnz per row of A
+    work: jax.Array          # (m,) int32  max(row_ops, a_len)
+    sum_products: jax.Array  # () float    total intermediate products
+    max_work: jax.Array      # () int32
+
+
+jax.tree_util.register_dataclass(
+    AnalysisResult,
+    data_fields=["row_ops", "a_len", "work", "sum_products", "max_work"],
+    meta_fields=[],
+)
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _analyze_impl(a_indptr, a_indices, b_indptr, m: int) -> AnalysisResult:
+    a_len = a_indptr[1:] - a_indptr[:-1]
+    # B row length per A nonzero (gather; analogue of common.cuh:380-392)
+    blen = b_indptr[a_indices + 1] - b_indptr[a_indices]
+    # Row totals via cumsum difference at row boundaries (no atomics needed).
+    # int32 wraparound in cse is benign for the per-row differences.
+    cse = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(blen)])
+    row_ops = cse[a_indptr[1:]] - cse[a_indptr[:-1]]
+    sum_products = jnp.sum(row_ops, dtype=jnp.result_type(float))
+    work = jnp.maximum(row_ops, a_len)
+    max_work = jnp.max(work) if m > 0 else jnp.int32(0)
+    return AnalysisResult(
+        row_ops=row_ops,
+        a_len=a_len,
+        work=work,
+        sum_products=sum_products,
+        max_work=max_work,
+    )
+
+
+def analyze(A: DeviceCSR, B: DeviceCSR) -> AnalysisResult:
+    """Run the analysis pass; one fused jitted dispatch."""
+    return _analyze_impl(A.indptr, A.indices, B.indptr, A.shape[0])

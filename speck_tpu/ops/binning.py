@@ -1,0 +1,129 @@
+"""Load-balanced row binning: rows -> kernel size classes.
+
+TPU-native replacement for spECK's load balancer
+(h_AssignHashSpGEMMBlocksToRowsOfSameSize[Operations],
+/root/reference/include/GPU/spECK_HashLoadBalancer.cuh:265-347 and the
+merge-scan prescanArrayKernelNew, scan_largearray_kernel.cuh:183-281):
+
+- Each row is classified by work = max(ops, a_nnz) into a capacity ladder of
+  ``num_bins`` power-of-``bin_growth`` classes (the analogue of spECK's 6
+  kernel scales, RowLengthReaderKernelScale bit trick,
+  spECK_HashLoadBalancer.cuh:49-68), plus power-of-2 "huge" levels above the
+  ladder (the analogue of the global-memory-map fallback path) and an
+  "empty" class for rows with zero products.
+- Instead of a custom merge-scan emitting packed blockRanges, the TPU build
+  sorts row ids by bin key (one lax.sort) so each bin is a contiguous slice
+  of ``rows_sorted``; only the small per-bin histogram is synced to host.
+- Chunking: each bin is processed in fixed-shape chunks of
+  ``rows_per_chunk = max(1, product_budget // cap)`` rows (the analogue of
+  spECK's shared-memory budgeting / blocks-per-SM shaping,
+  Multiply.cu:103-134), so compiled kernel shapes are stable across
+  matrices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import SpgemmConfig
+from .analysis import AnalysisResult
+
+# Huge-row levels above the ladder: cap doubles per level. 2^31 products is
+# the per-row ceiling (int32 indexing): 65536 * 2^15 = 2^31.
+MAX_HUGE_LEVELS = 15
+
+
+def bin_caps(cfg: SpgemmConfig) -> List[int]:
+    """Capacity per bin: the ladder, then power-of-2 huge levels."""
+    caps = list(cfg.caps)
+    top = caps[-1]
+    for lvl in range(1, MAX_HUGE_LEVELS + 1):
+        caps.append(min(top * (2 ** lvl), 2**31 - 1))
+    return caps
+
+
+@dataclasses.dataclass(frozen=True)
+class Binning:
+    """Host-side view of the device binning result."""
+
+    rows_sorted: jax.Array      # (m + pad,) int32, grouped by bin, -1 padded
+    bin_counts: np.ndarray      # (num_total_bins,) host ints
+    bin_starts: np.ndarray      # (num_total_bins,) host ints (offsets into rows_sorted)
+    caps: List[int]             # capacity per bin
+
+
+@partial(jax.jit, static_argnames=("caps", "pad_to"))
+def _bin_rows_impl(work: jax.Array, caps: Tuple[int, ...], pad_to: int):
+    m = work.shape[0]
+    nbins = len(caps)
+    caps_arr = jnp.asarray(caps, dtype=jnp.int32)
+    # bin = first ladder/huge level with cap >= work; empty rows -> nbins
+    bin_id = jnp.searchsorted(caps_arr, work, side="left").astype(jnp.int32)
+    bin_id = jnp.where(work <= 0, jnp.int32(nbins), bin_id)
+    row_ids = jnp.arange(m, dtype=jnp.int32)
+    # group rows by bin with one stable sort (replaces the blockRange
+    # merge-scan; rows stay ascending within each bin)
+    bin_sorted, rows_sorted = jax.lax.sort(
+        (bin_id, row_ids), dimension=0, num_keys=1, is_stable=True
+    )
+    counts = jnp.sum(
+        bin_sorted[None, :] == jnp.arange(nbins + 1, dtype=jnp.int32)[:, None],
+        axis=1,
+        dtype=jnp.int32,
+    )
+    pad = jnp.full((pad_to,), -1, dtype=jnp.int32)
+    return jnp.concatenate([rows_sorted, pad]), counts
+
+
+def bin_rows(stats: AnalysisResult, cfg: SpgemmConfig) -> Binning:
+    caps = bin_caps(cfg)
+    # padding lets fixed-size chunk slices run past the bin end safely
+    max_chunk_rows = max(1, cfg.product_budget // cfg.min_cap)
+    rows_sorted, counts = _bin_rows_impl(stats.work, tuple(caps), max_chunk_rows)
+    counts_h = np.asarray(counts)
+    starts_h = np.zeros_like(counts_h)
+    np.cumsum(counts_h[:-1], out=starts_h[1:])
+    return Binning(
+        rows_sorted=rows_sorted,
+        bin_counts=counts_h,
+        bin_starts=starts_h,
+        caps=caps,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class Chunk:
+    """One fixed-shape kernel dispatch: rows_sorted[start : start+rows] with
+    the first ``valid`` entries live, per-row product capacity ``cap``."""
+
+    bin_id: int
+    cap: int
+    rows: int    # static chunk row count
+    start: int   # host offset into rows_sorted
+    valid: int   # live rows in this chunk (<= rows)
+
+
+def plan_chunks(binning: Binning, cfg: SpgemmConfig) -> List[Chunk]:
+    """Split each populated bin into fixed-shape chunks."""
+    chunks: List[Chunk] = []
+    nbins = len(binning.caps)
+    for b in range(nbins):  # the final histogram slot (empty rows) is skipped
+        count = int(binning.bin_counts[b])
+        if count == 0:
+            continue
+        cap = binning.caps[b]
+        rows_per_chunk = max(1, cfg.product_budget // cap)
+        for c in range(math.ceil(count / rows_per_chunk)):
+            start = int(binning.bin_starts[b]) + c * rows_per_chunk
+            valid = min(rows_per_chunk, count - c * rows_per_chunk)
+            chunks.append(
+                Chunk(bin_id=b, cap=cap, rows=rows_per_chunk, start=start, valid=valid)
+            )
+    return chunks

@@ -1,0 +1,74 @@
+"""Device-resident CSR container (JAX arrays).
+
+Parity with dCSR (/root/reference/include/dCSR.h:9-22,
+source/dCSR.cpp:25-95): raw device buffers (row_offsets, col_ids, data) plus
+host<->device converters. The TPU-native representation uses int32 indices
+and jnp arrays; ``shape``/``nnz`` are static pytree metadata so DeviceCSR can
+flow through jit.
+
+Index dtype is int32 (nnz < 2^31 per shard); the reference is limited to
+2^27 rows/cols by its packed hash entries (Multiply.cu:57-66) — we lift that
+to 2^31 - 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.csr import HostCSR
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceCSR:
+    indptr: jax.Array   # (rows+1,) int32
+    indices: jax.Array  # (nnz,)   int32
+    data: jax.Array     # (nnz,)   float
+    shape: Tuple[int, int]
+    nnz: int
+
+    @property
+    def rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+
+jax.tree_util.register_dataclass(
+    DeviceCSR,
+    data_fields=["indptr", "indices", "data"],
+    meta_fields=["shape", "nnz"],
+)
+
+
+def device_put_csr(m: HostCSR, dtype=jnp.float32, device=None) -> DeviceCSR:
+    """Upload a HostCSR to device (convert(dCSR&, CSR&), dCSR.cpp:50-65)."""
+    put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
+    return DeviceCSR(
+        indptr=put(np.asarray(m.row_offsets, dtype=np.int32)),
+        indices=put(np.asarray(m.col_ids, dtype=np.int32)),
+        data=put(np.asarray(m.data, dtype=dtype)),
+        shape=(int(m.rows), int(m.cols)),
+        nnz=int(m.nnz),
+    )
+
+
+def device_get_csr(m: DeviceCSR) -> HostCSR:
+    """Download a DeviceCSR to host (convert(CSR&, dCSR&), dCSR.cpp:68-77)."""
+    return HostCSR(
+        rows=m.shape[0],
+        cols=m.shape[1],
+        row_offsets=np.asarray(m.indptr),
+        col_ids=np.asarray(m.indices)[: m.nnz],
+        data=np.asarray(m.data)[: m.nnz],
+    )

@@ -1,0 +1,182 @@
+"""Expand-sort-contract SpGEMM kernels (per-bin, fixed shapes).
+
+TPU-native replacement for spECK's shared-memory hash-map kernels
+(hashSpGEMMCount/Numeric and their single-row/direct/dense variants,
+/root/reference/include/GPU/spECK_HashSpGEMM.cuh:39-1853, hash maps
+include/HashMap.cuh). TPUs have no fine-grained atomics or efficient random
+scatter, so instead of hashing, each chunk of rows is processed as a dense
+rectangle of ``cap`` product slots per row:
+
+  expand   — each row's intermediate products (colB, valA*valB) are gathered
+             into a (rows, cap) rectangle: a branchless batched binary search
+             over the row's cumulative B-row lengths finds the owning A-slot
+             of each product (the analogue of spECK's threads-per-nnz
+             striding, iterateMatrixCounting, spECK_HashSpGEMM.cuh:39-128).
+  sort     — one batched lax.sort along the product axis groups duplicate
+             column ids (replaces hash-probe insertion; output rows come out
+             sorted for free, eliminating spECK's separate sorting kernel,
+             spECK_HashSpGEMM.cuh:1857-1925).
+  contract — run boundaries give exact per-row nnz (counting phase,
+             hashSpGEMMCount analogue) and run sums give the numeric values
+             (hashSpGEMMNumeric analogue) via cumulative-sum differences.
+
+Counting and numeric are separate phases (exact allocation, no estimation),
+exactly like the reference's two-phase pipeline (Multiply.cu stages 7 and
+13). All shapes are static per (rows, cap) chunk class, so each bin compiles
+once; chunk offset and live-row count are dynamic scalars.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _batched_searchsorted_right(cum: jax.Array, t: jax.Array) -> jax.Array:
+    """Count of elements <= t per row: branchless batched binary search.
+
+    cum: (R, W) nondecreasing per row; t: (1 or R, W) queries.
+    Returns int32 (R, W) in [0, W]."""
+    R, W = cum.shape
+    t = jnp.broadcast_to(t, (R, W))
+    lo = jnp.zeros((R, W), jnp.int32)
+    hi = jnp.full((R, W), W, jnp.int32)
+    for _ in range(max(1, (W).bit_length())):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(cum, jnp.minimum(mid, W - 1), axis=1)
+        go_right = v <= t
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
+            b_indptr, b_indices, b_data, cap: int, n_cols: int,
+            with_values: bool):
+    """Gather the (rows, cap) rectangle of intermediate products.
+
+    Returns (col, val, ops): col[r, t] is the B column id of product t of
+    row r (or the sentinel ``n_cols`` when t >= ops[r]); val is the product
+    valA*valB (0 beyond ops); ops is the live product count per row.
+    """
+    r = jnp.where(valid_rows, rows, 0)
+    a0 = a_indptr[r]
+    alen = jnp.where(valid_rows, a_indptr[r + 1] - a0, 0)
+
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    va = j < alen[:, None]
+    aidx = jnp.where(va, a0[:, None] + j, 0)
+    acol = jnp.where(va, a_indices[aidx], 0)
+    blen = jnp.where(va, b_indptr[acol + 1] - b_indptr[acol], 0)
+    cum = jnp.cumsum(blen, axis=1)                      # (R, cap)
+    ops = cum[:, -1]
+
+    t = j  # product slot index, broadcast over rows
+    p = _batched_searchsorted_right(cum, t)             # owning A-slot
+    pc = jnp.minimum(p, cap - 1)
+    s_prev = jnp.where(
+        p > 0, jnp.take_along_axis(cum, jnp.maximum(p - 1, 0), axis=1), 0
+    )
+    o = t - s_prev                                      # offset within B row
+    valid_t = t < ops[:, None]
+    acol_p = jnp.take_along_axis(acol, pc, axis=1)
+    src = jnp.where(valid_t, b_indptr[acol_p] + o, 0)
+    col = jnp.where(valid_t, b_indices[src], jnp.int32(n_cols))
+    if with_values:
+        aval_p = jnp.take_along_axis(jnp.where(va, a_data[aidx], 0), pc, axis=1)
+        val = jnp.where(valid_t, aval_p * b_data[src], 0)
+    else:
+        val = None
+    return col, val, ops
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk_rows", "cap", "n_cols"),
+    donate_argnames=("nnz_row",),
+)
+def count_chunk(rows_sorted, start, valid, a_indptr, a_indices,
+                b_indptr, b_indices, nnz_row, *,
+                chunk_rows: int, cap: int, n_cols: int):
+    """Symbolic counting for one chunk: exact distinct-column count per row,
+    scattered into the global nnz_row array.
+
+    Analogue of spGEMMCountLauncher -> hashSpGEMMCountImplementation
+    (spECK_HashSpGEMM.cuh:1797-1853, 919-1058); the occupancyPerRow hash-map
+    writeout (:1005-1057) becomes a sorted-run boundary count.
+    """
+    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
+    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
+    col, _, _ = _expand(
+        rows, valid_rows, a_indptr, a_indices, None,
+        b_indptr, b_indices, None, cap, n_cols, with_values=False,
+    )
+    col_s = jax.lax.sort(col, dimension=1)
+    prev = jnp.concatenate(
+        [jnp.full((chunk_rows, 1), -1, jnp.int32), col_s[:, :-1]], axis=1
+    )
+    uniq = (col_s != prev) & (col_s < n_cols)
+    counts = jnp.sum(uniq, axis=1, dtype=jnp.int32)
+    # scatter counts to their global rows; padded rows -> OOB index, dropped
+    m = nnz_row.shape[0]
+    target = jnp.where(valid_rows, rows, m)
+    return nnz_row.at[target].set(counts, mode="drop", unique_indices=True)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk_rows", "cap", "n_cols"),
+    donate_argnames=("c_cols", "c_vals"),
+)
+def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
+                  b_indptr, b_indices, b_data, row_offsets, c_cols, c_vals,
+                  *, chunk_rows: int, cap: int, n_cols: int):
+    """Numeric accumulation for one chunk, written straight to the final CSR
+    arrays at their exact offsets.
+
+    Analogue of spGEMMNumericLauncher -> hashSpGEMMNumericImplementation
+    (spECK_HashSpGEMM.cuh:1714-1794, 591-738): duplicate-column products are
+    summed per run of the sorted rectangle (replacing atomic hash-map adds,
+    HashMap.cuh:99-107) and compacted directly into C via one masked scatter
+    (replacing the compaction + counting-sort output stage, :693-737).
+    Output columns are ascending per row by construction.
+    """
+    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
+    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
+    col, val, _ = _expand(
+        rows, valid_rows, a_indptr, a_indices, a_data,
+        b_indptr, b_indices, b_data, cap, n_cols, with_values=True,
+    )
+    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
+
+    prev = jnp.concatenate(
+        [jnp.full((chunk_rows, 1), -1, jnp.int32), col_s[:, :-1]], axis=1
+    )
+    nxt = jnp.concatenate(
+        [col_s[:, 1:], jnp.full((chunk_rows, 1), -2, jnp.int32)], axis=1
+    )
+    first = col_s != prev                      # first element of each run
+    last = (col_s != nxt) & (col_s < n_cols)   # last element of non-sentinel run
+
+    # duplicate-column merge: segmented inclusive scan, restarting at each
+    # run boundary (numerically local — no cross-run cancellation). At a
+    # run's last element this is the exact run sum. Replaces the hash-map
+    # atomic_add accumulation (HashMap.cuh:99-107).
+    def _seg_op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
+
+    run_sum, _ = jax.lax.associative_scan(_seg_op, (val_s, first), axis=1)
+
+    # exact output slot: row_offsets[row] + rank of this run within the row
+    out_rank = jnp.cumsum(last.astype(jnp.int32), axis=1) - 1
+    r = jnp.where(valid_rows, rows, 0)
+    flat = row_offsets[r][:, None] + out_rank
+    oob = c_cols.shape[0]
+    flat = jnp.where(last & valid_rows[:, None], flat, oob)
+    c_cols = c_cols.at[flat].set(col_s, mode="drop", unique_indices=True)
+    c_vals = c_vals.at[flat].set(run_sum, mode="drop", unique_indices=True)
+    return c_cols, c_vals

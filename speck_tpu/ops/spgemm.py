@@ -1,0 +1,164 @@
+"""SpGEMM orchestrator: the TPU-native analogue of MultiplyspECKImplementation
+(/root/reference/source/GPU/Multiply.cu:51-1122).
+
+Pipeline stages (mirroring Multiply.cu's 9-stage structure; stage names match
+include/Timings.h / Multiply.cu:1099-1113):
+
+  1. analysis            (readOperations, Multiply.cu:245-252)   -> ops/analysis.py
+  2. binning + chunking  (load balancer, :281-353)               -> ops/binning.py
+  3. symbolic counting   (h_SpGEMMCountLauncher, :494-553)       -> ops/esc.py count_chunk
+  4. offset scan + alloc (cub ExclusiveSum + alloc C, :570-601)  -> cumsum + host sync
+  5. numeric             (h_SpGEMMNumericLauncher, :837-1014)    -> ops/esc.py numeric_chunk
+  (no separate sort pass: rows are emitted sorted; no global hash maps: huge
+   rows are just bigger static chunks)
+
+Two host sync points remain, exactly where the reference has D2H copies:
+after binning (bin histogram; cf. the 8-byte sumProducts copy :249-252 and
+blockStarts readback spECK_HashLoadBalancer.cuh:330-331) and after the offset
+scan (total nnz, :572-575).
+
+Beyond the reference, the symbolic result is reusable: ``plan_spgemm`` keeps
+the binning and row offsets so repeated multiplies with identical structure
+(e.g. AMG setup, graph contractions) skip analysis/counting entirely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import SpgemmConfig
+from ..utils.timings import Timings, StageTimer
+from .analysis import analyze
+from .binning import Binning, Chunk, bin_rows, plan_chunks
+from .device_csr import DeviceCSR
+from .esc import count_chunk, numeric_chunk
+
+
+@dataclasses.dataclass
+class SpgemmPlan:
+    """Symbolic (structure) result of C = A @ B, reusable across numeric runs."""
+
+    A: DeviceCSR
+    B: DeviceCSR
+    cfg: SpgemmConfig
+    binning: Binning
+    chunks: List[Chunk]
+    row_offsets: jax.Array   # (m+1,) int32
+    nnz: int
+    sum_products: float
+
+    @property
+    def shape(self):
+        return (self.A.shape[0], self.B.shape[1])
+
+    def execute(
+        self,
+        A: Optional[DeviceCSR] = None,
+        B: Optional[DeviceCSR] = None,
+        timings: Optional[Timings] = None,
+    ) -> DeviceCSR:
+        """Numeric phase: fill C's values (and columns) at exact offsets.
+
+        A/B may carry new ``data`` but must have the plan's structure.
+        """
+        A = self.A if A is None else A
+        B = self.B if B is None else B
+        m, n = self.shape
+        track = timings is not None and timings.measure_all
+        c_cols = jnp.zeros((max(self.nnz, 1),), jnp.int32)
+        c_vals = jnp.zeros((max(self.nnz, 1),), A.data.dtype)
+        with StageTimer(timings, "spGEMMNumeric", track) as st:
+            for ch in self.chunks:
+                c_cols, c_vals = numeric_chunk(
+                    self.binning.rows_sorted, ch.start, ch.valid,
+                    A.indptr, A.indices, A.data,
+                    B.indptr, B.indices, B.data,
+                    self.row_offsets, c_cols, c_vals,
+                    chunk_rows=ch.rows, cap=ch.cap, n_cols=n,
+                )
+            st.stop(c_cols, c_vals)
+        return DeviceCSR(
+            indptr=self.row_offsets,
+            indices=c_cols,
+            data=c_vals,
+            shape=(m, n),
+            nnz=self.nnz,
+        )
+
+
+@jax.jit
+def _offsets_from_counts(nnz_row: jax.Array) -> jax.Array:
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nnz_row)]
+    )
+
+
+def plan_spgemm(
+    A: DeviceCSR,
+    B: DeviceCSR,
+    cfg: Optional[SpgemmConfig] = None,
+    timings: Optional[Timings] = None,
+) -> SpgemmPlan:
+    """Analysis + binning + symbolic counting: everything up to (and
+    including) C's row offsets."""
+    if A.shape[1] != B.shape[0]:
+        raise ValueError(
+            f"dimension mismatch: A is {A.shape}, B is {B.shape}"
+        )
+    cfg = cfg or SpgemmConfig()
+    m, n = A.shape[0], B.shape[1]
+    track = timings is not None and timings.measure_all
+
+    with StageTimer(timings, "countProducts", track) as st:
+        stats = analyze(A, B)
+        st.stop(stats.row_ops)
+
+    with StageTimer(timings, "loadBalanceCounting", track):
+        binning = bin_rows(stats, cfg)  # includes the small histogram sync
+        chunks = plan_chunks(binning, cfg)
+
+    with StageTimer(timings, "spGEMMCounting", track) as st:
+        nnz_row = jnp.zeros((m,), jnp.int32)
+        for ch in chunks:
+            nnz_row = count_chunk(
+                binning.rows_sorted, ch.start, ch.valid,
+                A.indptr, A.indices, B.indptr, B.indices, nnz_row,
+                chunk_rows=ch.rows, cap=ch.cap, n_cols=n,
+            )
+        st.stop(nnz_row)
+
+    with StageTimer(timings, "allocC", track):
+        row_offsets = _offsets_from_counts(nnz_row)
+        nnz = int(row_offsets[-1])  # host sync (Multiply.cu:572-575)
+
+    return SpgemmPlan(
+        A=A, B=B, cfg=cfg, binning=binning, chunks=chunks,
+        row_offsets=row_offsets, nnz=nnz,
+        sum_products=float(stats.sum_products),
+    )
+
+
+def spgemm(
+    A: DeviceCSR,
+    B: DeviceCSR,
+    cfg: Optional[SpgemmConfig] = None,
+    timings: Optional[Timings] = None,
+) -> DeviceCSR:
+    """C = A @ B on device: exact two-phase SpGEMM with sorted rows.
+
+    Public entry point; parity with spECK::MultiplyspECK
+    (/root/reference/include/Multiply.h:15-19)."""
+    import time
+
+    track_complete = timings is not None and timings.measure_complete
+    t0 = time.perf_counter()
+    plan = plan_spgemm(A, B, cfg, timings)
+    C = plan.execute(timings=timings)
+    if track_complete:
+        jax.block_until_ready(C.data)
+        timings.add("complete", (time.perf_counter() - t0) * 1e3)
+    return C

@@ -1,0 +1,109 @@
+"""Runtime configuration.
+
+Two pieces, mirroring the reference's two-level config (SURVEY.md §5.6):
+
+1. ``Config`` — an INI-backed key/value store with the reference's 6 *live*
+   keys (Config singleton, /root/reference/include/Config.h:173-177 and
+   source/RunConfig.cpp:22, source/Executor.cpp:15-29):
+   InputFile, IterationsWarmUp, IterationsExecution, TrackIndividualTimes,
+   TrackCompleteTimes, CompareResult. The reference's INI files have no
+   [section] headers (config.ini), so a default section is injected.
+
+2. ``SpgemmConfig`` — the TPU pipeline's tuning knobs (the analogue of the
+   compile-time shared-memory/threads constants in include/Multiply.h:10-11
+   and the hard-coded heuristics in Multiply.cu).
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+from typing import Optional, Tuple
+
+
+class Config:
+    """INI config with defaults; section-less files accepted."""
+
+    _instance: Optional["Config"] = None
+
+    def __init__(self, path: Optional[str] = None):
+        self._cp = configparser.ConfigParser()
+        self._cp.optionxform = str  # keys are case-sensitive like INIReader's lookups
+        if path:
+            with open(path) as fh:
+                text = fh.read()
+            if not text.lstrip().startswith("["):
+                text = "[default]\n" + text
+            # the reference INI uses ';' comments; configparser handles both
+            self._cp.read_string(text)
+
+    @classmethod
+    def init(cls, path: Optional[str] = None) -> "Config":
+        cls._instance = Config(path)
+        return cls._instance
+
+    @classmethod
+    def get(cls) -> "Config":
+        if cls._instance is None:
+            cls._instance = Config(None)
+        return cls._instance
+
+    def _raw(self, key: str, fallback=None):
+        for section in self._cp.sections():
+            if self._cp.has_option(section, key):
+                return self._cp.get(section, key)
+        return fallback
+
+    def get_string(self, key: str, default: str = "") -> str:
+        v = self._raw(key)
+        return default if v is None else str(v)
+
+    def get_int(self, key: str, default: int = 0) -> int:
+        v = self._raw(key)
+        try:
+            return default if v is None else int(str(v).strip())
+        except ValueError:
+            return default
+
+    def get_float(self, key: str, default: float = 0.0) -> float:
+        v = self._raw(key)
+        try:
+            return default if v is None else float(str(v).strip())
+        except ValueError:
+            return default
+
+    def get_bool(self, key: str, default: bool = False) -> bool:
+        v = self._raw(key)
+        if v is None:
+            return default
+        return str(v).strip().lower() in ("1", "true", "yes", "on")
+
+
+@dataclasses.dataclass(frozen=True)
+class SpgemmConfig:
+    """Tuning knobs for the TPU SpGEMM pipeline.
+
+    The bin ladder replaces spECK's 6 kernel size classes
+    (Multiply.cu:105-107, kernelCount=6): rows are binned by
+    work = max(ops, a_row_nnz) into power-of-``bin_growth`` capacity classes
+    starting at ``min_cap``. ``product_budget`` bounds the number of
+    intermediate products materialized per device dispatch (the analogue of
+    spECK's shared-memory budgeting, Multiply.cu:110-134).
+    """
+
+    min_cap: int = 64            # smallest per-row product capacity
+    bin_growth: int = 4          # capacity ratio between adjacent bins
+    num_bins: int = 6            # ladder bins before the "huge rows" path
+    product_budget: int = 1 << 22  # max products per dispatch (~4M)
+    dense_col_threshold: int = 0  # 0 = dense-window path disabled (v0)
+    sentinel_shift_check: bool = True
+    value_dtype: str = "float32"
+    index_dtype: str = "int32"
+
+    @property
+    def caps(self) -> Tuple[int, ...]:
+        return tuple(self.min_cap * self.bin_growth ** i for i in range(self.num_bins))
+
+    @property
+    def max_cap(self) -> int:
+        return self.caps[-1]

@@ -1,0 +1,45 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so
+multi-device sharding logic is testable without a TPU pod (SURVEY.md §4)."""
+
+import os
+
+# Must be decided before the first backend initialization. The axon
+# sitecustomize registers a TPU backend at interpreter start; switching the
+# platform selection to cpu here still works because jax resolves platforms
+# lazily at first use.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
+
+
+def random_host_csr(rng, m, n, density, dtype=np.float64, empty_row_frac=0.0):
+    """Random CSR with optional forced-empty rows and duplicate tolerance."""
+    import scipy.sparse as sp
+
+    mat = sp.random(m, n, density, format="csr", random_state=np.random.RandomState(int(rng.integers(1 << 31))), dtype=np.float64)
+    mat.data = (rng.standard_normal(mat.nnz) + 0.5).astype(np.float64)
+    if empty_row_frac > 0 and m > 0:
+        kill = rng.random(m) < empty_row_frac
+        keep_mask = ~np.repeat(kill, np.diff(mat.indptr))
+        coo = mat.tocoo()
+        mat = sp.csr_matrix(
+            (coo.data[keep_mask], (coo.row[keep_mask], coo.col[keep_mask])),
+            shape=(m, n),
+        )
+    from speck_tpu.formats.csr import HostCSR
+
+    out = HostCSR.from_scipy(mat)
+    out.data = out.data.astype(dtype)
+    return out

@@ -1,0 +1,188 @@
+"""SpGEMM differential validation against the scipy oracle (SURVEY.md §4):
+structure must match exactly (row lengths + sorted column indices), values
+within floating tolerance — the same bar as the reference's cuSPARSE compare
+(/root/reference/source/GPU/Compare.cu:27-58)."""
+
+import numpy as np
+import pytest
+
+from conftest import random_host_csr
+from speck_tpu import (
+    SpgemmConfig,
+    compare_csr,
+    device_get_csr,
+    device_put_csr,
+    oracle_spgemm,
+    plan_spgemm,
+    spgemm,
+)
+from speck_tpu.formats.csr import HostCSR
+
+
+# Small chunk budget keeps CPU compile times low; the bin-capacity ladder
+# (the correctness-relevant part) is identical to the default config.
+_TEST_CFG = SpgemmConfig(product_budget=1 << 14)
+
+# Value tolerance: f32 accumulation of mixed-sign O(1) products can cancel
+# down to ~1e-3 results carrying ~1e-4 relative error; the reference uses 1%
+# for the same reason and disables value compare by default (config.ini:7-9).
+def _check(a, b, cfg=_TEST_CFG, rtol=2e-3):
+    ref = oracle_spgemm(a, b)
+    A = device_put_csr(a)
+    B = device_put_csr(b)
+    C = device_get_csr(spgemm(A, B, cfg))
+    r = compare_csr(ref, C, compare_data=False)
+    assert r.ok, r.message
+    rv = compare_csr(ref, C, compare_data=True, rel_tol=rtol)
+    assert rv.ok, rv.message
+    return C
+
+
+def test_identity():
+    n = 16
+    eye = HostCSR(
+        rows=n, cols=n,
+        row_offsets=np.arange(n + 1, dtype=np.uint32),
+        col_ids=np.arange(n, dtype=np.uint32),
+        data=np.ones(n),
+    )
+    C = _check(eye, eye)
+    assert C.nnz == n
+
+
+def test_small_dense_block(rng):
+    a = random_host_csr(rng, 8, 8, 0.9)
+    _check(a, a)
+
+
+@pytest.mark.parametrize("density", [0.01, 0.1, 0.4])
+@pytest.mark.parametrize("shape", [(64, 64, 64), (50, 70, 30), (128, 32, 200)])
+def test_random_rect(rng, density, shape):
+    m, k, n = shape
+    a = random_host_csr(rng, m, k, density)
+    b = random_host_csr(rng, k, n, density)
+    _check(a, b)
+
+
+def test_default_config(rng):
+    """One run through the production default SpgemmConfig."""
+    a = random_host_csr(rng, 64, 64, 0.1)
+    _check(a, a, cfg=None)
+
+
+def test_empty_rows_and_cols(rng):
+    a = random_host_csr(rng, 60, 40, 0.1, empty_row_frac=0.5)
+    b = random_host_csr(rng, 40, 50, 0.1, empty_row_frac=0.5)
+    _check(a, b)
+
+
+def test_all_empty():
+    a = HostCSR(
+        rows=5, cols=5,
+        row_offsets=np.zeros(6, np.uint32),
+        col_ids=np.zeros(0, np.uint32),
+        data=np.zeros(0),
+    )
+    C = _check(a, a)
+    assert C.nnz == 0
+
+
+def test_single_entry():
+    a = HostCSR(
+        rows=3, cols=3,
+        row_offsets=np.array([0, 0, 1, 1], np.uint32),
+        col_ids=np.array([2], np.uint32),
+        data=np.array([2.0]),
+    )
+    b = HostCSR(
+        rows=3, cols=4,
+        row_offsets=np.array([0, 1, 1, 3], np.uint32),
+        col_ids=np.array([1, 0, 3], np.uint32),
+        data=np.array([5.0, 1.0, -1.0]),
+    )
+    C = _check(a, b)
+    assert C.nnz == 2  # row 1 = 2.0 * B row 2
+
+
+def test_duplicate_entries_summed(rng):
+    # CSR inputs may carry duplicate column ids (the loader keeps them);
+    # products at the same output column must merge.
+    a = HostCSR(
+        rows=2, cols=2,
+        row_offsets=np.array([0, 3, 4], np.uint32),
+        col_ids=np.array([0, 0, 1, 1], np.uint32),
+        data=np.array([1.0, 2.0, 3.0, 4.0]),
+    )
+    b = HostCSR(
+        rows=2, cols=2,
+        row_offsets=np.array([0, 2, 3], np.uint32),
+        col_ids=np.array([0, 1, 1], np.uint32),
+        data=np.array([1.0, 1.0, 1.0]),
+    )
+    _check(a, b)
+
+
+def test_skewed_rows(rng):
+    """One giant row among tiny rows (spECK's raison d'être, SURVEY §7.4)."""
+    import scipy.sparse as sp
+
+    m = 200
+    rows = [np.full(150, 7)] + [np.array([i]) for i in range(40)]
+    r = np.concatenate(rows)
+    c = np.concatenate([rng.choice(200, 150, replace=False)] + [
+        rng.integers(0, 200, 1) for _ in range(40)
+    ])
+    d = rng.standard_normal(r.shape[0])
+    a = HostCSR.from_scipy(sp.csr_matrix((d, (r, c)), shape=(m, 200)))
+    _check(a, a)
+
+
+def test_bin_ladder_spread(rng):
+    """Rows spanning several bins including the huge path (tiny config)."""
+    cfg = SpgemmConfig(min_cap=8, bin_growth=4, num_bins=2, product_budget=1 << 12)
+    a = random_host_csr(rng, 96, 96, 0.15)
+    b = random_host_csr(rng, 96, 96, 0.4)
+    _check(a, b, cfg)
+
+
+def test_float32_values(rng):
+    a = random_host_csr(rng, 40, 40, 0.2, dtype=np.float32)
+    ref = oracle_spgemm(a, a)
+    C = device_get_csr(
+        spgemm(device_put_csr(a, np.float32), device_put_csr(a, np.float32), _TEST_CFG)
+    )
+    assert compare_csr(ref, C).ok
+    assert compare_csr(ref, C, compare_data=True, rel_tol=1e-3).ok
+
+
+def test_plan_reuse_new_values(rng):
+    """Symbolic structure reuse: same pattern, new values (beyond-reference
+    feature; validates the plan/execute split)."""
+    a = random_host_csr(rng, 50, 50, 0.15)
+    A = device_put_csr(a)
+    plan = plan_spgemm(A, A, _TEST_CFG)
+    C1 = device_get_csr(plan.execute())
+
+    a2 = HostCSR(a.rows, a.cols, a.row_offsets, a.col_ids, a.data * 2.0 + 0.25)
+    A2 = device_put_csr(a2)
+    C2 = device_get_csr(plan.execute(A2, A2))
+    ref2 = oracle_spgemm(a2, a2)
+    assert compare_csr(ref2, C2, compare_data=True, rel_tol=1e-4).ok
+    np.testing.assert_array_equal(C1.col_ids, C2.col_ids)
+
+
+def test_dimension_mismatch_raises(rng):
+    a = random_host_csr(rng, 4, 5, 0.5)
+    b = random_host_csr(rng, 6, 4, 0.5)
+    with pytest.raises(ValueError):
+        spgemm(device_put_csr(a), device_put_csr(b))
+
+
+def test_output_sorted_and_offsets_monotone(rng):
+    a = random_host_csr(rng, 80, 80, 0.2)
+    C = device_get_csr(spgemm(device_put_csr(a), device_put_csr(a), _TEST_CFG))
+    offs = C.row_offsets
+    assert (np.diff(offs) >= 0).all()
+    for r in range(C.rows):
+        cols = C.col_ids[offs[r]:offs[r + 1]]
+        assert (np.diff(cols) > 0).all(), f"row {r} not strictly sorted"

@@ -110,6 +110,17 @@ class Chunk:
     valid: int   # live rows in this chunk (<= rows)
 
 
+def _bucket_rows(count: int, full: int) -> int:
+    """Chunk row count: the full budget-limited size for populous bins, else
+    the next power of 4 >= count (bounded compile-shape ladder, <= 2x..4x
+    row padding; the analogue of spECK's occupancy shift-up keeping launch
+    shapes canonical, Multiply.cu:439-482)."""
+    if count >= full:
+        return full
+    pow4 = 1 << (((count - 1).bit_length() + 1) // 2 * 2) if count > 1 else 1
+    return max(1, min(full, pow4))
+
+
 def plan_chunks(binning: Binning, cfg: SpgemmConfig) -> List[Chunk]:
     """Split each populated bin into fixed-shape chunks."""
     chunks: List[Chunk] = []
@@ -119,7 +130,8 @@ def plan_chunks(binning: Binning, cfg: SpgemmConfig) -> List[Chunk]:
         if count == 0:
             continue
         cap = binning.caps[b]
-        rows_per_chunk = max(1, cfg.product_budget // cap)
+        full = max(1, cfg.product_budget // cap)
+        rows_per_chunk = _bucket_rows(count, full)
         for c in range(math.ceil(count / rows_per_chunk)):
             start = int(binning.bin_starts[b]) + c * rows_per_chunk
             valid = min(rows_per_chunk, count - c * rows_per_chunk)

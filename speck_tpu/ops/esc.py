@@ -53,9 +53,13 @@ def _batched_searchsorted_right(cum: jax.Array, t: jax.Array) -> jax.Array:
 
 
 def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
-            b_indptr, b_indices, b_data, cap: int, n_cols: int,
+            b_start, b_len, b_indices, b_data, cap: int, n_cols: int,
             with_values: bool):
     """Gather the (rows, cap) rectangle of intermediate products.
+
+    B is described by per-row (start, length) arrays rather than an indptr so
+    that gathered/padded B layouts (multi-device all_gather of row shards)
+    work unchanged; for a plain CSR, b_start = indptr[:-1], b_len = diff.
 
     Returns (col, val, ops): col[r, t] is the B column id of product t of
     row r (or the sentinel ``n_cols`` when t >= ops[r]); val is the product
@@ -69,7 +73,7 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     va = j < alen[:, None]
     aidx = jnp.where(va, a0[:, None] + j, 0)
     acol = jnp.where(va, a_indices[aidx], 0)
-    blen = jnp.where(va, b_indptr[acol + 1] - b_indptr[acol], 0)
+    blen = jnp.where(va, b_len[acol], 0)
     cum = jnp.cumsum(blen, axis=1)                      # (R, cap)
     ops = cum[:, -1]
 
@@ -82,7 +86,7 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     o = t - s_prev                                      # offset within B row
     valid_t = t < ops[:, None]
     acol_p = jnp.take_along_axis(acol, pc, axis=1)
-    src = jnp.where(valid_t, b_indptr[acol_p] + o, 0)
+    src = jnp.where(valid_t, b_start[acol_p] + o, 0)
     col = jnp.where(valid_t, b_indices[src], jnp.int32(n_cols))
     if with_values:
         aval_p = jnp.take_along_axis(jnp.where(va, a_data[aidx], 0), pc, axis=1)
@@ -111,7 +115,8 @@ def count_chunk(rows_sorted, start, valid, a_indptr, a_indices,
     valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
     col, _, _ = _expand(
         rows, valid_rows, a_indptr, a_indices, None,
-        b_indptr, b_indices, None, cap, n_cols, with_values=False,
+        b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, None,
+        cap, n_cols, with_values=False,
     )
     col_s = jax.lax.sort(col, dimension=1)
     prev = jnp.concatenate(
@@ -147,7 +152,8 @@ def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
     valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
     col, val, _ = _expand(
         rows, valid_rows, a_indptr, a_indices, a_data,
-        b_indptr, b_indices, b_data, cap, n_cols, with_values=True,
+        b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, b_data,
+        cap, n_cols, with_values=True,
     )
     col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
 
@@ -180,3 +186,46 @@ def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
     c_cols = c_cols.at[flat].set(col_s, mode="drop", unique_indices=True)
     c_vals = c_vals.at[flat].set(run_sum, mode="drop", unique_indices=True)
     return c_cols, c_vals
+
+
+def esc_fixed(a_indptr, a_indices, a_data, b_start, b_len, b_indices, b_data,
+              *, cap: int, n_cols: int):
+    """One-shot fused count+numeric over ALL rows at a single capacity.
+
+    Scatter-free and fully jittable (no data-dependent allocation): returns
+    (counts (m,), cols (m, cap), vals (m, cap)) where each row's first
+    counts[r] slots hold the compacted, column-sorted result. Compaction uses
+    a second key sort instead of a scatter, so the whole kernel is
+    gather/sort/scan only — the shape XLA and a SPMD mesh want. This is the
+    uniform-shape kernel used per shard by the distributed path
+    (speck_tpu.parallel) and by __graft_entry__.entry().
+    """
+    m = a_indptr.shape[0] - 1
+    rows = jnp.arange(m, dtype=jnp.int32)
+    valid_rows = jnp.ones((m,), dtype=bool)
+    col, val, _ = _expand(
+        rows, valid_rows, a_indptr, a_indices, a_data,
+        b_start, b_len, b_indices, b_data, cap, n_cols, with_values=True,
+    )
+    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
+
+    prev = jnp.concatenate([jnp.full((m, 1), -1, jnp.int32), col_s[:, :-1]], axis=1)
+    nxt = jnp.concatenate([col_s[:, 1:], jnp.full((m, 1), -2, jnp.int32)], axis=1)
+    first = col_s != prev
+    last = (col_s != nxt) & (col_s < n_cols)
+
+    def _seg_op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
+
+    run_sum, _ = jax.lax.associative_scan(_seg_op, (val_s, first), axis=1)
+
+    counts = jnp.sum(last, axis=1, dtype=jnp.int32)
+    # compaction by rank sort: run-lasts get key = rank (< counts <= cap),
+    # everything else keys past them; second sort moves results to the front
+    t = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    rank = jnp.cumsum(last.astype(jnp.int32), axis=1) - 1
+    key = jnp.where(last, rank, cap + t)
+    _, cols_c, vals_c = jax.lax.sort((key, col_s, run_sum), dimension=1, num_keys=1)
+    return counts, cols_c, vals_c

@@ -19,9 +19,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(20260816)
+@pytest.fixture()
+def rng(request):
+    # per-test deterministic stream: order-independent, reproducible
+    import zlib
+
+    seed = zlib.crc32(request.node.nodeid.encode())
+    return np.random.default_rng([20260816, seed])
 
 
 def random_host_csr(rng, m, n, density, dtype=np.float64, empty_row_frac=0.0):

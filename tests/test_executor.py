@@ -1,0 +1,133 @@
+"""Executor + CLI + config + entry points."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from speck_tpu.utils.config import Config, SpgemmConfig
+from speck_tpu.utils.timings import Timings
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIG_INI = """; test config (reference config.ini shape: no [section] headers)
+TrackCompleteTimes=true
+TrackIndividualTimes=true
+CompareResult=true
+IterationsWarmUp=1
+IterationsExecution=2
+"""
+
+MTX = """%%MatrixMarket matrix coordinate real symmetric
+6 6 8
+1 1 2.0
+2 1 -1.0
+3 2 -1.0
+4 3 -1.0
+5 4 -1.0
+6 5 -1.0
+5 5 2.0
+6 6 2.0
+"""
+
+
+def test_config_parsing(tmp_path):
+    p = tmp_path / "c.ini"
+    p.write_text(CONFIG_INI)
+    cfg = Config(str(p))
+    assert cfg.get_bool("TrackCompleteTimes") is True
+    assert cfg.get_bool("CompareResult") is True
+    assert cfg.get_int("IterationsWarmUp", 10) == 1
+    assert cfg.get_int("IterationsExecution", 10) == 2
+    assert cfg.get_int("MissingKey", 42) == 42
+    assert cfg.get_string("InputFile", "") == ""
+    assert cfg.get_float("NotThere", 1.5) == 1.5
+
+
+def test_timings_accumulate():
+    t1 = Timings()
+    t1.add("spGEMMNumeric", 4.0)
+    t2 = Timings()
+    t2.add("spGEMMNumeric", 2.0)
+    t1 += t2
+    t1 /= 2
+    assert t1.ms["spGEMMNumeric"] == 3.0
+    assert "spGEMMNumeric" in t1.report()
+
+
+def test_executor_run(tmp_path):
+    from speck_tpu.executor import Executor
+
+    mtx = tmp_path / "m.mtx"
+    mtx.write_text(MTX)
+    ini = tmp_path / "c.ini"
+    ini.write_text(CONFIG_INI)
+    ex = Executor(
+        str(mtx),
+        config=Config(str(ini)),
+        spgemm_cfg=SpgemmConfig(product_budget=1 << 12),
+        dtype=np.float32,
+        verbose=False,
+    )
+    res = ex.run()
+    assert res.compared_ok is True
+    assert res.nnz > 0
+    assert res.mean_total_ms > 0
+    assert res.gflops >= 0
+    assert res.sum_products > 0
+
+
+def test_cli_smoke(tmp_path):
+    mtx = tmp_path / "m.mtx"
+    mtx.write_text(MTX)
+    ini = tmp_path / "c.ini"
+    ini.write_text(CONFIG_INI)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "runspeck.py"), str(mtx), str(ini)],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "nnz" in out.stdout
+    assert "compare vs oracle: OK" in out.stdout
+
+
+def test_cli_usage_error():
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "runspeck.py")],
+        capture_output=True, text=True, timeout=120, cwd=REPO, env=env,
+    )
+    assert out.returncode == 1
+    assert "Usage" in out.stderr
+
+
+def test_graft_entry_single():
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+    import jax
+
+    fn, args = g.entry()
+    counts, cols, vals = jax.jit(fn)(*args)
+    assert counts.shape[0] == args[0].shape[0] - 1
+    # cross-check against the oracle
+    from speck_tpu.parallel.dist import padded_to_host_csr
+    from speck_tpu.utils.compare import compare_csr
+    from speck_tpu.utils.oracle import oracle_spgemm
+
+    a, b = g._example_matrices()
+    got = padded_to_host_csr(counts, cols, vals, a.rows, b.cols)
+    assert compare_csr(oracle_spgemm(a, b), got, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_graft_entry_multichip():
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

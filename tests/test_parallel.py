@@ -1,0 +1,82 @@
+"""Multi-device SpGEMM on the 8-virtual-device CPU mesh (SURVEY.md §4:
+partition logic testable without a pod)."""
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import random_host_csr
+from speck_tpu.parallel import (
+    distributed_spgemm,
+    make_row_mesh,
+    mesh_spgemm_fixed_cap,
+    partition_rows,
+)
+from speck_tpu.parallel.dist import padded_to_host_csr, stack_row_shards
+from speck_tpu.utils.compare import compare_csr
+from speck_tpu.utils.config import SpgemmConfig
+from speck_tpu.utils.oracle import oracle_spgemm
+
+
+def test_partition_rows():
+    assert partition_rows(10, 4) == [(0, 3), (3, 6), (6, 8), (8, 10)]
+    assert partition_rows(3, 8)[-1] == (3, 3)
+
+
+def test_stack_row_shards_identity_layout(rng):
+    a = random_host_csr(rng, 13, 9, 0.3)
+    indptr, indices, data, ranges = stack_row_shards(a, 4)
+    m_loc = indptr.shape[1] - 1
+    assert m_loc == 4  # ceil(13/4)
+    # global row k at shard k//m_loc, slot k%m_loc
+    for k in [0, 3, 4, 12]:
+        d, s = divmod(k, m_loc)
+        ln = indptr[d, s + 1] - indptr[d, s]
+        assert ln == a.row_offsets[k + 1] - a.row_offsets[k]
+    # pad rows empty
+    assert indptr[3, 2] == indptr[3, 1]
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_spgemm_matches_oracle(rng, n_dev):
+    a = random_host_csr(rng, 70, 70, 0.1)
+    ref = oracle_spgemm(a, a)
+    sharded = distributed_spgemm(
+        a, a, devices=jax.devices()[:n_dev],
+        cfg=SpgemmConfig(product_budget=1 << 14),
+    )
+    got = sharded.to_host()
+    assert compare_csr(ref, got).ok
+    assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_mesh_spgemm_fixed_cap_matches_oracle(rng):
+    mesh = make_row_mesh(8)
+    a = random_host_csr(rng, 50, 50, 0.12)
+    b = random_host_csr(rng, 50, 40, 0.15)
+    counts, cols, vals = mesh_spgemm_fixed_cap(a, b, mesh)
+    got = padded_to_host_csr(counts, cols, vals, a.rows, b.cols)
+    ref = oracle_spgemm(a, b)
+    r = compare_csr(ref, got, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+
+
+def test_mesh_spgemm_uneven_rows(rng):
+    mesh = make_row_mesh(8)
+    a = random_host_csr(rng, 37, 41, 0.2)   # 37 rows over 8 devices
+    b = random_host_csr(rng, 41, 23, 0.2)
+    counts, cols, vals = mesh_spgemm_fixed_cap(a, b, mesh)
+    got = padded_to_host_csr(counts, cols, vals, a.rows, b.cols)
+    ref = oracle_spgemm(a, b)
+    r = compare_csr(ref, got, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+
+
+def test_mesh_spgemm_empty_matrix():
+    from speck_tpu.formats.csr import HostCSR
+
+    mesh = make_row_mesh(4)
+    a = HostCSR(6, 6, np.zeros(7, np.uint32), np.zeros(0, np.uint32), np.zeros(0))
+    counts, cols, vals = mesh_spgemm_fixed_cap(a, a, mesh)
+    got = padded_to_host_csr(counts, cols, vals, 6, 6)
+    assert got.nnz == 0

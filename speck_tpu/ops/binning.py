@@ -11,14 +11,20 @@ merge-scan prescanArrayKernelNew, scan_largearray_kernel.cuh:183-281):
   spECK_HashLoadBalancer.cuh:49-68), plus power-of-2 "huge" levels above the
   ladder (the analogue of the global-memory-map fallback path) and an
   "empty" class for rows with zero products.
+- Rows with exactly one A-nonzero get their own "direct" bin ladder (the
+  analogue of the per-block direct method selection,
+  spECK_HashSpGEMM.cuh:1761-1764,1829-1832): their C row is a scaled copy of
+  one B row — no expansion or sort needed, and their nnz counts come free
+  from the analysis pass. Used only when B is canonical (sorted columns, no
+  duplicates), since a raw copy preserves duplicates the general path would
+  merge; the reference's direct path makes the same assumption.
 - Instead of a custom merge-scan emitting packed blockRanges, the TPU build
   sorts row ids by bin key (one lax.sort) so each bin is a contiguous slice
   of ``rows_sorted``; only the small per-bin histogram is synced to host.
-- Chunking: each bin is processed in fixed-shape chunks of
-  ``rows_per_chunk = max(1, product_budget // cap)`` rows (the analogue of
-  spECK's shared-memory budgeting / blocks-per-SM shaping,
-  Multiply.cu:103-134), so compiled kernel shapes are stable across
-  matrices.
+- Chunking: each bin is processed in fixed-shape chunks of at most
+  ``product_budget // cap`` rows (the analogue of spECK's shared-memory
+  budgeting, Multiply.cu:103-134), bucketed to the bin population so
+  compiled kernel shapes are stable across matrices.
 """
 
 from __future__ import annotations
@@ -41,7 +47,7 @@ MAX_HUGE_LEVELS = 15
 
 
 def bin_caps(cfg: SpgemmConfig) -> List[int]:
-    """Capacity per bin: the ladder, then power-of-2 huge levels."""
+    """Capacity per general bin: the ladder, then power-of-2 huge levels."""
     caps = list(cfg.caps)
     top = caps[-1]
     for lvl in range(1, MAX_HUGE_LEVELS + 1):
@@ -51,22 +57,41 @@ def bin_caps(cfg: SpgemmConfig) -> List[int]:
 
 @dataclasses.dataclass(frozen=True)
 class Binning:
-    """Host-side view of the device binning result."""
+    """Host-side view of the device binning result.
+
+    Bin id layout: [0, n_general) general ESC bins keyed by work;
+    [n_general, 2*n_general) direct-copy bins keyed by B-row length;
+    2*n_general = empty rows."""
 
     rows_sorted: jax.Array      # (m + pad,) int32, grouped by bin, -1 padded
-    bin_counts: np.ndarray      # (num_total_bins,) host ints
-    bin_starts: np.ndarray      # (num_total_bins,) host ints (offsets into rows_sorted)
-    caps: List[int]             # capacity per bin
+    bin_counts: np.ndarray      # (2*n_general + 1,) host ints
+    bin_starts: np.ndarray      # offsets into rows_sorted
+    caps: List[int]             # capacity per general bin
+    nnz_init: jax.Array         # (m,) int32: exact counts for direct/empty rows, 0 else
 
 
-@partial(jax.jit, static_argnames=("caps", "pad_to"))
-def _bin_rows_impl(work: jax.Array, caps: Tuple[int, ...], pad_to: int):
+def n_general_bins(cfg: SpgemmConfig) -> int:
+    return cfg.num_bins + MAX_HUGE_LEVELS
+
+
+@partial(jax.jit, static_argnames=("caps", "pad_to", "direct_ok"))
+def _bin_rows_impl(work, row_ops, a_len, caps: Tuple[int, ...], pad_to: int,
+                   direct_ok: bool):
     m = work.shape[0]
     nbins = len(caps)
     caps_arr = jnp.asarray(caps, dtype=jnp.int32)
-    # bin = first ladder/huge level with cap >= work; empty rows -> nbins
+    # general bin = first ladder/huge level with cap >= work
     bin_id = jnp.searchsorted(caps_arr, work, side="left").astype(jnp.int32)
-    bin_id = jnp.where(work <= 0, jnp.int32(nbins), bin_id)
+    if direct_ok:
+        # single-A-nnz rows: direct bin keyed by copy length (== row_ops)
+        is_direct = (a_len == 1) & (row_ops > 0)
+        bin_id = jnp.where(is_direct, bin_id + nbins, bin_id)
+    else:
+        is_direct = jnp.zeros_like(work, dtype=bool)
+    bin_id = jnp.where(work <= 0, jnp.int32(2 * nbins), bin_id)
+    # direct and empty rows have exact counts already (analysis pass)
+    nnz_init = jnp.where(is_direct, row_ops, 0)
+
     row_ids = jnp.arange(m, dtype=jnp.int32)
     # group rows by bin with one stable sort (replaces the blockRange
     # merge-scan; rows stay ascending within each bin)
@@ -74,19 +99,22 @@ def _bin_rows_impl(work: jax.Array, caps: Tuple[int, ...], pad_to: int):
         (bin_id, row_ids), dimension=0, num_keys=1, is_stable=True
     )
     counts = jnp.sum(
-        bin_sorted[None, :] == jnp.arange(nbins + 1, dtype=jnp.int32)[:, None],
+        bin_sorted[None, :] == jnp.arange(2 * nbins + 1, dtype=jnp.int32)[:, None],
         axis=1,
         dtype=jnp.int32,
     )
     pad = jnp.full((pad_to,), -1, dtype=jnp.int32)
-    return jnp.concatenate([rows_sorted, pad]), counts
+    return jnp.concatenate([rows_sorted, pad]), counts, nnz_init
 
 
-def bin_rows(stats: AnalysisResult, cfg: SpgemmConfig) -> Binning:
+def bin_rows(stats: AnalysisResult, cfg: SpgemmConfig, direct_ok: bool = False) -> Binning:
     caps = bin_caps(cfg)
     # padding lets fixed-size chunk slices run past the bin end safely
     max_chunk_rows = max(1, cfg.product_budget // cfg.min_cap)
-    rows_sorted, counts = _bin_rows_impl(stats.work, tuple(caps), max_chunk_rows)
+    rows_sorted, counts, nnz_init = _bin_rows_impl(
+        stats.work, stats.row_ops, stats.a_len, tuple(caps), max_chunk_rows,
+        direct_ok,
+    )
     counts_h = np.asarray(counts)
     starts_h = np.zeros_like(counts_h)
     np.cumsum(counts_h[:-1], out=starts_h[1:])
@@ -95,6 +123,7 @@ def bin_rows(stats: AnalysisResult, cfg: SpgemmConfig) -> Binning:
         bin_counts=counts_h,
         bin_starts=starts_h,
         caps=caps,
+        nnz_init=nnz_init,
     )
 
 
@@ -108,6 +137,7 @@ class Chunk:
     rows: int    # static chunk row count
     start: int   # host offset into rows_sorted
     valid: int   # live rows in this chunk (<= rows)
+    direct: bool = False
 
 
 def _bucket_rows(count: int, full: int) -> int:
@@ -125,17 +155,21 @@ def plan_chunks(binning: Binning, cfg: SpgemmConfig) -> List[Chunk]:
     """Split each populated bin into fixed-shape chunks."""
     chunks: List[Chunk] = []
     nbins = len(binning.caps)
-    for b in range(nbins):  # the final histogram slot (empty rows) is skipped
+    for b in range(2 * nbins):  # the final histogram slot (empty rows) is skipped
         count = int(binning.bin_counts[b])
         if count == 0:
             continue
-        cap = binning.caps[b]
-        full = max(1, cfg.product_budget // cap)
+        direct = b >= nbins
+        cap = binning.caps[b - nbins if direct else b]
+        # direct chunks are pure copies (no cap^2 sort); allow more rows
+        budget = cfg.product_budget * (4 if direct else 1)
+        full = max(1, budget // cap)
         rows_per_chunk = _bucket_rows(count, full)
         for c in range(math.ceil(count / rows_per_chunk)):
             start = int(binning.bin_starts[b]) + c * rows_per_chunk
             valid = min(rows_per_chunk, count - c * rows_per_chunk)
             chunks.append(
-                Chunk(bin_id=b, cap=cap, rows=rows_per_chunk, start=start, valid=valid)
+                Chunk(bin_id=b, cap=cap, rows=rows_per_chunk, start=start,
+                      valid=valid, direct=direct)
             )
     return chunks

@@ -30,6 +30,7 @@ class DeviceCSR:
     data: jax.Array     # (nnz,)   float
     shape: Tuple[int, int]
     nnz: int
+    canonical: bool = False  # columns strictly ascending within each row
 
     @property
     def rows(self) -> int:
@@ -47,11 +48,25 @@ class DeviceCSR:
 jax.tree_util.register_dataclass(
     DeviceCSR,
     data_fields=["indptr", "indices", "data"],
-    meta_fields=["shape", "nnz"],
+    meta_fields=["shape", "nnz", "canonical"],
 )
 
 
-def device_put_csr(m: HostCSR, dtype=jnp.float32, device=None) -> DeviceCSR:
+def is_canonical_host(row_offsets, col_ids) -> bool:
+    """True if columns are strictly ascending within every row (sorted and
+    duplicate-free). Enables the direct-copy fast path."""
+    col_ids = np.asarray(col_ids, np.int64)
+    if col_ids.shape[0] < 2:
+        return True
+    nondesc = col_ids[1:] > col_ids[:-1]
+    # positions where a new row starts are allowed to descend
+    starts = np.asarray(row_offsets[1:-1], np.int64)
+    nondesc[starts[(starts > 0) & (starts < col_ids.shape[0])] - 1] = True
+    return bool(nondesc.all())
+
+
+def device_put_csr(m: HostCSR, dtype=jnp.float32, device=None,
+                   check_canonical: bool = True) -> DeviceCSR:
     """Upload a HostCSR to device (convert(dCSR&, CSR&), dCSR.cpp:50-65)."""
     put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
     return DeviceCSR(
@@ -60,6 +75,7 @@ def device_put_csr(m: HostCSR, dtype=jnp.float32, device=None) -> DeviceCSR:
         data=put(np.asarray(m.data, dtype=dtype)),
         shape=(int(m.rows), int(m.cols)),
         nnz=int(m.nnz),
+        canonical=is_canonical_host(m.row_offsets, m.col_ids) if check_canonical else False,
     )
 
 

@@ -229,3 +229,40 @@ def esc_fixed(a_indptr, a_indices, a_data, b_start, b_len, b_indices, b_data,
     key = jnp.where(last, rank, cap + t)
     _, cols_c, vals_c = jax.lax.sort((key, col_s, run_sum), dimension=1, num_keys=1)
     return counts, cols_c, vals_c
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk_rows", "cap"),
+    donate_argnames=("c_cols", "c_vals"),
+)
+def direct_numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices,
+                         a_data, b_indptr, b_indices, b_data, row_offsets,
+                         c_cols, c_vals, *, chunk_rows: int, cap: int):
+    """Numeric fill for single-A-nonzero rows: C row = valA * B row, already
+    sorted — a pure gather + masked scatter, no expansion or sort.
+
+    Analogue of directSpGEMMNumericImplementation
+    (spECK_HashSpGEMM.cuh:543-569). Assumes B rows are canonical (sorted,
+    no duplicate columns), like the reference's direct path.
+    """
+    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
+    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
+    r = jnp.where(valid_rows, rows, 0)
+    p = a_indptr[r]                       # the row's single nonzero
+    acol = a_indices[p]
+    aval = a_data[p]
+    b0 = b_indptr[acol]
+    blen = b_indptr[acol + 1] - b0
+
+    t = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid_t = (t < blen[:, None]) & valid_rows[:, None]
+    src = jnp.where(valid_t, b0[:, None] + t, 0)
+    cols = b_indices[src]
+    vals = aval[:, None] * b_data[src]
+
+    oob = c_cols.shape[0]
+    flat = jnp.where(valid_t, row_offsets[r][:, None] + t, oob)
+    c_cols = c_cols.at[flat].set(cols, mode="drop", unique_indices=True)
+    c_vals = c_vals.at[flat].set(vals, mode="drop", unique_indices=True)
+    return c_cols, c_vals

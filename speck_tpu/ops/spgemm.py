@@ -35,7 +35,7 @@ from ..utils.timings import Timings, StageTimer
 from .analysis import analyze
 from .binning import Binning, Chunk, bin_rows, plan_chunks
 from .device_csr import DeviceCSR
-from .esc import count_chunk, numeric_chunk
+from .esc import count_chunk, direct_numeric_chunk, numeric_chunk
 
 
 @dataclasses.dataclass
@@ -73,13 +73,22 @@ class SpgemmPlan:
         c_vals = jnp.zeros((max(self.nnz, 1),), A.data.dtype)
         with StageTimer(timings, "spGEMMNumeric", track) as st:
             for ch in self.chunks:
-                c_cols, c_vals = numeric_chunk(
-                    self.binning.rows_sorted, ch.start, ch.valid,
-                    A.indptr, A.indices, A.data,
-                    B.indptr, B.indices, B.data,
-                    self.row_offsets, c_cols, c_vals,
-                    chunk_rows=ch.rows, cap=ch.cap, n_cols=n,
-                )
+                if ch.direct:
+                    c_cols, c_vals = direct_numeric_chunk(
+                        self.binning.rows_sorted, ch.start, ch.valid,
+                        A.indptr, A.indices, A.data,
+                        B.indptr, B.indices, B.data,
+                        self.row_offsets, c_cols, c_vals,
+                        chunk_rows=ch.rows, cap=ch.cap,
+                    )
+                else:
+                    c_cols, c_vals = numeric_chunk(
+                        self.binning.rows_sorted, ch.start, ch.valid,
+                        A.indptr, A.indices, A.data,
+                        B.indptr, B.indices, B.data,
+                        self.row_offsets, c_cols, c_vals,
+                        chunk_rows=ch.rows, cap=ch.cap, n_cols=n,
+                    )
             st.stop(c_cols, c_vals)
         return DeviceCSR(
             indptr=self.row_offsets,
@@ -118,12 +127,17 @@ def plan_spgemm(
         st.stop(stats.row_ops)
 
     with StageTimer(timings, "loadBalanceCounting", track):
-        binning = bin_rows(stats, cfg)  # includes the small histogram sync
+        # direct-copy bins require canonical B (see ops/binning.py docstring)
+        direct_ok = bool(B.canonical) and cfg.enable_direct
+        binning = bin_rows(stats, cfg, direct_ok)  # includes the histogram sync
         chunks = plan_chunks(binning, cfg)
 
     with StageTimer(timings, "spGEMMCounting", track) as st:
-        nnz_row = jnp.zeros((m,), jnp.int32)
+        # direct/empty rows already counted by the analysis pass
+        nnz_row = binning.nnz_init
         for ch in chunks:
+            if ch.direct:
+                continue
             nnz_row = count_chunk(
                 binning.rows_sorted, ch.start, ch.valid,
                 A.indptr, A.indices, B.indptr, B.indices, nnz_row,

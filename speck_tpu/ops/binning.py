@@ -128,16 +128,29 @@ def bin_rows(stats: AnalysisResult, cfg: SpgemmConfig, direct_ok: bool = False) 
 
 
 @dataclasses.dataclass(frozen=True)
-class Chunk:
-    """One fixed-shape kernel dispatch: rows_sorted[start : start+rows] with
-    the first ``valid`` entries live, per-row product capacity ``cap``."""
+class ChunkGroup:
+    """All same-shape chunks of one bin, dispatched as ONE scan-batched
+    kernel: chunk c covers rows_sorted[starts[c] : starts[c]+rows] with the
+    first valids[c] entries live, per-row product capacity ``cap``.
+
+    The chunk count K is padded to a power of two (valid=0 padding steps) so
+    compiled shapes stay on a bounded ladder across matrices — the analogue
+    of spECK's canonical launch shapes (Multiply.cu:439-482)."""
 
     bin_id: int
     cap: int
-    rows: int    # static chunk row count
-    start: int   # host offset into rows_sorted
-    valid: int   # live rows in this chunk (<= rows)
+    rows: int            # static rows per chunk
+    starts: np.ndarray   # (K,) int32 offsets into rows_sorted
+    valids: np.ndarray   # (K,) int32 live rows per chunk (0 = padding step)
     direct: bool = False
+
+    @property
+    def k(self) -> int:
+        return len(self.starts)
+
+    @property
+    def staging_slots(self) -> int:
+        return self.k * self.rows * self.cap
 
 
 def _bucket_rows(count: int, full: int) -> int:
@@ -151,9 +164,13 @@ def _bucket_rows(count: int, full: int) -> int:
     return max(1, min(full, pow4))
 
 
-def plan_chunks(binning: Binning, cfg: SpgemmConfig) -> List[Chunk]:
-    """Split each populated bin into fixed-shape chunks."""
-    chunks: List[Chunk] = []
+def _pow2_pad(n: int) -> int:
+    return 1 << (n - 1).bit_length() if n > 1 else 1
+
+
+def plan_groups(binning: Binning, cfg: SpgemmConfig) -> List[ChunkGroup]:
+    """Split each populated bin into fixed-shape chunks, grouped per bin."""
+    groups: List[ChunkGroup] = []
     nbins = len(binning.caps)
     for b in range(2 * nbins):  # the final histogram slot (empty rows) is skipped
         count = int(binning.bin_counts[b])
@@ -165,11 +182,15 @@ def plan_chunks(binning: Binning, cfg: SpgemmConfig) -> List[Chunk]:
         budget = cfg.product_budget * (4 if direct else 1)
         full = max(1, budget // cap)
         rows_per_chunk = _bucket_rows(count, full)
-        for c in range(math.ceil(count / rows_per_chunk)):
-            start = int(binning.bin_starts[b]) + c * rows_per_chunk
-            valid = min(rows_per_chunk, count - c * rows_per_chunk)
-            chunks.append(
-                Chunk(bin_id=b, cap=cap, rows=rows_per_chunk, start=start,
-                      valid=valid, direct=direct)
-            )
-    return chunks
+        n_chunks = math.ceil(count / rows_per_chunk)
+        k = _pow2_pad(n_chunks)
+        starts = np.zeros(k, np.int32)
+        valids = np.zeros(k, np.int32)
+        for c in range(n_chunks):
+            starts[c] = int(binning.bin_starts[b]) + c * rows_per_chunk
+            valids[c] = min(rows_per_chunk, count - c * rows_per_chunk)
+        groups.append(
+            ChunkGroup(bin_id=b, cap=cap, rows=rows_per_chunk,
+                       starts=starts, valids=valids, direct=direct)
+        )
+    return groups

@@ -5,27 +5,35 @@ Pipeline stages (mirroring Multiply.cu's 9-stage structure; stage names match
 include/Timings.h / Multiply.cu:1099-1113):
 
   1. analysis            (readOperations, Multiply.cu:245-252)   -> ops/analysis.py
-  2. binning + chunking  (load balancer, :281-353)               -> ops/binning.py
-  3. symbolic counting   (h_SpGEMMCountLauncher, :494-553)       -> ops/esc.py count_chunk
+  2. binning + grouping  (load balancer, :281-353)               -> ops/binning.py
+  3. symbolic counting   (h_SpGEMMCountLauncher, :494-553)       -> ops/esc.py
   4. offset scan + alloc (cub ExclusiveSum + alloc C, :570-601)  -> cumsum + host sync
-  5. numeric             (h_SpGEMMNumericLauncher, :837-1014)    -> ops/esc.py numeric_chunk
+  5. numeric             (h_SpGEMMNumericLauncher, :837-1014)    -> ops/esc.py
   (no separate sort pass: rows are emitted sorted; no global hash maps: huge
    rows are just bigger static chunks)
 
-Two host sync points remain, exactly where the reference has D2H copies:
-after binning (bin histogram; cf. the 8-byte sumProducts copy :249-252 and
-blockStarts readback spECK_HashLoadBalancer.cuh:330-331) and after the offset
-scan (total nnz, :572-575).
+Each bin is ONE scan-batched device dispatch (esc.py group kernels) — the
+analogue of spECK's per-bin kernel launches on 6 streams, shaped for a
+device that may sit behind a high-latency transport. Two host sync points
+remain, exactly where the reference has D2H copies: after binning (bin
+histogram; cf. the 8-byte sumProducts copy :249-252 and blockStarts readback
+spECK_HashLoadBalancer.cuh:330-331) and after the offset scan (total nnz,
+:572-575).
 
-Beyond the reference, the symbolic result is reusable: ``plan_spgemm`` keeps
-the binning and row offsets so repeated multiplies with identical structure
-(e.g. AMG setup, graph contractions) skip analysis/counting entirely.
+Beyond the reference:
+  - when staging memory allows, counting and numeric are FUSED: one
+    expand+sort yields both the counts and the compacted rows (staged, then
+    emitted once offsets are known) — the two-phase pipeline re-iterates all
+    products (Multiply.cu stages 7 and 13);
+  - the symbolic result is reusable: ``plan_spgemm`` keeps the binning and
+    row offsets so repeated multiplies with identical structure (AMG setup,
+    graph contractions) skip analysis/counting entirely.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,9 +41,15 @@ import jax.numpy as jnp
 from ..utils.config import SpgemmConfig
 from ..utils.timings import Timings, StageTimer
 from .analysis import analyze
-from .binning import Binning, Chunk, bin_rows, plan_chunks
+from .binning import Binning, ChunkGroup, bin_rows, plan_groups
 from .device_csr import DeviceCSR
-from .esc import count_chunk, direct_numeric_chunk, numeric_chunk
+from .esc import (
+    count_group,
+    direct_group,
+    emit_group,
+    fused_group,
+    numeric_group,
+)
 
 
 @dataclasses.dataclass
@@ -46,10 +60,14 @@ class SpgemmPlan:
     B: DeviceCSR
     cfg: SpgemmConfig
     binning: Binning
-    chunks: List[Chunk]
+    groups: List[ChunkGroup]
     row_offsets: jax.Array   # (m+1,) int32
     nnz: int
     sum_products: float
+    # fused-pass staging: group index -> (counts (K,R), cols (K,R,cap),
+    # vals (K,R,cap)) computed during planning (one expand/sort for both
+    # phases); consumed by execute() on the planning operands
+    staged: Dict[int, tuple] = dataclasses.field(default_factory=dict)
 
     @property
     def shape(self):
@@ -65,6 +83,7 @@ class SpgemmPlan:
 
         A/B may carry new ``data`` but must have the plan's structure.
         """
+        use_staged = A is None and B is None
         A = self.A if A is None else A
         B = self.B if B is None else B
         m, n = self.shape
@@ -72,22 +91,30 @@ class SpgemmPlan:
         c_cols = jnp.zeros((max(self.nnz, 1),), jnp.int32)
         c_vals = jnp.zeros((max(self.nnz, 1),), A.data.dtype)
         with StageTimer(timings, "spGEMMNumeric", track) as st:
-            for ch in self.chunks:
-                if ch.direct:
-                    c_cols, c_vals = direct_numeric_chunk(
-                        self.binning.rows_sorted, ch.start, ch.valid,
+            for i, g in enumerate(self.groups):
+                if use_staged and i in self.staged:
+                    counts, cols_c, vals_c = self.staged[i]
+                    c_cols, c_vals = emit_group(
+                        self.binning.rows_sorted, g.starts, g.valids,
+                        counts, cols_c, vals_c,
+                        self.row_offsets, c_cols, c_vals,
+                        chunk_rows=g.rows, cap=g.cap,
+                    )
+                elif g.direct:
+                    c_cols, c_vals = direct_group(
+                        self.binning.rows_sorted, g.starts, g.valids,
                         A.indptr, A.indices, A.data,
                         B.indptr, B.indices, B.data,
                         self.row_offsets, c_cols, c_vals,
-                        chunk_rows=ch.rows, cap=ch.cap,
+                        chunk_rows=g.rows, cap=g.cap,
                     )
                 else:
-                    c_cols, c_vals = numeric_chunk(
-                        self.binning.rows_sorted, ch.start, ch.valid,
+                    c_cols, c_vals = numeric_group(
+                        self.binning.rows_sorted, g.starts, g.valids,
                         A.indptr, A.indices, A.data,
                         B.indptr, B.indices, B.data,
                         self.row_offsets, c_cols, c_vals,
-                        chunk_rows=ch.rows, cap=ch.cap, n_cols=n,
+                        chunk_rows=g.rows, cap=g.cap, n_cols=n,
                     )
             st.stop(c_cols, c_vals)
         return DeviceCSR(
@@ -130,19 +157,32 @@ def plan_spgemm(
         # direct-copy bins require canonical B (see ops/binning.py docstring)
         direct_ok = bool(B.canonical) and cfg.enable_direct
         binning = bin_rows(stats, cfg, direct_ok)  # includes the histogram sync
-        chunks = plan_chunks(binning, cfg)
+        groups = plan_groups(binning, cfg)
 
     with StageTimer(timings, "spGEMMCounting", track) as st:
         # direct/empty rows already counted by the analysis pass
         nnz_row = binning.nnz_init
-        for ch in chunks:
-            if ch.direct:
+        staged: Dict[int, tuple] = {}
+        staging_left = cfg.fused_staging_budget
+        for i, g in enumerate(groups):
+            if g.direct:
                 continue
-            nnz_row = count_chunk(
-                binning.rows_sorted, ch.start, ch.valid,
-                A.indptr, A.indices, B.indptr, B.indices, nnz_row,
-                chunk_rows=ch.rows, cap=ch.cap, n_cols=n,
-            )
+            if g.staging_slots <= staging_left:
+                # fused pass: one expand/sort yields counts AND the staged
+                # compacted rows for execute() (skips the numeric re-expand)
+                staging_left -= g.staging_slots
+                nnz_row, staged[i] = fused_group(
+                    binning.rows_sorted, g.starts, g.valids,
+                    A.indptr, A.indices, A.data,
+                    B.indptr, B.indices, B.data, nnz_row,
+                    chunk_rows=g.rows, cap=g.cap, n_cols=n,
+                )
+            else:
+                nnz_row = count_group(
+                    binning.rows_sorted, g.starts, g.valids,
+                    A.indptr, A.indices, B.indptr, B.indices, nnz_row,
+                    chunk_rows=g.rows, cap=g.cap, n_cols=n,
+                )
         st.stop(nnz_row)
 
     with StageTimer(timings, "allocC", track):
@@ -150,9 +190,10 @@ def plan_spgemm(
         nnz = int(row_offsets[-1])  # host sync (Multiply.cu:572-575)
 
     return SpgemmPlan(
-        A=A, B=B, cfg=cfg, binning=binning, chunks=chunks,
+        A=A, B=B, cfg=cfg, binning=binning, groups=groups,
         row_offsets=row_offsets, nnz=nnz,
         sum_products=float(stats.sum_products),
+        staged=staged,
     )
 
 

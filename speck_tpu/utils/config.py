@@ -95,6 +95,10 @@ class SpgemmConfig:
     bin_growth: int = 4          # capacity ratio between adjacent bins
     num_bins: int = 6            # ladder bins before the "huge rows" path
     product_budget: int = 1 << 22  # max products per dispatch (~4M)
+    # fused count+numeric staging: total padded product slots that may stay
+    # resident between the counting and numeric phases (8 bytes/slot);
+    # chunks beyond this run the classic two-phase path. 2^27 slots = 1 GiB.
+    fused_staging_budget: int = 1 << 27
     enable_direct: bool = True    # direct-copy bins for single-A-nnz rows
     dense_col_threshold: int = 0  # 0 = dense-window path disabled (v0)
     sentinel_shift_check: bool = True

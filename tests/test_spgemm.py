@@ -186,3 +186,36 @@ def test_output_sorted_and_offsets_monotone(rng):
     for r in range(C.rows):
         cols = C.col_ids[offs[r]:offs[r + 1]]
         assert (np.diff(cols) > 0).all(), f"row {r} not strictly sorted"
+
+
+def test_two_phase_fallback_matches_fused(rng):
+    """fused_staging_budget=0 forces the classic count->numeric path; it must
+    produce the identical CSR the fused (staged) path does."""
+    import dataclasses
+
+    a = random_host_csr(rng, 60, 60, 0.2)
+    fused_cfg = _TEST_CFG
+    two_phase_cfg = dataclasses.replace(_TEST_CFG, fused_staging_budget=0)
+    A = device_put_csr(a)
+    C_f = device_get_csr(spgemm(A, A, fused_cfg))
+    C_t = device_get_csr(spgemm(A, A, two_phase_cfg))
+    np.testing.assert_array_equal(C_f.row_offsets, C_t.row_offsets)
+    np.testing.assert_array_equal(C_f.col_ids, C_t.col_ids)
+    np.testing.assert_allclose(C_f.data, C_t.data, rtol=1e-6)
+    assert compare_csr(oracle_spgemm(a, a), C_t, compare_data=True,
+                       rel_tol=2e-3).ok
+
+
+def test_staged_plan_reexecute_consistent(rng):
+    """execute() twice on the planning operands (staged emit) and once with
+    explicitly passed identical operands (recompute) all agree."""
+    a = random_host_csr(rng, 40, 40, 0.15)
+    A = device_put_csr(a)
+    plan = plan_spgemm(A, A, _TEST_CFG)
+    assert plan.staged, "expected fused staging under the default budget"
+    C1 = device_get_csr(plan.execute())
+    C2 = device_get_csr(plan.execute())
+    C3 = device_get_csr(plan.execute(A, A))  # bypasses staging
+    np.testing.assert_array_equal(C1.col_ids, C2.col_ids)
+    np.testing.assert_array_equal(C1.col_ids, C3.col_ids)
+    np.testing.assert_allclose(C1.data, C3.data, rtol=1e-6)

@@ -33,9 +33,14 @@ def make_banded(n=65536, half_band=16, seed=3):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from speck_tpu import device_put_csr, spgemm
     from speck_tpu.ops.analysis import analyze
+
+    # warm the device->host channel: the first fetch in a process costs
+    # ~99 s through the axon tunnel, later fetches ~27 ms
+    int(jnp.sum(jnp.arange(8)))
 
     a = make_banded()
     # host baseline (scipy, float64)
@@ -48,15 +53,22 @@ def main():
     stats = analyze(A, A)
     sum_products = float(stats.sum_products)
 
+    import numpy as _np
+
+    def run_one():
+        C = spgemm(A, A)
+        # force true completion: block_until_ready is ack-at-enqueue through
+        # the axon tunnel; only a real D2H fetch waits for the data
+        float(C.data[-1])
+        return C
+
     warmup, iters = 2, 5
     for _ in range(warmup):
-        C = spgemm(A, A)
-        jax.block_until_ready(C.data)
+        C = run_one()
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        C = spgemm(A, A)
-        jax.block_until_ready(C.data)
+        C = run_one()
         times.append(time.perf_counter() - t0)
     mean_s = sum(times) / len(times)
 

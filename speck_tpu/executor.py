@@ -84,7 +84,9 @@ class Executor:
             nonlocal compared_ok
             t0 = time.perf_counter()
             C = spgemm(A, B, self.spgemm_cfg, timings)
-            jax.block_until_ready(C.data)
+            # a real D2H fetch, not block_until_ready: through a remote
+            # transport readiness can be acknowledged at enqueue
+            float(C.data[-1]) if C.nnz else jax.block_until_ready(C.data)
             total_ms = (time.perf_counter() - t0) * 1e3
             if reference is not None:
                 res = compare_csr(reference, device_get_csr(C))

@@ -76,7 +76,7 @@ def n_general_bins(cfg: SpgemmConfig) -> int:
 
 @partial(jax.jit, static_argnames=("caps", "pad_to", "direct_ok"))
 def _bin_rows_impl(work, row_ops, a_len, caps: Tuple[int, ...], pad_to: int,
-                   direct_ok: bool):
+                   direct_ok: bool, dense_mask=None):
     m = work.shape[0]
     nbins = len(caps)
     caps_arr = jnp.asarray(caps, dtype=jnp.int32)
@@ -85,10 +85,16 @@ def _bin_rows_impl(work, row_ops, a_len, caps: Tuple[int, ...], pad_to: int,
     if direct_ok:
         # single-A-nnz rows: direct bin keyed by copy length (== row_ops)
         is_direct = (a_len == 1) & (row_ops > 0)
+        if dense_mask is not None:
+            is_direct = is_direct & ~dense_mask
         bin_id = jnp.where(is_direct, bin_id + nbins, bin_id)
     else:
         is_direct = jnp.zeros_like(work, dtype=bool)
     bin_id = jnp.where(work <= 0, jnp.int32(2 * nbins), bin_id)
+    if dense_mask is not None:
+        # rows covered by dense MXU tiles (ops/dense.py) are counted and
+        # emitted there; park them in the ignored "empty" class
+        bin_id = jnp.where(dense_mask, jnp.int32(2 * nbins), bin_id)
     # direct and empty rows have exact counts already (analysis pass)
     nnz_init = jnp.where(is_direct, row_ops, 0)
 
@@ -107,13 +113,14 @@ def _bin_rows_impl(work, row_ops, a_len, caps: Tuple[int, ...], pad_to: int,
     return jnp.concatenate([rows_sorted, pad]), counts, nnz_init
 
 
-def bin_rows(stats: AnalysisResult, cfg: SpgemmConfig, direct_ok: bool = False) -> Binning:
+def bin_rows(stats: AnalysisResult, cfg: SpgemmConfig, direct_ok: bool = False,
+             dense_mask=None) -> Binning:
     caps = bin_caps(cfg)
     # padding lets fixed-size chunk slices run past the bin end safely
     max_chunk_rows = max(1, cfg.product_budget // cfg.min_cap)
     rows_sorted, counts, nnz_init = _bin_rows_impl(
         stats.work, stats.row_ops, stats.a_len, tuple(caps), max_chunk_rows,
-        direct_ok,
+        direct_ok, dense_mask,
     )
     counts_h = np.asarray(counts)
     starts_h = np.zeros_like(counts_h)

@@ -8,10 +8,10 @@ scatter, so instead of hashing, each chunk of rows is processed as a dense
 rectangle of ``cap`` product slots per row:
 
   expand   — each row's intermediate products (colB, valA*valB) are gathered
-             into a (rows, cap) rectangle: a branchless batched binary search
-             over the row's cumulative B-row lengths finds the owning A-slot
-             of each product (the analogue of spECK's threads-per-nnz
-             striding, iterateMatrixCounting, spECK_HashSpGEMM.cuh:39-128).
+             into a (rows, cap) rectangle: a marker-scatter + running count
+             assigns every product slot its owning A nonzero (the analogue
+             of spECK's threads-per-nnz striding, iterateMatrixCounting,
+             spECK_HashSpGEMM.cuh:39-128).
   sort     — one batched lax.sort along the product axis groups duplicate
              column ids (replaces hash-probe insertion; output rows come out
              sorted for free, eliminating spECK's separate sorting kernel,
@@ -25,11 +25,13 @@ exactly like the reference's two-phase pipeline (Multiply.cu stages 7 and
 13) — but when staging memory allows, the fused kernel computes both from
 ONE expand+sort (beyond-reference optimization).
 
-All kernels here process a *group* of same-shape chunks in one dispatch via
-``lax.scan`` over the chunk offsets: where spECK launches one CUDA grid per
-bin on its own stream (Multiply.cu:494-553), the TPU build launches one
-scan-batched jit per bin — essential when the device sits behind a
-high-latency transport, and XLA pipelines the scan steps regardless.
+Kernel structure note: every kernel here is a FLAT batched computation over
+one (rows, cap) rectangle — no lax.scan, no vmap. On TPU, XLA compiles
+flat gather/sort/scan-free-scatter pipelines to near-roofline code, while
+the same ops nested under scan/vmap lower to pathologically slow loops
+(measured ~10,000x slower on v5e); chunks of a bin are therefore dispatched
+from a host loop (async, so dispatch latency overlaps device work), exactly
+like spECK's per-bin kernel launches on streams (Multiply.cu:494-553).
 """
 
 from __future__ import annotations
@@ -38,24 +40,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-
-
-def _batched_searchsorted_right(cum: jax.Array, t: jax.Array) -> jax.Array:
-    """Count of elements <= t per row: branchless batched binary search.
-
-    cum: (R, W) nondecreasing per row; t: (1 or R, W) queries.
-    Returns int32 (R, W) in [0, W]."""
-    R, W = cum.shape
-    t = jnp.broadcast_to(t, (R, W))
-    lo = jnp.zeros((R, W), jnp.int32)
-    hi = jnp.full((R, W), W, jnp.int32)
-    for _ in range(max(1, (W).bit_length())):
-        mid = (lo + hi) >> 1
-        v = jnp.take_along_axis(cum, jnp.minimum(mid, W - 1), axis=1)
-        go_right = v <= t
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo
 
 
 def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
@@ -67,10 +51,17 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     that gathered/padded B layouts (multi-device all_gather of row shards)
     work unchanged; for a plain CSR, b_start = indptr[:-1], b_len = diff.
 
+    The owning A-slot of each product slot is found by run-length decoding:
+    scatter a marker at each A-slot's first product position, then a running
+    count (cumsum) assigns every product its slot. Zero-length B rows
+    collapse onto the next slot's start position; their stacked markers make
+    the running count skip them, which is exactly right.
+
     Returns (col, val, ops): col[r, t] is the B column id of product t of
     row r (or the sentinel ``n_cols`` when t >= ops[r]); val is the product
     valA*valB (0 beyond ops); ops is the live product count per row.
     """
+    R = rows.shape[0]
     r = jnp.where(valid_rows, rows, 0)
     a0 = a_indptr[r]
     alen = jnp.where(valid_rows, a_indptr[r + 1] - a0, 0)
@@ -82,13 +73,17 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     blen = jnp.where(va, b_len[acol], 0)
     cum = jnp.cumsum(blen, axis=1)                      # (R, cap)
     ops = cum[:, -1]
+    e = cum - blen                                      # slot start positions
+
+    # markers at slot starts; invalid slots all land at e == ops and only
+    # disturb t >= ops, which the valid_t mask kills anyway; e == cap drops
+    rr = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, cap))
+    ind = jnp.zeros((R, cap), jnp.int32).at[rr, e].add(1, mode="drop")
+    p = jnp.cumsum(ind, axis=1) - 1                     # owning A-slot
+    pc = jnp.clip(p, 0, cap - 1)
 
     t = j  # product slot index, broadcast over rows
-    p = _batched_searchsorted_right(cum, t)             # owning A-slot
-    pc = jnp.minimum(p, cap - 1)
-    s_prev = jnp.where(
-        p > 0, jnp.take_along_axis(cum, jnp.maximum(p - 1, 0), axis=1), 0
-    )
+    s_prev = jnp.take_along_axis(e, pc, axis=1)
     o = t - s_prev                                      # offset within B row
     valid_t = t < ops[:, None]
     acol_p = jnp.take_along_axis(acol, pc, axis=1)
@@ -142,53 +137,34 @@ def _compact_by_rank(last, col_s, run_sum, cap: int):
     return cols_c, vals_c
 
 
-def _slice_chunk(rows_sorted, start, chunk_rows: int):
-    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
-    return rows
-
-
-# ---------------------------------------------------------------------------
-# Group kernels: one dispatch per bin, lax.scan over same-shape chunks.
-# ---------------------------------------------------------------------------
-
 @partial(
     jax.jit,
     static_argnames=("chunk_rows", "cap", "n_cols"),
     donate_argnames=("nnz_row",),
 )
-def count_group(rows_sorted, starts, valids, a_indptr, a_indices,
+def count_chunk(rows_sorted, start, valid, a_indptr, a_indices,
                 b_indptr, b_indices, nnz_row, *,
                 chunk_rows: int, cap: int, n_cols: int):
-    """Symbolic counting for a group of chunks: exact distinct-column count
-    per row, scattered into the global nnz_row array.
+    """Symbolic counting for one chunk: exact distinct-column count per row,
+    scattered into the global nnz_row array.
 
     Analogue of spGEMMCountLauncher -> hashSpGEMMCountImplementation
     (spECK_HashSpGEMM.cuh:1797-1853, 919-1058); the occupancyPerRow hash-map
     writeout (:1005-1057) becomes a sorted-run boundary count.
     """
+    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
+    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
+    col, _, _ = _expand(
+        rows, valid_rows, a_indptr, a_indices, None,
+        b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, None,
+        cap, n_cols, with_values=False,
+    )
+    col_s = jax.lax.sort(col, dimension=1)
+    _, last = _run_boundaries(col_s, n_cols)
+    counts = jnp.sum(last, axis=1, dtype=jnp.int32)
     m = nnz_row.shape[0]
-    b_start = b_indptr[:-1]
-    b_len = b_indptr[1:] - b_indptr[:-1]
-
-    def step(nnz_row, sv):
-        start, valid = sv
-        rows = _slice_chunk(rows_sorted, start, chunk_rows)
-        valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
-        col, _, _ = _expand(
-            rows, valid_rows, a_indptr, a_indices, None,
-            b_start, b_len, b_indices, None, cap, n_cols, with_values=False,
-        )
-        col_s = jax.lax.sort(col, dimension=1)
-        _, last = _run_boundaries(col_s, n_cols)
-        counts = jnp.sum(last, axis=1, dtype=jnp.int32)
-        target = jnp.where(valid_rows, rows, m)
-        nnz_row = nnz_row.at[target].set(
-            counts, mode="drop", unique_indices=True
-        )
-        return nnz_row, None
-
-    nnz_row, _ = jax.lax.scan(step, nnz_row, (starts, valids))
-    return nnz_row
+    target = jnp.where(valid_rows, rows, m)
+    return nnz_row.at[target].set(counts, mode="drop", unique_indices=True)
 
 
 @partial(
@@ -196,11 +172,11 @@ def count_group(rows_sorted, starts, valids, a_indptr, a_indices,
     static_argnames=("chunk_rows", "cap", "n_cols"),
     donate_argnames=("c_cols", "c_vals"),
 )
-def numeric_group(rows_sorted, starts, valids, a_indptr, a_indices, a_data,
+def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
                   b_indptr, b_indices, b_data, row_offsets, c_cols, c_vals,
                   *, chunk_rows: int, cap: int, n_cols: int):
-    """Numeric accumulation for a group of chunks, written straight to the
-    final CSR arrays at their exact offsets.
+    """Numeric accumulation for one chunk, written straight to the final CSR
+    arrays at their exact offsets.
 
     Analogue of spGEMMNumericLauncher -> hashSpGEMMNumericImplementation
     (spECK_HashSpGEMM.cuh:1714-1794, 591-738): duplicate-column products are
@@ -208,32 +184,23 @@ def numeric_group(rows_sorted, starts, valids, a_indptr, a_indices, a_data,
     one masked scatter (replacing the compaction + counting-sort output
     stage, :693-737). Output columns are ascending per row by construction.
     """
+    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
+    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
+    col, val, _ = _expand(
+        rows, valid_rows, a_indptr, a_indices, a_data,
+        b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, b_data,
+        cap, n_cols, with_values=True,
+    )
+    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
+    first, last = _run_boundaries(col_s, n_cols)
+    run_sum = _run_sums(val_s, first)
+    out_rank = jnp.cumsum(last.astype(jnp.int32), axis=1) - 1
+    r = jnp.where(valid_rows, rows, 0)
+    flat = row_offsets[r][:, None] + out_rank
     oob = c_cols.shape[0]
-    b_start = b_indptr[:-1]
-    b_len = b_indptr[1:] - b_indptr[:-1]
-
-    def step(carry, sv):
-        c_cols, c_vals = carry
-        start, valid = sv
-        rows = _slice_chunk(rows_sorted, start, chunk_rows)
-        valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
-        col, val, _ = _expand(
-            rows, valid_rows, a_indptr, a_indices, a_data,
-            b_start, b_len, b_indices, b_data, cap, n_cols, with_values=True,
-        )
-        col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
-        first, last = _run_boundaries(col_s, n_cols)
-        run_sum = _run_sums(val_s, first)
-        # exact output slot: row_offsets[row] + rank of this run in the row
-        out_rank = jnp.cumsum(last.astype(jnp.int32), axis=1) - 1
-        r = jnp.where(valid_rows, rows, 0)
-        flat = row_offsets[r][:, None] + out_rank
-        flat = jnp.where(last & valid_rows[:, None], flat, oob)
-        c_cols = c_cols.at[flat].set(col_s, mode="drop", unique_indices=True)
-        c_vals = c_vals.at[flat].set(run_sum, mode="drop", unique_indices=True)
-        return (c_cols, c_vals), None
-
-    (c_cols, c_vals), _ = jax.lax.scan(step, (c_cols, c_vals), (starts, valids))
+    flat = jnp.where(last & valid_rows[:, None], flat, oob)
+    c_cols = c_cols.at[flat].set(col_s, mode="drop", unique_indices=True)
+    c_vals = c_vals.at[flat].set(run_sum, mode="drop", unique_indices=True)
     return c_cols, c_vals
 
 
@@ -242,76 +209,64 @@ def numeric_group(rows_sorted, starts, valids, a_indptr, a_indices, a_data,
     static_argnames=("chunk_rows", "cap", "n_cols"),
     donate_argnames=("nnz_row",),
 )
-def fused_group(rows_sorted, starts, valids, a_indptr, a_indices, a_data,
+def fused_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
                 b_indptr, b_indices, b_data, nnz_row, *,
                 chunk_rows: int, cap: int, n_cols: int):
-    """Single-pass count + numeric for a group of chunks: ONE expand + ONE
-    sort produce both the exact per-row nnz (scattered into ``nnz_row``) and
-    the compacted, column-sorted padded results (staged until the global
-    offsets are known, then emitted by ``emit_group``).
+    """Single-pass count + numeric for one chunk: ONE expand + ONE sort
+    produce both the exact per-row nnz (scattered into ``nnz_row``) and the
+    compacted, column-sorted padded results (staged until the global offsets
+    are known, then emitted by ``emit_chunk``).
 
     This halves the dominant expand/sort work relative to the reference's
     two-phase pipeline (Multiply.cu stages 7 and 13 both re-iterate all
-    products); the trade is (chunks, rows, cap) staging memory, which the
-    planner budgets (ops/spgemm.py) — oversized groups fall back to the
-    two-phase count_group/numeric_group path.
+    products); the trade is (rows, cap) staging memory, which the planner
+    budgets (ops/spgemm.py) — oversized bins fall back to the two-phase
+    count_chunk/numeric_chunk path.
     """
+    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
+    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
+    col, val, _ = _expand(
+        rows, valid_rows, a_indptr, a_indices, a_data,
+        b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, b_data,
+        cap, n_cols, with_values=True,
+    )
+    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
+    first, last = _run_boundaries(col_s, n_cols)
+    run_sum = _run_sums(val_s, first)
+    counts = jnp.sum(last, axis=1, dtype=jnp.int32)
     m = nnz_row.shape[0]
-    b_start = b_indptr[:-1]
-    b_len = b_indptr[1:] - b_indptr[:-1]
-
-    def step(nnz_row, sv):
-        start, valid = sv
-        rows = _slice_chunk(rows_sorted, start, chunk_rows)
-        valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
-        col, val, _ = _expand(
-            rows, valid_rows, a_indptr, a_indices, a_data,
-            b_start, b_len, b_indices, b_data, cap, n_cols, with_values=True,
-        )
-        col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
-        first, last = _run_boundaries(col_s, n_cols)
-        run_sum = _run_sums(val_s, first)
-        counts = jnp.sum(last, axis=1, dtype=jnp.int32)
-        target = jnp.where(valid_rows, rows, m)
-        nnz_row = nnz_row.at[target].set(
-            counts, mode="drop", unique_indices=True
-        )
-        cols_c, vals_c = _compact_by_rank(last, col_s, run_sum, cap)
-        return nnz_row, (counts, cols_c, vals_c)
-
-    nnz_row, staged = jax.lax.scan(step, nnz_row, (starts, valids))
-    return nnz_row, staged
+    target = jnp.where(valid_rows, rows, m)
+    nnz_row = nnz_row.at[target].set(counts, mode="drop", unique_indices=True)
+    cols_c, vals_c = _compact_by_rank(last, col_s, run_sum, cap)
+    return nnz_row, (counts, cols_c, vals_c)
 
 
 @partial(
     jax.jit,
-    static_argnames=("chunk_rows", "cap"),
+    static_argnames=("chunk_rows", "cap", "emit_cap"),
     donate_argnames=("c_cols", "c_vals"),
 )
-def emit_group(rows_sorted, starts, valids, counts, cols_c, vals_c,
-               row_offsets, c_cols, c_vals, *, chunk_rows: int, cap: int):
-    """Scatter a fused group's staged padded rows into the final CSR arrays
+def emit_chunk(rows_sorted, start, valid, counts, cols_c, vals_c,
+               row_offsets, c_cols, c_vals, *, chunk_rows: int, cap: int,
+               emit_cap: int = 0):
+    """Scatter a fused chunk's staged padded rows into the final CSR arrays
     at their exact offsets (pure masked scatter, no expand/sort).
 
-    counts: (K, R); cols_c/vals_c: (K, R, cap) from fused_group."""
+    ``emit_cap`` (0 = cap) trims the scatter to the true max row nnz (known
+    after the offset scan) — staged caps are upper bounds, often far wider
+    than any actual row, and scatter cost scales with the slot count."""
+    ec = min(cap, emit_cap) if emit_cap else cap
+    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
+    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
+    r = jnp.where(valid_rows, rows, 0)
+    t = jnp.arange(ec, dtype=jnp.int32)[None, :]
+    live = (t < counts[:, None]) & valid_rows[:, None]
     oob = c_cols.shape[0]
-
-    def step(carry, xs):
-        c_cols, c_vals = carry
-        start, valid, cnt, cc, vv = xs
-        rows = _slice_chunk(rows_sorted, start, chunk_rows)
-        valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
-        r = jnp.where(valid_rows, rows, 0)
-        t = jnp.arange(cap, dtype=jnp.int32)[None, :]
-        live = (t < cnt[:, None]) & valid_rows[:, None]
-        flat = jnp.where(live, row_offsets[r][:, None] + t, oob)
-        c_cols = c_cols.at[flat].set(cc, mode="drop", unique_indices=True)
-        c_vals = c_vals.at[flat].set(vv, mode="drop", unique_indices=True)
-        return (c_cols, c_vals), None
-
-    (c_cols, c_vals), _ = jax.lax.scan(
-        step, (c_cols, c_vals), (starts, valids, counts, cols_c, vals_c)
-    )
+    flat = jnp.where(live, row_offsets[r][:, None] + t, oob)
+    c_cols = c_cols.at[flat].set(cols_c[:, :ec], mode="drop",
+                                 unique_indices=True)
+    c_vals = c_vals.at[flat].set(vals_c[:, :ec], mode="drop",
+                                 unique_indices=True)
     return c_cols, c_vals
 
 
@@ -320,7 +275,7 @@ def emit_group(rows_sorted, starts, valids, counts, cols_c, vals_c,
     static_argnames=("chunk_rows", "cap"),
     donate_argnames=("c_cols", "c_vals"),
 )
-def direct_group(rows_sorted, starts, valids, a_indptr, a_indices,
+def direct_chunk(rows_sorted, start, valid, a_indptr, a_indices,
                  a_data, b_indptr, b_indices, b_data, row_offsets,
                  c_cols, c_vals, *, chunk_rows: int, cap: int):
     """Numeric fill for single-A-nonzero rows: C row = valA * B row, already
@@ -330,32 +285,25 @@ def direct_group(rows_sorted, starts, valids, a_indptr, a_indices,
     (spECK_HashSpGEMM.cuh:543-569). Assumes B rows are canonical (sorted,
     no duplicate columns), like the reference's direct path.
     """
+    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
+    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
+    r = jnp.where(valid_rows, rows, 0)
+    p = a_indptr[r]                       # the row's single nonzero
+    acol = a_indices[p]
+    aval = a_data[p]
+    b0 = b_indptr[acol]
+    blen = b_indptr[acol + 1] - b0
+
+    t = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid_t = (t < blen[:, None]) & valid_rows[:, None]
+    src = jnp.where(valid_t, b0[:, None] + t, 0)
+    cols = b_indices[src]
+    vals = aval[:, None] * b_data[src]
+
     oob = c_cols.shape[0]
-
-    def step(carry, sv):
-        c_cols, c_vals = carry
-        start, valid = sv
-        rows = _slice_chunk(rows_sorted, start, chunk_rows)
-        valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
-        r = jnp.where(valid_rows, rows, 0)
-        p = a_indptr[r]                       # the row's single nonzero
-        acol = a_indices[p]
-        aval = a_data[p]
-        b0 = b_indptr[acol]
-        blen = b_indptr[acol + 1] - b0
-
-        t = jnp.arange(cap, dtype=jnp.int32)[None, :]
-        valid_t = (t < blen[:, None]) & valid_rows[:, None]
-        src = jnp.where(valid_t, b0[:, None] + t, 0)
-        cols = b_indices[src]
-        vals = aval[:, None] * b_data[src]
-
-        flat = jnp.where(valid_t, row_offsets[r][:, None] + t, oob)
-        c_cols = c_cols.at[flat].set(cols, mode="drop", unique_indices=True)
-        c_vals = c_vals.at[flat].set(vals, mode="drop", unique_indices=True)
-        return (c_cols, c_vals), None
-
-    (c_cols, c_vals), _ = jax.lax.scan(step, (c_cols, c_vals), (starts, valids))
+    flat = jnp.where(valid_t, row_offsets[r][:, None] + t, oob)
+    c_cols = c_cols.at[flat].set(cols, mode="drop", unique_indices=True)
+    c_vals = c_vals.at[flat].set(vals, mode="drop", unique_indices=True)
     return c_cols, c_vals
 
 

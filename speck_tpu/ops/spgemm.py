@@ -5,22 +5,22 @@ Pipeline stages (mirroring Multiply.cu's 9-stage structure; stage names match
 include/Timings.h / Multiply.cu:1099-1113):
 
   1. analysis            (readOperations, Multiply.cu:245-252)   -> ops/analysis.py
-  2. binning + grouping  (load balancer, :281-353)               -> ops/binning.py
-  3. symbolic counting   (h_SpGEMMCountLauncher, :494-553)       -> ops/esc.py
-  4. offset scan + alloc (cub ExclusiveSum + alloc C, :570-601)  -> cumsum + host sync
-  5. numeric             (h_SpGEMMNumericLauncher, :837-1014)    -> ops/esc.py
+  2. dense-tile planning (dense-mode heuristic, :379)            -> ops/dense.py
+  3. binning + grouping  (load balancer, :281-353)               -> ops/binning.py
+  4. symbolic counting   (h_SpGEMMCountLauncher, :494-553)       -> ops/esc.py
+  5. offset scan + alloc (cub ExclusiveSum + alloc C, :570-601)  -> cumsum + host sync
+  6. numeric             (h_SpGEMMNumericLauncher, :837-1014)    -> ops/esc.py
   (no separate sort pass: rows are emitted sorted; no global hash maps: huge
    rows are just bigger static chunks)
 
-Each bin is ONE scan-batched device dispatch (esc.py group kernels) — the
-analogue of spECK's per-bin kernel launches on 6 streams, shaped for a
-device that may sit behind a high-latency transport. Two host sync points
-remain, exactly where the reference has D2H copies: after binning (bin
-histogram; cf. the 8-byte sumProducts copy :249-252 and blockStarts readback
-spECK_HashLoadBalancer.cuh:330-331) and after the offset scan (total nnz,
-:572-575).
+Chunks are dispatched from host loops — dispatches are asynchronous, so
+their latency overlaps device work; only genuine host syncs (histogram,
+tile stats, total nnz) block, exactly where the reference has D2H copies
+(the 8-byte sumProducts copy :249-252, blockStarts readback
+spECK_HashLoadBalancer.cuh:330-331, nnz readback :572-575).
 
 Beyond the reference:
+  - low-colrange row tiles run as dense matmuls on the MXU (ops/dense.py);
   - when staging memory allows, counting and numeric are FUSED: one
     expand+sort yields both the counts and the compacted rows (staged, then
     emitted once offsets are known) — the two-phase pipeline re-iterates all
@@ -33,23 +33,108 @@ Beyond the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.config import SpgemmConfig
 from ..utils.timings import Timings, StageTimer
 from .analysis import analyze
 from .binning import Binning, ChunkGroup, bin_rows, plan_groups
+from .dense import dense_emit, dense_tiles, tile_stats
 from .device_csr import DeviceCSR
 from .esc import (
-    count_group,
-    direct_group,
-    emit_group,
-    fused_group,
-    numeric_group,
+    count_chunk,
+    direct_chunk,
+    emit_chunk,
+    fused_chunk,
+    numeric_chunk,
 )
+
+
+def _pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length() if n > 1 else 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseGroup:
+    """Dense-eligible MXU tiles (ops/dense.py), pre-sliced into dispatch
+    batches: batch b covers tiles [boffs[b], boffs[b+1]) of the padded
+    per-tile arrays. Tile i covers rows [r0s[i], r0s[i] + valids[i])."""
+
+    r0s: np.ndarray
+    kbases: np.ndarray
+    cbases: np.ndarray
+    valids: np.ndarray
+    boffs: List[int]
+    tile_rows: int
+    cw: int
+
+    @property
+    def staging_slots(self) -> int:
+        return len(self.r0s) * self.tile_rows * self.cw
+
+    def batches(self):
+        for b in range(len(self.boffs) - 1):
+            s, e = self.boffs[b], self.boffs[b + 1]
+            yield (jnp.asarray(self.r0s[s:e]), jnp.asarray(self.kbases[s:e]),
+                   jnp.asarray(self.cbases[s:e]), self.valids[s:e])
+
+
+def _plan_dense(A, B, stats, cfg, m, n):
+    """Host decision: which row tiles run on the MXU dense path.
+
+    Returns (DenseGroup | None, dense row mask (m,) bool device array | None).
+    The per-tile stats live on device; only O(m / tile_rows) scalars sync.
+    """
+    if not (cfg.enable_dense and A.canonical and B.canonical and m > 0
+            and A.nnz > 0 and B.nnz > 0):
+        return None, None
+    tr = cfg.dense_tile_rows
+    packed = tile_stats(
+        A.indptr, A.indices, B.indptr, B.indices, stats.row_ops, stats.a_len,
+        tile_rows=tr, m=m,
+    )
+    km, ks, cm, cs, am, bm = np.asarray(packed)  # ONE host sync
+    elig = (
+        (ks <= cfg.dense_kw) & (cs <= cfg.dense_cw)
+        & (am <= cfg.dense_la) & (bm <= cfg.dense_lb) & (cs > 0)
+    )
+    # respect the staging budget: surplus tiles fall back to the ESC bins
+    max_tiles = max(0, cfg.fused_staging_budget // (tr * cfg.dense_cw))
+    idx = np.nonzero(elig)[0]
+    if len(idx) == 0:
+        return None, None
+    if len(idx) > max_tiles:
+        elig[idx[max_tiles:]] = False
+        idx = idx[:max_tiles]
+
+    # slice into dispatch batches: full batches share one compiled shape,
+    # the tail batch is padded to a power of two
+    db = max(1, cfg.dense_tiles_per_dispatch)
+    n_full, tail = divmod(len(idx), db)
+    k = n_full * db + (_pow2(tail) if tail else 0)
+    boffs = [i * db for i in range(n_full + 1)]
+    if tail:
+        boffs.append(k)
+
+    r0s = np.full(k, m, np.int32)
+    kbases = np.zeros(k, np.int32)
+    cbases = np.zeros(k, np.int32)
+    valids = np.zeros(k, np.int32)
+    r0s[: len(idx)] = idx * tr
+    kbases[: len(idx)] = km[idx]
+    cbases[: len(idx)] = cm[idx]
+    valids[: len(idx)] = np.minimum(tr, m - idx * tr)
+    group = DenseGroup(r0s=r0s, kbases=kbases, cbases=cbases, valids=valids,
+                       boffs=boffs, tile_rows=tr, cw=cfg.dense_cw)
+    # (m,) mask of dense-covered rows, built host-side (tiny) and uploaded
+    row_mask = np.zeros(m, bool)
+    for t in idx:
+        row_mask[t * tr: min((t + 1) * tr, m)] = True
+    return group, jnp.asarray(row_mask)
 
 
 @dataclasses.dataclass
@@ -63,11 +148,16 @@ class SpgemmPlan:
     groups: List[ChunkGroup]
     row_offsets: jax.Array   # (m+1,) int32
     nnz: int
-    sum_products: float
-    # fused-pass staging: group index -> (counts (K,R), cols (K,R,cap),
-    # vals (K,R,cap)) computed during planning (one expand/sort for both
+    sum_products: jax.Array  # () device scalar; float() it lazily — every
+    # device->host read through a remote transport is a potential stall
+    # fused-pass staging: (group, chunk) -> (counts (R,), cols (R, cap),
+    # vals (R, cap)) computed during planning (one expand/sort for both
     # phases); consumed by execute() on the planning operands
-    staged: Dict[int, tuple] = dataclasses.field(default_factory=dict)
+    staged: Dict[Tuple[int, int], tuple] = dataclasses.field(default_factory=dict)
+    # MXU dense-tile batches (ops/dense.py) + their staged results
+    dense: Optional["DenseGroup"] = None
+    dense_staged: Optional[List[tuple]] = None
+    max_count: int = 0  # max nnz of any C row (trims emit scatter widths)
 
     @property
     def shape(self):
@@ -91,31 +181,58 @@ class SpgemmPlan:
         c_cols = jnp.zeros((max(self.nnz, 1),), jnp.int32)
         c_vals = jnp.zeros((max(self.nnz, 1),), A.data.dtype)
         with StageTimer(timings, "spGEMMNumeric", track) as st:
-            for i, g in enumerate(self.groups):
-                if use_staged and i in self.staged:
-                    counts, cols_c, vals_c = self.staged[i]
-                    c_cols, c_vals = emit_group(
-                        self.binning.rows_sorted, g.starts, g.valids,
-                        counts, cols_c, vals_c,
+            if self.dense is not None:
+                d = self.dense
+                for bi, (r0s, kbs, cbs, valids) in enumerate(d.batches()):
+                    if use_staged and self.dense_staged is not None:
+                        counts, cols_c, vals_c = self.dense_staged[bi]
+                    else:
+                        # new operands: recompute tile values on the MXU
+                        _, (counts, cols_c, vals_c) = dense_tiles(
+                            r0s, kbs, cbs,
+                            A.indptr, A.indices, A.data,
+                            B.indptr, B.indices, B.data,
+                            jnp.zeros((m,), jnp.int32),
+                            tile_rows=d.tile_rows, kw=self.cfg.dense_kw,
+                            cw=d.cw, la=self.cfg.dense_la,
+                            lb=self.cfg.dense_lb,
+                            m=m, k_dim=A.shape[1], n_cols=n,
+                        )
+                    c_cols, c_vals = dense_emit(
+                        r0s, counts, cols_c, vals_c,
                         self.row_offsets, c_cols, c_vals,
-                        chunk_rows=g.rows, cap=g.cap,
+                        tile_rows=d.tile_rows, cw=d.cw, m=m,
+                        emit_cap=_pow2(self.max_count),
                     )
-                elif g.direct:
-                    c_cols, c_vals = direct_group(
-                        self.binning.rows_sorted, g.starts, g.valids,
-                        A.indptr, A.indices, A.data,
-                        B.indptr, B.indices, B.data,
-                        self.row_offsets, c_cols, c_vals,
-                        chunk_rows=g.rows, cap=g.cap,
-                    )
-                else:
-                    c_cols, c_vals = numeric_group(
-                        self.binning.rows_sorted, g.starts, g.valids,
-                        A.indptr, A.indices, A.data,
-                        B.indptr, B.indices, B.data,
-                        self.row_offsets, c_cols, c_vals,
-                        chunk_rows=g.rows, cap=g.cap, n_cols=n,
-                    )
+            for gi, g in enumerate(self.groups):
+                for ci, (start, valid) in enumerate(zip(g.starts, g.valids)):
+                    if valid == 0:
+                        continue
+                    if use_staged and (gi, ci) in self.staged:
+                        counts, cols_c, vals_c = self.staged[(gi, ci)]
+                        c_cols, c_vals = emit_chunk(
+                            self.binning.rows_sorted, int(start), int(valid),
+                            counts, cols_c, vals_c,
+                            self.row_offsets, c_cols, c_vals,
+                            chunk_rows=g.rows, cap=g.cap,
+                            emit_cap=_pow2(self.max_count),
+                        )
+                    elif g.direct:
+                        c_cols, c_vals = direct_chunk(
+                            self.binning.rows_sorted, int(start), int(valid),
+                            A.indptr, A.indices, A.data,
+                            B.indptr, B.indices, B.data,
+                            self.row_offsets, c_cols, c_vals,
+                            chunk_rows=g.rows, cap=g.cap,
+                        )
+                    else:
+                        c_cols, c_vals = numeric_chunk(
+                            self.binning.rows_sorted, int(start), int(valid),
+                            A.indptr, A.indices, A.data,
+                            B.indptr, B.indices, B.data,
+                            self.row_offsets, c_cols, c_vals,
+                            chunk_rows=g.rows, cap=g.cap, n_cols=n,
+                        )
             st.stop(c_cols, c_vals)
         return DeviceCSR(
             indptr=self.row_offsets,
@@ -127,10 +244,13 @@ class SpgemmPlan:
 
 
 @jax.jit
-def _offsets_from_counts(nnz_row: jax.Array) -> jax.Array:
-    return jnp.concatenate(
+def _offsets_from_counts(nnz_row: jax.Array):
+    offs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nnz_row)]
     )
+    # nnz and max row count packed into one array -> ONE host fetch
+    meta = jnp.stack([offs[-1], jnp.max(nnz_row, initial=0)])
+    return offs, meta
 
 
 def plan_spgemm(
@@ -154,46 +274,69 @@ def plan_spgemm(
         st.stop(stats.row_ops)
 
     with StageTimer(timings, "loadBalanceCounting", track):
+        # MXU dense-window tiles first (spECK's dense-mode heuristic,
+        # Multiply.cu:379); covered rows are excluded from the ESC bins
+        dense_grp, dense_mask = _plan_dense(A, B, stats, cfg, m, n)
         # direct-copy bins require canonical B (see ops/binning.py docstring)
         direct_ok = bool(B.canonical) and cfg.enable_direct
-        binning = bin_rows(stats, cfg, direct_ok)  # includes the histogram sync
+        binning = bin_rows(stats, cfg, direct_ok, dense_mask)  # histogram sync
         groups = plan_groups(binning, cfg)
 
     with StageTimer(timings, "spGEMMCounting", track) as st:
         # direct/empty rows already counted by the analysis pass
         nnz_row = binning.nnz_init
-        staged: Dict[int, tuple] = {}
+        staged: Dict[Tuple[int, int], tuple] = {}
         staging_left = cfg.fused_staging_budget
-        for i, g in enumerate(groups):
-            if g.direct:
-                continue
-            if g.staging_slots <= staging_left:
-                # fused pass: one expand/sort yields counts AND the staged
-                # compacted rows for execute() (skips the numeric re-expand)
-                staging_left -= g.staging_slots
-                nnz_row, staged[i] = fused_group(
-                    binning.rows_sorted, g.starts, g.valids,
+        dense_staged: Optional[List[tuple]] = None
+        if dense_grp is not None:
+            staging_left -= dense_grp.staging_slots
+            dense_staged = []
+            for r0s, kbs, cbs, _ in dense_grp.batches():
+                nnz_row, st_b = dense_tiles(
+                    r0s, kbs, cbs,
                     A.indptr, A.indices, A.data,
                     B.indptr, B.indices, B.data, nnz_row,
-                    chunk_rows=g.rows, cap=g.cap, n_cols=n,
+                    tile_rows=dense_grp.tile_rows, kw=cfg.dense_kw,
+                    cw=dense_grp.cw, la=cfg.dense_la, lb=cfg.dense_lb,
+                    m=m, k_dim=A.shape[1], n_cols=n,
                 )
-            else:
-                nnz_row = count_group(
-                    binning.rows_sorted, g.starts, g.valids,
-                    A.indptr, A.indices, B.indptr, B.indices, nnz_row,
-                    chunk_rows=g.rows, cap=g.cap, n_cols=n,
-                )
+                dense_staged.append(st_b)
+        for gi, g in enumerate(groups):
+            if g.direct:
+                continue
+            slots = g.rows * g.cap
+            for ci, (start, valid) in enumerate(zip(g.starts, g.valids)):
+                if valid == 0:
+                    continue
+                if slots <= staging_left:
+                    # fused pass: one expand/sort yields counts AND the
+                    # staged compacted rows (skips the numeric re-expand)
+                    staging_left -= slots
+                    nnz_row, staged[(gi, ci)] = fused_chunk(
+                        binning.rows_sorted, int(start), int(valid),
+                        A.indptr, A.indices, A.data,
+                        B.indptr, B.indices, B.data, nnz_row,
+                        chunk_rows=g.rows, cap=g.cap, n_cols=n,
+                    )
+                else:
+                    nnz_row = count_chunk(
+                        binning.rows_sorted, int(start), int(valid),
+                        A.indptr, A.indices, B.indptr, B.indices, nnz_row,
+                        chunk_rows=g.rows, cap=g.cap, n_cols=n,
+                    )
         st.stop(nnz_row)
 
     with StageTimer(timings, "allocC", track):
-        row_offsets = _offsets_from_counts(nnz_row)
-        nnz = int(row_offsets[-1])  # host sync (Multiply.cu:572-575)
+        row_offsets, meta = _offsets_from_counts(nnz_row)
+        nnz, max_count = (int(x) for x in np.asarray(meta))  # ONE host sync
+        # (Multiply.cu:572-575); max_count trims emit widths
 
     return SpgemmPlan(
         A=A, B=B, cfg=cfg, binning=binning, groups=groups,
         row_offsets=row_offsets, nnz=nnz,
-        sum_products=float(stats.sum_products),
-        staged=staged,
+        sum_products=stats.sum_products,
+        staged=staged, dense=dense_grp, dense_staged=dense_staged,
+        max_count=max_count,
     )
 
 

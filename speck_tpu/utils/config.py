@@ -100,7 +100,21 @@ class SpgemmConfig:
     # chunks beyond this run the classic two-phase path. 2^27 slots = 1 GiB.
     fused_staging_budget: int = 1 << 27
     enable_direct: bool = True    # direct-copy bins for single-A-nnz rows
-    dense_col_threshold: int = 0  # 0 = dense-window path disabled (v0)
+    # dense-window MXU path (ops/dense.py): tiles of ``dense_tile_rows``
+    # consecutive rows whose A-column span fits ``dense_kw``, output-column
+    # span fits ``dense_cw``, and per-row lengths fit dense_la/dense_lb run
+    # as dense matmuls on the MXU instead of expand-sort-contract. Requires
+    # canonical (sorted, deduplicated) A and B.
+    enable_dense: bool = True
+    dense_tile_rows: int = 256
+    dense_kw: int = 512
+    dense_cw: int = 512
+    dense_la: int = 64
+    dense_lb: int = 64
+    # tiles per dense dispatch: bounds working memory at
+    # ~tiles * (tile_rows*kw + kw*cw + 4*tile_rows*cw) * 4 bytes (~1 GiB at
+    # the defaults); one flat batched kernel per dispatch
+    dense_tiles_per_dispatch: int = 256
     sentinel_shift_check: bool = True
     value_dtype: str = "float32"
     index_dtype: str = "int32"

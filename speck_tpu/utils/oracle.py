@@ -33,16 +33,38 @@ def oracle_spgemm(a: HostCSR, b: HostCSR, dtype=np.float64) -> HostCSR:
         (b.data.astype(np.float64), b.col_ids.astype(np.int64), b.row_offsets.astype(np.int64)),
         shape=b.shape,
     )
-    # scipy csr_matmat keeps numerically-zero entries (no pruning), matching
-    # symbolic-structure semantics; sum_duplicates is implicit in matmat.
+    # scipy csr_matmat PRUNES entries whose products cancel to exactly 0.0,
+    # but the structural result must keep them (spECK's symbolic counting
+    # is value-independent, Multiply.cu stage 7; cuSPARSE likewise). Build
+    # the structure from a pattern product (all-positive values -> no
+    # cancellation possible), then graft the numeric values in.
+    Ap = A.copy()
+    Ap.data = np.ones_like(Ap.data)
+    Bp = B.copy()
+    Bp.data = np.ones_like(Bp.data)
+    P = Ap @ Bp
+    P.sort_indices()
     C = A @ B
     C.sort_indices()
+    data = np.zeros(P.nnz, dtype=np.float64)
+    if C.nnz:
+        n64 = np.int64(P.shape[1]) + 1
+        rows_p = np.repeat(
+            np.arange(P.shape[0], dtype=np.int64), np.diff(P.indptr)
+        )
+        rows_c = np.repeat(
+            np.arange(C.shape[0], dtype=np.int64), np.diff(C.indptr)
+        )
+        keys_p = rows_p * n64 + P.indices
+        keys_c = rows_c * n64 + C.indices
+        pos = np.searchsorted(keys_p, keys_c)
+        data[pos] = C.data
     return HostCSR(
-        rows=int(C.shape[0]),
-        cols=int(C.shape[1]),
-        row_offsets=np.asarray(C.indptr, dtype=np.int64),
-        col_ids=np.asarray(C.indices, dtype=np.int64),
-        data=np.asarray(C.data, dtype=dtype),
+        rows=int(P.shape[0]),
+        cols=int(P.shape[1]),
+        row_offsets=np.asarray(P.indptr, dtype=np.int64),
+        col_ids=np.asarray(P.indices, dtype=np.int64),
+        data=data.astype(dtype),
     )
 
 

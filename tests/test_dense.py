@@ -1,0 +1,126 @@
+"""MXU dense-window tile path (ops/dense.py): banded/low-colrange matrices
+must route through dense tiles and match the oracle exactly (structure) and
+within fp tolerance (values). The reference analogue is spECK's dense mode
+(spECK_HashSpGEMM.cuh:1175-1711)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from conftest import random_host_csr
+from speck_tpu import (
+    SpgemmConfig,
+    compare_csr,
+    device_get_csr,
+    device_put_csr,
+    oracle_spgemm,
+    plan_spgemm,
+    spgemm,
+)
+from speck_tpu.formats.csr import HostCSR
+
+# tiny tiles so small test matrices exercise the dense path on CPU
+_DENSE_CFG = SpgemmConfig(
+    product_budget=1 << 14,
+    dense_tile_rows=16, dense_kw=64, dense_cw=64, dense_la=16, dense_lb=16,
+)
+
+
+def _banded(n, half_band, rng):
+    offs = list(range(-half_band, half_band + 1))
+    mat = sp.diags(
+        [rng.standard_normal(n - abs(o)) for o in offs], offs,
+        shape=(n, n), format="csr",
+    )
+    return HostCSR.from_scipy(mat.tocsr())
+
+
+def test_banded_routes_dense(rng):
+    a = _banded(96, 3, rng)
+    A = device_put_csr(a, np.float64)
+    plan = plan_spgemm(A, A, _DENSE_CFG)
+    assert plan.dense is not None, "banded matrix should take the dense path"
+    assert int(np.sum(plan.dense.valids)) == 96, "all rows dense-covered"
+    assert not plan.groups, "no ESC groups expected"
+    C = device_get_csr(plan.execute())
+    ref = oracle_spgemm(a, a)
+    assert compare_csr(ref, C, compare_data=True, rel_tol=2e-4).ok
+
+
+def test_dense_mixed_with_esc(rng):
+    # banded core plus a few dense-busting wide rows -> mixed routing
+    a = _banded(64, 2, rng).to_scipy().tolil()
+    a[5, :] = rng.standard_normal(64)    # full row in tile 0
+    a[33, ::2] = rng.standard_normal(32) # wide row in tile 2
+    a = HostCSR.from_scipy(a.tocsr())
+    A = device_put_csr(a, np.float64)
+    plan = plan_spgemm(A, A, _DENSE_CFG)
+    assert plan.dense is not None
+    assert plan.groups, "wide-row tiles must fall back to ESC"
+    C = device_get_csr(plan.execute())
+    ref = oracle_spgemm(a, a)
+    assert compare_csr(ref, C, compare_data=True, rel_tol=2e-4).ok
+
+
+def test_dense_exact_zero_structure(rng):
+    # products that cancel to exact 0.0 must stay structurally present
+    # (the int8 pattern matmul, not value != 0, decides presence)
+    n = 32
+    rows = np.array([0, 0, 1, 1], np.uint32)
+    cols = np.array([0, 1, 0, 1], np.uint32)
+    # A = [[1, -1], [1, 1]] block in top corner; A@A row 0 col 1: 1*(-1) + (-1)*1 = -2?
+    # Use B so a product cancels: C[0,0] = 1*1 + (-1)*1 = 0 with B=[[1],[1]]
+    a = HostCSR.from_scipy(sp.csr_matrix(
+        (np.array([1.0, -1.0, 1.0, 1.0]), (rows, cols)), shape=(n, n)))
+    b = HostCSR.from_scipy(sp.csr_matrix(
+        (np.array([1.0, 1.0]), (np.array([0, 1], np.uint32),
+                                np.array([0, 0], np.uint32))), shape=(n, n)))
+    A = device_put_csr(a, np.float64)
+    B = device_put_csr(b, np.float64)
+    C = device_get_csr(spgemm(A, B, _DENSE_CFG))
+    ref = oracle_spgemm(a, b)  # scipy keeps the explicit zero
+    assert C.nnz == ref.nnz
+    assert compare_csr(ref, C, compare_data=True, rel_tol=1e-5).ok
+
+
+def test_dense_rectangular(rng):
+    # rectangular A (m x k) @ B (k x n) with banded-ish structure
+    m, k, n = 48, 64, 40
+    a = sp.random(m, k, 0.1, format="csr",
+                  random_state=np.random.RandomState(7))
+    a.data = rng.standard_normal(a.nnz)
+    b = sp.random(k, n, 0.15, format="csr",
+                  random_state=np.random.RandomState(8))
+    b.data = rng.standard_normal(b.nnz)
+    ah, bh = HostCSR.from_scipy(a), HostCSR.from_scipy(b)
+    A, B = device_put_csr(ah, np.float64), device_put_csr(bh, np.float64)
+    C = device_get_csr(spgemm(A, B, _DENSE_CFG))
+    ref = oracle_spgemm(ah, bh)
+    assert compare_csr(ref, C, compare_data=True, rel_tol=2e-4).ok
+
+
+def test_dense_plan_reexecute_new_values(rng):
+    a = _banded(64, 2, rng)
+    A = device_put_csr(a, np.float64)
+    plan = plan_spgemm(A, A, _DENSE_CFG)
+    assert plan.dense is not None
+    C1 = device_get_csr(plan.execute())
+    a2 = HostCSR(a.rows, a.cols, a.row_offsets, a.col_ids, a.data * -3.0)
+    A2 = device_put_csr(a2, np.float64)
+    C2 = device_get_csr(plan.execute(A2, A2))
+    ref2 = oracle_spgemm(a2, a2)
+    assert compare_csr(ref2, C2, compare_data=True, rel_tol=2e-4).ok
+    np.testing.assert_array_equal(C1.col_ids, C2.col_ids)
+
+
+def test_dense_disabled_matches(rng):
+    a = _banded(80, 2, rng)
+    A = device_put_csr(a, np.float64)
+    C_d = device_get_csr(spgemm(A, A, _DENSE_CFG))
+    C_e = device_get_csr(
+        spgemm(A, A, dataclasses.replace(_DENSE_CFG, enable_dense=False)))
+    np.testing.assert_array_equal(C_d.row_offsets, C_e.row_offsets)
+    np.testing.assert_array_equal(C_d.col_ids, C_e.col_ids)
+    np.testing.assert_allclose(C_d.data, C_e.data, rtol=1e-4, atol=1e-6)

@@ -201,7 +201,9 @@ def test_two_phase_fallback_matches_fused(rng):
     C_t = device_get_csr(spgemm(A, A, two_phase_cfg))
     np.testing.assert_array_equal(C_f.row_offsets, C_t.row_offsets)
     np.testing.assert_array_equal(C_f.col_ids, C_t.col_ids)
-    np.testing.assert_allclose(C_f.data, C_t.data, rtol=1e-6)
+    # fused cfg may route rows through the dense MXU path (different f32
+    # accumulation order than the ESC run sums) -> small value drift
+    np.testing.assert_allclose(C_f.data, C_t.data, rtol=1e-4, atol=1e-6)
     assert compare_csr(oracle_spgemm(a, a), C_t, compare_data=True,
                        rel_tol=2e-3).ok
 
@@ -209,9 +211,12 @@ def test_two_phase_fallback_matches_fused(rng):
 def test_staged_plan_reexecute_consistent(rng):
     """execute() twice on the planning operands (staged emit) and once with
     explicitly passed identical operands (recompute) all agree."""
+    import dataclasses
     a = random_host_csr(rng, 40, 40, 0.15)
     A = device_put_csr(a)
-    plan = plan_spgemm(A, A, _TEST_CFG)
+    # dense disabled: this test targets the ESC fused-staging path
+    cfg = dataclasses.replace(_TEST_CFG, enable_dense=False)
+    plan = plan_spgemm(A, A, cfg)
     assert plan.staged, "expected fused staging under the default budget"
     C1 = device_get_csr(plan.execute())
     C2 = device_get_csr(plan.execute())

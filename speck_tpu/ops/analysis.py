@@ -59,7 +59,7 @@ def _analyze_impl(a_indptr, a_indices, b_indptr, m: int) -> AnalysisResult:
     blen = b_indptr[a_indices + 1] - b_indptr[a_indices]
     # Row totals via cumsum difference at row boundaries (no atomics needed).
     # int32 wraparound in cse is benign for the per-row differences.
-    cse = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(blen)])
+    cse = jnp.concatenate([jnp.zeros((1,), jnp.int32), cumsum1d(blen)])
     row_ops = cse[a_indptr[1:]] - cse[a_indptr[:-1]]
     sum_products = jnp.sum(row_ops, dtype=jnp.result_type(float))
     work = jnp.maximum(row_ops, a_len)
@@ -76,3 +76,24 @@ def _analyze_impl(a_indptr, a_indices, b_indptr, m: int) -> AnalysisResult:
 def analyze(A: DeviceCSR, B: DeviceCSR) -> AnalysisResult:
     """Run the analysis pass; one fused jitted dispatch."""
     return _analyze_impl(A.indptr, A.indices, B.indptr, A.shape[0])
+
+
+def cumsum1d(x: jax.Array, block: int = 4096) -> jax.Array:
+    """Inclusive cumsum of a 1-D array via a 2-level blocked scan.
+
+    A plain 1-D cumsum maps to a lane-dimension scan the VPU executes
+    serially; reshaping to (n/block, block) turns it into a batched row
+    scan plus a tiny carry pass — an order of magnitude faster for
+    multi-million-element arrays on TPU.
+    """
+    n = x.shape[0]
+    if n <= block:
+        return jnp.cumsum(x)
+    nb = -(-n // block)
+    xp = jnp.concatenate([x, jnp.zeros((nb * block - n,), x.dtype)])
+    rows = xp.reshape(nb, block)
+    inner = jnp.cumsum(rows, axis=1)
+    carry = jnp.concatenate(
+        [jnp.zeros((1,), x.dtype), jnp.cumsum(inner[:, -1])[:-1]]
+    )
+    return (inner + carry[:, None]).reshape(-1)[:n]

@@ -41,7 +41,7 @@ import numpy as np
 
 from ..utils.config import SpgemmConfig
 from ..utils.timings import Timings, StageTimer
-from .analysis import analyze
+from .analysis import analyze, cumsum1d
 from .binning import Binning, ChunkGroup, bin_rows, plan_groups
 from .dense import dense_emit, dense_tiles, tile_stats
 from .device_csr import DeviceCSR
@@ -70,7 +70,13 @@ class DenseGroup:
     valids: np.ndarray
     boffs: List[int]
     tile_rows: int
+    # effective window dims: fitted to the eligible tiles' actual spans
+    # (rounded to a bounded class ladder) — the config values are only
+    # eligibility ceilings. Sort/matmul cost scales with these.
+    kw: int
     cw: int
+    la: int
+    lb: int
 
     @property
     def staging_slots(self) -> int:
@@ -110,6 +116,8 @@ def _plan_dense(A, B, stats, cfg, m, n):
     if len(idx) > max_tiles:
         elig[idx[max_tiles:]] = False
         idx = idx[:max_tiles]
+        if len(idx) == 0:
+            return None, None
 
     # slice into dispatch batches: full batches share one compiled shape,
     # the tail batch is padded to a power of two
@@ -128,8 +136,17 @@ def _plan_dense(A, B, stats, cfg, m, n):
     kbases[: len(idx)] = km[idx]
     cbases[: len(idx)] = cm[idx]
     valids[: len(idx)] = np.minimum(tr, m - idx * tr)
-    group = DenseGroup(r0s=r0s, kbases=kbases, cbases=cbases, valids=valids,
-                       boffs=boffs, tile_rows=tr, cw=cfg.dense_cw)
+
+    def _ceil128(v):
+        return max(128, int(-(-int(v) // 128)) * 128)
+
+    group = DenseGroup(
+        r0s=r0s, kbases=kbases, cbases=cbases, valids=valids,
+        boffs=boffs, tile_rows=tr,
+        kw=_ceil128(ks[idx].max()), cw=_ceil128(cs[idx].max()),
+        la=_pow2(max(8, int(am[idx].max()))),
+        lb=_pow2(max(8, int(bm[idx].max()))),
+    )
     # (m,) mask of dense-covered rows, built host-side (tiny) and uploaded
     row_mask = np.zeros(m, bool)
     for t in idx:
@@ -193,9 +210,8 @@ class SpgemmPlan:
                             A.indptr, A.indices, A.data,
                             B.indptr, B.indices, B.data,
                             jnp.zeros((m,), jnp.int32),
-                            tile_rows=d.tile_rows, kw=self.cfg.dense_kw,
-                            cw=d.cw, la=self.cfg.dense_la,
-                            lb=self.cfg.dense_lb,
+                            tile_rows=d.tile_rows, kw=d.kw,
+                            cw=d.cw, la=d.la, lb=d.lb,
                             m=m, k_dim=A.shape[1], n_cols=n,
                         )
                     c_cols, c_vals = dense_emit(
@@ -246,7 +262,7 @@ class SpgemmPlan:
 @jax.jit
 def _offsets_from_counts(nnz_row: jax.Array):
     offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nnz_row)]
+        [jnp.zeros((1,), jnp.int32), cumsum1d(nnz_row)]
     )
     # nnz and max row count packed into one array -> ONE host fetch
     meta = jnp.stack([offs[-1], jnp.max(nnz_row, initial=0)])
@@ -296,8 +312,8 @@ def plan_spgemm(
                     r0s, kbs, cbs,
                     A.indptr, A.indices, A.data,
                     B.indptr, B.indices, B.data, nnz_row,
-                    tile_rows=dense_grp.tile_rows, kw=cfg.dense_kw,
-                    cw=dense_grp.cw, la=cfg.dense_la, lb=cfg.dense_lb,
+                    tile_rows=dense_grp.tile_rows, kw=dense_grp.kw,
+                    cw=dense_grp.cw, la=dense_grp.la, lb=dense_grp.lb,
                     m=m, k_dim=A.shape[1], n_cols=n,
                 )
                 dense_staged.append(st_b)

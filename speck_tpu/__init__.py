@@ -16,9 +16,11 @@ from .formats.hicsr import load_hicsr, store_hicsr
 from .formats.loader import DataLoader, load_matrix
 from .ops.device_csr import DeviceCSR, device_put_csr, device_get_csr
 from .ops.spgemm import spgemm, SpgemmPlan, plan_spgemm
+from .ops.transpose import transpose
 from .utils.config import Config, SpgemmConfig
 from .utils.timings import Timings
 from .utils.compare import compare_csr
+from .utils.device import DeviceInfo, device_info
 from .utils.oracle import oracle_spgemm
 
 __version__ = "0.1.0"
@@ -27,6 +29,7 @@ __all__ = [
     "HostCSR", "HostCOO", "coo_to_csr", "csr_transpose",
     "load_mtx", "load_hicsr", "store_hicsr", "DataLoader", "load_matrix",
     "DeviceCSR", "device_put_csr", "device_get_csr",
-    "spgemm", "SpgemmPlan", "plan_spgemm",
+    "spgemm", "SpgemmPlan", "plan_spgemm", "transpose",
     "Config", "SpgemmConfig", "Timings", "compare_csr", "oracle_spgemm",
+    "DeviceInfo", "device_info",
 ]

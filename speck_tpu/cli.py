@@ -1,0 +1,43 @@
+"""runspeck — benchmark CLI, the analogue of runspECK
+(/root/reference/source/runspECK.cpp:13-32 + source/RunConfig.cpp:8-23).
+
+Usage: runspeck <matrix.mtx> [config.ini] [--fp64]
+
+Config keys honored (the reference's 6 live keys, SURVEY.md section 2 #4):
+InputFile, IterationsWarmUp, IterationsExecution, TrackIndividualTimes,
+TrackCompleteTimes, CompareResult.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = list(sys.argv if argv is None else argv)
+    from .executor import Executor
+    from .utils.config import Config
+    from .utils.device import device_info
+
+    if len(argv) < 2:
+        print(
+            "Need matrix market file path (.mtx) as first argument\n"
+            "Usage: runspeck <matrix.mtx> [config.ini] [--fp64]",
+            file=sys.stderr,
+        )
+        return 1
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    config = Config.init(args[1] if len(args) > 1 else None)
+    # InputFile in the config overrides the command line (RunConfig.cpp:22)
+    path = config.get_string("InputFile", "") or args[0]
+    dtype = np.float64 if "--fp64" in argv else np.float32
+    print(f"device: {device_info().summary()}")
+    executor = Executor(path, config=config, dtype=dtype)
+    result = executor.run()
+    return 0 if result.compared_ok in (None, True) else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

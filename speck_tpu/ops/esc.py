@@ -42,15 +42,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _fill_op(a, b):
-    """Segmented forward-copy: carry the most recent entry's payload."""
-    au, av, af = a
-    bu, bv, bf = b
-    return (
-        jnp.where(bf, bu, au),
-        jnp.where(bf, bv, av),
-        af | bf,
-    )
+def _iota_like(x):
+    return jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
 
 
 def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
@@ -118,10 +111,17 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     avs = jnp.concatenate([aval, jnp.zeros_like(aval)], axis=1)
     key, us, avs = jax.lax.sort((key, us, avs), dimension=1, num_keys=1)
 
+    # forward-fill each product with its owner's payload: the owner is the
+    # nearest entry to the left — a native cummax over marked positions plus
+    # one gather (associative_scan builds enormous log-depth HLO that this
+    # backend's compiler chokes on for minutes per shape)
     is_entry = ((key & 1) == 0) & (key < BIG)
-    uc, ac, owned = jax.lax.associative_scan(
-        _fill_op, (us, avs, is_entry), axis=1
-    )
+    pos = _iota_like(key)
+    owner = jax.lax.cummax(jnp.where(is_entry, pos, -1), axis=1)
+    owned = owner >= 0
+    oc = jnp.clip(owner, 0, None)
+    uc = jnp.take_along_axis(us, oc, axis=1)
+    ac = jnp.take_along_axis(avs, oc, axis=1)
 
     t = key >> 1                                        # product slot index
     valid_t = ((key & 1) == 1) & (t < ops[:, None]) & owned
@@ -149,19 +149,29 @@ def _run_boundaries(col_s, n_cols: int):
     return first, last
 
 
-def _seg_op(a, b):
-    av, af = a
-    bv, bf = b
-    return jnp.where(bf, bv, av + bv), af | bf
-
-
 def _run_sums(val_s, first):
     """Per-run sums at run-last positions: segmented inclusive scan
     restarting at each run boundary (numerically local — no cross-run
     cancellation). Replaces the hash-map atomic_add accumulation
-    (HashMap.cuh:99-107)."""
-    run_sum, _ = jax.lax.associative_scan(_seg_op, (val_s, first), axis=1)
-    return run_sum
+    (HashMap.cuh:99-107).
+
+    Hand-rolled Hillis-Steele doubling (log2(W) shifted-add steps, plain
+    elementwise HLO): jax.lax.associative_scan computes the same thing but
+    its recursive slice/concat tree takes minutes per shape to compile on
+    this backend, and a global-cumsum-difference trick loses ~eps * |row
+    prefix| to cancellation."""
+    W = val_s.shape[1]
+    v, f = val_s, first
+    d = 1
+    while d < W:
+        pad_v = jnp.zeros_like(v[:, :d])
+        pad_f = jnp.ones_like(f[:, :d])
+        v_s = jnp.concatenate([pad_v, v[:, :-d]], axis=1)
+        f_s = jnp.concatenate([pad_f, f[:, :-d]], axis=1)
+        v = jnp.where(f, v, v + v_s)
+        f = f | f_s
+        d <<= 1
+    return v
 
 
 def _compact_by_rank(last, col_s, run_sum):

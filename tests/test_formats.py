@@ -232,3 +232,40 @@ def test_store_mtx_roundtrip(tmp_path, rng):
     store_mtx(p, h)
     back = coo_to_csr(load_mtx(p, use_native=False))
     np.testing.assert_allclose(back.to_scipy().toarray(), a.to_scipy().toarray())
+
+
+def test_device_transpose(rng):
+    from conftest import random_host_csr
+    from speck_tpu.ops.device_csr import device_get_csr, device_put_csr
+    from speck_tpu.ops.transpose import transpose
+
+    a = random_host_csr(rng, 37, 53, 0.15)
+    A = device_put_csr(a, dtype="float32")
+    T = device_get_csr(transpose(A))
+    ref = a.to_scipy().T.tocsr()
+    ref.sort_indices()
+    import numpy as np
+    np.testing.assert_array_equal(T.row_offsets, ref.indptr)
+    np.testing.assert_array_equal(T.col_ids, ref.indices)
+    np.testing.assert_allclose(T.data, ref.data, rtol=1e-6)
+    assert transpose(A).canonical
+
+
+def test_device_transpose_empty():
+    import numpy as np
+    from speck_tpu.formats.csr import HostCSR
+    from speck_tpu.ops.device_csr import device_get_csr, device_put_csr
+    from speck_tpu.ops.transpose import transpose
+
+    a = HostCSR(rows=4, cols=6, row_offsets=np.zeros(5, np.int64),
+                col_ids=np.zeros(0, np.int64), data=np.zeros(0))
+    T = device_get_csr(transpose(device_put_csr(a)))
+    assert T.shape == (6, 4) and T.nnz == 0
+
+
+def test_device_info():
+    from speck_tpu.utils.device import device_info
+
+    info = device_info()
+    assert info.num_devices >= 1
+    assert isinstance(info.summary(), str)

@@ -49,30 +49,29 @@ def _iota_like(x):
 def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
             b_start, b_len, b_indices, b_data, cap: int, n_cols: int,
             with_values: bool):
-    """Gather the intermediate products of each row into a (rows, 2*cap)
-    rectangle (product slots interleaved with A-slot marker positions;
-    non-product positions carry the sentinel column ``n_cols``).
+    """Gather the (rows, cap) rectangle of intermediate products.
 
     B is described by per-row (start, length) arrays rather than an indptr so
     that gathered/padded B layouts (multi-device all_gather of row shards)
     work unchanged; for a plain CSR, b_start = indptr[:-1], b_len = diff.
 
     The owning A nonzero of each product slot is found by run-length
-    decoding built from the primitives this hardware is fast at (batched row
-    sorts ~3G elem/s; per-element gathers ~100-260M elem/s — the previous
-    marker-scatter + take_along_axis chain was 10-30x slower): merge-sort
-    the A-slot start markers with the product slot indices, then a
-    segmented copy-scan forward-fills each product with its owner's
-    (source base, A value). One irreducible random gather per product
-    remains: reading B's column id (and value) itself.
+    decoding: scatter a marker payload at each A-slot's first product
+    position, then a running count (cumsum of markers) names the owner and
+    one take_along_axis fetches its payload u = source_base - start, so the
+    source index is simply u + t. Zero-length B rows collapse onto the next
+    slot's start position; their stacked markers make the running count skip
+    them, which is exactly right — but their payloads must not shadow the
+    live slot's, so payloads are scattered only for live slots.
 
-    Keys are built as position*2 + is_product, so per-row product capacity
-    is limited to 2^30 (far beyond any materializable chunk).
+    Expansion is gather-bound (this hardware moves ~100-260M random elements
+    per second vs ~3G/s for row sorts), so the pass is shaped to minimize
+    gathers: one marker scatter, one payload take_along per operand, and the
+    two irreducible random reads of B's column id and value per product.
 
-    Returns (col, val, ops): ops[r] is the live product count of row r;
-    col/val are (R, 2*cap) with products at arbitrary positions (callers
-    sort by column next, so placement is irrelevant) and sentinels
-    elsewhere.
+    Returns (col, val, ops): col[r, t] is the B column id of product t of
+    row r (or the sentinel ``n_cols`` when t >= ops[r]); val is the product
+    valA*valB (0 beyond ops); ops is the live product count per row.
     """
     R = rows.shape[0]
     r = jnp.where(valid_rows, rows, 0)
@@ -88,46 +87,32 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     ops = cum[:, -1]
     e = cum - blen                                      # slot start positions
 
-    # entry keys at 2*e (zero-length slots pushed past everything: they own
-    # no products and must not shadow the co-located live slot); product
-    # slot t gets key 2*t+1. Live entries have strictly increasing e, so
-    # entry keys are unique and each product's nearest left neighbor chain
-    # leads to its owning entry.
+    # markers at the starts of LIVE slots only (empty/invalid slots own no
+    # products and must not shift the rank count); e == cap drops
     live = va & (blen > 0)
-    BIG = jnp.int32(2 * cap + 1)
-    ekey = jnp.where(live, e * 2, BIG)
-    # payload u: source base minus start position, so src = u + t directly
-    u = jnp.where(live, b_start[acol] - e, 0)
-    if with_values:
-        aval = jnp.where(va, a_data[aidx], 0)
-    else:
-        aval = jnp.zeros_like(u, dtype=b_data.dtype if b_data is not None
-                              else jnp.float32)
+    rr = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, cap))
+    epos = jnp.where(live, e, cap)
+    ind = jnp.zeros((R, cap), jnp.int32).at[rr, epos].add(1, mode="drop")
+    p = jnp.cumsum(ind, axis=1) - 1                     # owner's live rank
+    pc = jnp.clip(p, 0, cap - 1)
 
-    key = jnp.concatenate(
-        [ekey, jnp.broadcast_to(j * 2 + 1, (R, cap))], axis=1
-    )                                                   # (R, 2*cap)
-    us = jnp.concatenate([u, jnp.zeros_like(u)], axis=1)
-    avs = jnp.concatenate([aval, jnp.zeros_like(aval)], axis=1)
-    key, us, avs = jax.lax.sort((key, us, avs), dimension=1, num_keys=1)
-
-    # forward-fill each product with its owner's payload: the owner is the
-    # nearest entry to the left — a native cummax over marked positions plus
-    # one gather (associative_scan builds enormous log-depth HLO that this
-    # backend's compiler chokes on for minutes per shape)
-    is_entry = ((key & 1) == 0) & (key < BIG)
-    pos = _iota_like(key)
-    owner = jax.lax.cummax(jnp.where(is_entry, pos, -1), axis=1)
-    owned = owner >= 0
-    oc = jnp.clip(owner, 0, None)
-    uc = jnp.take_along_axis(us, oc, axis=1)
-    ac = jnp.take_along_axis(avs, oc, axis=1)
-
-    t = key >> 1                                        # product slot index
-    valid_t = ((key & 1) == 1) & (t < ops[:, None]) & owned
+    # compact live-slot payloads by the same rank so pc indexes them
+    # directly: rank of a live slot = count of live slots before it
+    lrank = jnp.cumsum(live.astype(jnp.int32), axis=1) - 1
+    dst = jnp.where(live, lrank, cap)
+    u = b_start[acol] - e                               # src base - start
+    u_by_rank = jnp.zeros((R, cap), u.dtype).at[rr, dst].set(u, mode="drop")
+    t = j
+    uc = jnp.take_along_axis(u_by_rank, pc, axis=1)
+    valid_t = t < ops[:, None]
     src = jnp.where(valid_t, uc + t, 0)
     col = jnp.where(valid_t, b_indices[src], jnp.int32(n_cols))
     if with_values:
+        aval = jnp.where(va, a_data[aidx], 0)
+        a_by_rank = jnp.zeros((R, cap), aval.dtype).at[rr, dst].set(
+            aval, mode="drop"
+        )
+        ac = jnp.take_along_axis(a_by_rank, pc, axis=1)
         val = jnp.where(valid_t, ac * b_data[src], 0)
     else:
         val = None

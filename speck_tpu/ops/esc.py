@@ -41,14 +41,33 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .pallas_kernels import contract_divisible, contract_runs
+
 
 def _iota_like(x):
     return jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
 
 
+@jax.jit
+def pack_csr_arrays(indices: jax.Array, data: jax.Array):
+    """Interleave (col id, value) into one (nnz, 2) int32 record so each
+    random read costs ONE gather index instead of two (gathers on this
+    hardware are index-latency-bound: 8 bytes per index is ~2x cheaper than
+    4 bytes at two indices). 32-bit values only; callers pass None for
+    wider dtypes and the kernels fall back to two gathers."""
+    return jnp.stack(
+        [indices.astype(jnp.int32),
+         jax.lax.bitcast_convert_type(data, jnp.int32)], axis=-1
+    )
+
+
+def packable(data) -> bool:
+    return data.dtype.itemsize == 4
+
+
 def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
             b_start, b_len, b_indices, b_data, cap: int, n_cols: int,
-            with_values: bool):
+            with_values: bool, a_packed=None, b_packed=None):
     """Gather the (rows, cap) rectangle of intermediate products.
 
     B is described by per-row (start, length) arrays rather than an indptr so
@@ -81,7 +100,13 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     j = jnp.arange(cap, dtype=jnp.int32)[None, :]
     va = j < alen[:, None]
     aidx = jnp.where(va, a0[:, None] + j, 0)
-    acol = jnp.where(va, a_indices[aidx], 0)
+    if a_packed is not None:
+        ap = a_packed[aidx]                             # (R, cap, 2)
+        acol = jnp.where(va, ap[..., 0], 0)
+        aval_raw = ap[..., 1]
+    else:
+        acol = jnp.where(va, a_indices[aidx], 0)
+        aval_raw = None
     blen = jnp.where(va, b_len[acol], 0)
     cum = jnp.cumsum(blen, axis=1)                      # (R, cap)
     ops = cum[:, -1]
@@ -106,14 +131,27 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     uc = jnp.take_along_axis(u_by_rank, pc, axis=1)
     valid_t = t < ops[:, None]
     src = jnp.where(valid_t, uc + t, 0)
-    col = jnp.where(valid_t, b_indices[src], jnp.int32(n_cols))
+    if b_packed is not None:
+        bp = b_packed[src]                              # (R, cap, 2)
+        col = jnp.where(valid_t, bp[..., 0], jnp.int32(n_cols))
+        bval = jax.lax.bitcast_convert_type(bp[..., 1], jnp.float32)
+    else:
+        col = jnp.where(valid_t, b_indices[src], jnp.int32(n_cols))
+        bval = None
     if with_values:
-        aval = jnp.where(va, a_data[aidx], 0)
+        if aval_raw is not None:
+            aval = jnp.where(
+                va, jax.lax.bitcast_convert_type(aval_raw, jnp.float32), 0
+            )
+        else:
+            aval = jnp.where(va, a_data[aidx], 0)
         a_by_rank = jnp.zeros((R, cap), aval.dtype).at[rr, dst].set(
             aval, mode="drop"
         )
         ac = jnp.take_along_axis(a_by_rank, pc, axis=1)
-        val = jnp.where(valid_t, ac * b_data[src], 0)
+        if bval is None:
+            bval = b_data[src]
+        val = jnp.where(valid_t, ac * bval, 0)
     else:
         val = None
     return col, val, ops
@@ -159,6 +197,19 @@ def _run_sums(val_s, first):
     return v
 
 
+def _contract(col_s, val_s, n_cols: int):
+    """Run-last mask + per-run sums of a column-sorted rectangle.
+
+    Uses the VMEM-resident Pallas kernel (ops/pallas_kernels.py) when the
+    shape fits its blocking; the XLA fallback computes the identical result
+    (same doubling order) with ~15 separate passes."""
+    R, W = col_s.shape
+    if contract_divisible(R, W):
+        return contract_runs(col_s, val_s, n_cols)
+    first, last = _run_boundaries(col_s, n_cols)
+    return last, _run_sums(val_s, first)
+
+
 def _compact_by_rank(last, col_s, run_sum):
     """Move run-last (col, sum) pairs to the front, order preserved: rank
     keys < W for run-lasts, W+t for the rest, then one key sort."""
@@ -176,8 +227,8 @@ def _compact_by_rank(last, col_s, run_sum):
     donate_argnames=("nnz_row",),
 )
 def count_chunk(rows_sorted, start, valid, a_indptr, a_indices,
-                b_indptr, b_indices, nnz_row, *,
-                chunk_rows: int, cap: int, n_cols: int):
+                b_indptr, b_indices, nnz_row, a_packed=None, b_packed=None,
+                *, chunk_rows: int, cap: int, n_cols: int):
     """Symbolic counting for one chunk: exact distinct-column count per row,
     scattered into the global nnz_row array.
 
@@ -190,7 +241,7 @@ def count_chunk(rows_sorted, start, valid, a_indptr, a_indices,
     col, _, _ = _expand(
         rows, valid_rows, a_indptr, a_indices, None,
         b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, None,
-        cap, n_cols, with_values=False,
+        cap, n_cols, with_values=False, a_packed=a_packed, b_packed=b_packed,
     )
     col_s = jax.lax.sort(col, dimension=1)
     _, last = _run_boundaries(col_s, n_cols)
@@ -207,6 +258,7 @@ def count_chunk(rows_sorted, start, valid, a_indptr, a_indices,
 )
 def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
                   b_indptr, b_indices, b_data, row_offsets, c_cols, c_vals,
+                  a_packed=None, b_packed=None,
                   *, chunk_rows: int, cap: int, n_cols: int):
     """Numeric accumulation for one chunk, written straight to the final CSR
     arrays at their exact offsets.
@@ -222,11 +274,10 @@ def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
     col, val, _ = _expand(
         rows, valid_rows, a_indptr, a_indices, a_data,
         b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, b_data,
-        cap, n_cols, with_values=True,
+        cap, n_cols, with_values=True, a_packed=a_packed, b_packed=b_packed,
     )
     col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
-    first, last = _run_boundaries(col_s, n_cols)
-    run_sum = _run_sums(val_s, first)
+    last, run_sum = _contract(col_s, val_s, n_cols)
     out_rank = jnp.cumsum(last.astype(jnp.int32), axis=1) - 1
     r = jnp.where(valid_rows, rows, 0)
     flat = row_offsets[r][:, None] + out_rank
@@ -243,7 +294,8 @@ def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
     donate_argnames=("nnz_row",),
 )
 def fused_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
-                b_indptr, b_indices, b_data, nnz_row, *,
+                b_indptr, b_indices, b_data, nnz_row,
+                a_packed=None, b_packed=None, *,
                 chunk_rows: int, cap: int, n_cols: int):
     """Single-pass count + numeric for one chunk: ONE expand + ONE sort
     produce both the exact per-row nnz (scattered into ``nnz_row``) and the
@@ -261,11 +313,10 @@ def fused_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
     col, val, _ = _expand(
         rows, valid_rows, a_indptr, a_indices, a_data,
         b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, b_data,
-        cap, n_cols, with_values=True,
+        cap, n_cols, with_values=True, a_packed=a_packed, b_packed=b_packed,
     )
     col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
-    first, last = _run_boundaries(col_s, n_cols)
-    run_sum = _run_sums(val_s, first)
+    last, run_sum = _contract(col_s, val_s, n_cols)
     counts = jnp.sum(last, axis=1, dtype=jnp.int32)
     m = nnz_row.shape[0]
     target = jnp.where(valid_rows, rows, m)
@@ -366,6 +417,8 @@ def esc_fixed(a_indptr, a_indices, a_data, b_start, b_len, b_indices, b_data,
         b_start, b_len, b_indices, b_data, cap, n_cols, with_values=True,
     )
     col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
+    # XLA contract here: esc_fixed runs inside shard_map on device meshes,
+    # where pallas_call output avals need mesh-axis annotations
     first, last = _run_boundaries(col_s, n_cols)
     run_sum = _run_sums(val_s, first)
     counts = jnp.sum(last, axis=1, dtype=jnp.int32)

@@ -51,7 +51,20 @@ from .esc import (
     emit_chunk,
     fused_chunk,
     numeric_chunk,
+    pack_csr_arrays,
+    packable,
 )
+
+
+def _pack_operands(A, B):
+    """Interleaved (col id, value) records for gather-count halving
+    (esc.pack_csr_arrays); None for non-32-bit value dtypes."""
+    ap = pack_csr_arrays(A.indices, A.data) if packable(A.data) else None
+    if B.indices is A.indices and B.data is A.data:
+        bp = ap
+    else:
+        bp = pack_csr_arrays(B.indices, B.data) if packable(B.data) else None
+    return ap, bp
 
 
 def _pow2(n: int) -> int:
@@ -197,6 +210,7 @@ class SpgemmPlan:
         track = timings is not None and timings.measure_all
         c_cols = jnp.zeros((max(self.nnz, 1),), jnp.int32)
         c_vals = jnp.zeros((max(self.nnz, 1),), A.data.dtype)
+        pk = None  # packed operands, built lazily for numeric recompute
         with StageTimer(timings, "spGEMMNumeric", track) as st:
             if self.dense is not None:
                 d = self.dense
@@ -242,11 +256,14 @@ class SpgemmPlan:
                             chunk_rows=g.rows, cap=g.cap,
                         )
                     else:
+                        if pk is None:
+                            pk = _pack_operands(A, B)
                         c_cols, c_vals = numeric_chunk(
                             self.binning.rows_sorted, int(start), int(valid),
                             A.indptr, A.indices, A.data,
                             B.indptr, B.indices, B.data,
                             self.row_offsets, c_cols, c_vals,
+                            pk[0], pk[1],
                             chunk_rows=g.rows, cap=g.cap, n_cols=n,
                         )
             st.stop(c_cols, c_vals)
@@ -298,6 +315,8 @@ def plan_spgemm(
         binning = bin_rows(stats, cfg, direct_ok, dense_mask)  # histogram sync
         groups = plan_groups(binning, cfg)
 
+    a_packed, b_packed = _pack_operands(A, B)
+
     with StageTimer(timings, "spGEMMCounting", track) as st:
         # direct/empty rows already counted by the analysis pass
         nnz_row = binning.nnz_init
@@ -332,12 +351,14 @@ def plan_spgemm(
                         binning.rows_sorted, int(start), int(valid),
                         A.indptr, A.indices, A.data,
                         B.indptr, B.indices, B.data, nnz_row,
+                        a_packed, b_packed,
                         chunk_rows=g.rows, cap=g.cap, n_cols=n,
                     )
                 else:
                     nnz_row = count_chunk(
                         binning.rows_sorted, int(start), int(valid),
                         A.indptr, A.indices, B.indptr, B.indices, nnz_row,
+                        a_packed, b_packed,
                         chunk_rows=g.rows, cap=g.cap, n_cols=n,
                     )
         st.stop(nnz_row)

@@ -62,7 +62,7 @@ def main():
         float(C.data[-1])
         return C
 
-    warmup, iters = 2, 5
+    warmup, iters = 2, 3
     for _ in range(warmup):
         C = run_one()
     times = []

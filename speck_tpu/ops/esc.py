@@ -49,6 +49,13 @@ def _iota_like(x):
 
 
 @jax.jit
+def pack_row_meta(indptr: jax.Array):
+    """Interleaved (row start, row length) records: one gather serves both
+    (gathers are index-latency-bound; see pack_csr_arrays)."""
+    return jnp.stack([indptr[:-1], indptr[1:] - indptr[:-1]], axis=-1)
+
+
+@jax.jit
 def pack_csr_arrays(indices: jax.Array, data: jax.Array):
     """Interleave (col id, value) into one (nnz, 2) int32 record so each
     random read costs ONE gather index instead of two (gathers on this
@@ -67,7 +74,8 @@ def packable(data) -> bool:
 
 def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
             b_start, b_len, b_indices, b_data, cap: int, n_cols: int,
-            with_values: bool, a_packed=None, b_packed=None):
+            with_values: bool, a_packed=None, b_packed=None,
+            b_meta=None):
     """Gather the (rows, cap) rectangle of intermediate products.
 
     B is described by per-row (start, length) arrays rather than an indptr so
@@ -107,7 +115,13 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     else:
         acol = jnp.where(va, a_indices[aidx], 0)
         aval_raw = None
-    blen = jnp.where(va, b_len[acol], 0)
+    if b_meta is not None:
+        bm = b_meta[acol]                               # (R, cap, 2)
+        bstart_a = bm[..., 0]
+        blen = jnp.where(va, bm[..., 1], 0)
+    else:
+        bstart_a = b_start[acol]
+        blen = jnp.where(va, b_len[acol], 0)
     cum = jnp.cumsum(blen, axis=1)                      # (R, cap)
     ops = cum[:, -1]
     e = cum - blen                                      # slot start positions
@@ -122,13 +136,44 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     pc = jnp.clip(p, 0, cap - 1)
 
     # compact live-slot payloads by the same rank so pc indexes them
-    # directly: rank of a live slot = count of live slots before it
+    # directly (rank of a live slot = count of live slots before it);
+    # payloads (u, aval) travel as one 2-channel record: one scatter + one
+    # take_along instead of two of each
     lrank = jnp.cumsum(live.astype(jnp.int32), axis=1) - 1
     dst = jnp.where(live, lrank, cap)
-    u = b_start[acol] - e                               # src base - start
-    u_by_rank = jnp.zeros((R, cap), u.dtype).at[rr, dst].set(u, mode="drop")
+    u = bstart_a - e                                    # src base - start
+    if with_values:
+        if aval_raw is not None:
+            araw = aval_raw
+        else:
+            araw = jax.lax.bitcast_convert_type(
+                jnp.where(va, a_data[aidx], 0), jnp.int32
+            ) if a_data.dtype.itemsize == 4 else None
+        if araw is not None:
+            upd = jnp.stack([u, araw], axis=-1)
+            by_rank = jnp.zeros((R, cap, 2), jnp.int32).at[rr, dst].set(
+                upd, mode="drop"
+            )
+            pk2 = jnp.take_along_axis(by_rank, pc[..., None], axis=1)
+            uc = pk2[..., 0]
+            ac = jax.lax.bitcast_convert_type(pk2[..., 1], jnp.float32)
+        else:
+            u_by_rank = jnp.zeros((R, cap), u.dtype).at[rr, dst].set(
+                u, mode="drop"
+            )
+            uc = jnp.take_along_axis(u_by_rank, pc, axis=1)
+            aval = jnp.where(va, a_data[aidx], 0)
+            a_by_rank = jnp.zeros((R, cap), aval.dtype).at[rr, dst].set(
+                aval, mode="drop"
+            )
+            ac = jnp.take_along_axis(a_by_rank, pc, axis=1)
+    else:
+        u_by_rank = jnp.zeros((R, cap), u.dtype).at[rr, dst].set(
+            u, mode="drop"
+        )
+        uc = jnp.take_along_axis(u_by_rank, pc, axis=1)
+        ac = None
     t = j
-    uc = jnp.take_along_axis(u_by_rank, pc, axis=1)
     valid_t = t < ops[:, None]
     src = jnp.where(valid_t, uc + t, 0)
     if b_packed is not None:
@@ -139,16 +184,6 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
         col = jnp.where(valid_t, b_indices[src], jnp.int32(n_cols))
         bval = None
     if with_values:
-        if aval_raw is not None:
-            aval = jnp.where(
-                va, jax.lax.bitcast_convert_type(aval_raw, jnp.float32), 0
-            )
-        else:
-            aval = jnp.where(va, a_data[aidx], 0)
-        a_by_rank = jnp.zeros((R, cap), aval.dtype).at[rr, dst].set(
-            aval, mode="drop"
-        )
-        ac = jnp.take_along_axis(a_by_rank, pc, axis=1)
         if bval is None:
             bval = b_data[src]
         val = jnp.where(valid_t, ac * bval, 0)
@@ -228,7 +263,7 @@ def _compact_by_rank(last, col_s, run_sum):
 )
 def count_chunk(rows_sorted, start, valid, a_indptr, a_indices,
                 b_indptr, b_indices, nnz_row, a_packed=None, b_packed=None,
-                *, chunk_rows: int, cap: int, n_cols: int):
+                b_meta=None, *, chunk_rows: int, cap: int, n_cols: int):
     """Symbolic counting for one chunk: exact distinct-column count per row,
     scattered into the global nnz_row array.
 
@@ -242,6 +277,7 @@ def count_chunk(rows_sorted, start, valid, a_indptr, a_indices,
         rows, valid_rows, a_indptr, a_indices, None,
         b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, None,
         cap, n_cols, with_values=False, a_packed=a_packed, b_packed=b_packed,
+        b_meta=b_meta,
     )
     col_s = jax.lax.sort(col, dimension=1)
     _, last = _run_boundaries(col_s, n_cols)
@@ -258,7 +294,7 @@ def count_chunk(rows_sorted, start, valid, a_indptr, a_indices,
 )
 def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
                   b_indptr, b_indices, b_data, row_offsets, c_cols, c_vals,
-                  a_packed=None, b_packed=None,
+                  a_packed=None, b_packed=None, b_meta=None,
                   *, chunk_rows: int, cap: int, n_cols: int):
     """Numeric accumulation for one chunk, written straight to the final CSR
     arrays at their exact offsets.
@@ -275,6 +311,7 @@ def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
         rows, valid_rows, a_indptr, a_indices, a_data,
         b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, b_data,
         cap, n_cols, with_values=True, a_packed=a_packed, b_packed=b_packed,
+        b_meta=b_meta,
     )
     col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
     last, run_sum = _contract(col_s, val_s, n_cols)
@@ -295,7 +332,7 @@ def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
 )
 def fused_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
                 b_indptr, b_indices, b_data, nnz_row,
-                a_packed=None, b_packed=None, *,
+                a_packed=None, b_packed=None, b_meta=None, *,
                 chunk_rows: int, cap: int, n_cols: int):
     """Single-pass count + numeric for one chunk: ONE expand + ONE sort
     produce both the exact per-row nnz (scattered into ``nnz_row``) and the
@@ -314,6 +351,7 @@ def fused_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
         rows, valid_rows, a_indptr, a_indices, a_data,
         b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, b_data,
         cap, n_cols, with_values=True, a_packed=a_packed, b_packed=b_packed,
+        b_meta=b_meta,
     )
     col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
     last, run_sum = _contract(col_s, val_s, n_cols)

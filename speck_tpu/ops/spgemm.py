@@ -52,6 +52,7 @@ from .esc import (
     fused_chunk,
     numeric_chunk,
     pack_csr_arrays,
+    pack_row_meta,
     packable,
 )
 
@@ -64,7 +65,7 @@ def _pack_operands(A, B):
         bp = ap
     else:
         bp = pack_csr_arrays(B.indices, B.data) if packable(B.data) else None
-    return ap, bp
+    return ap, bp, pack_row_meta(B.indptr)
 
 
 def _pow2(n: int) -> int:
@@ -263,7 +264,7 @@ class SpgemmPlan:
                             A.indptr, A.indices, A.data,
                             B.indptr, B.indices, B.data,
                             self.row_offsets, c_cols, c_vals,
-                            pk[0], pk[1],
+                            pk[0], pk[1], pk[2],
                             chunk_rows=g.rows, cap=g.cap, n_cols=n,
                         )
             st.stop(c_cols, c_vals)
@@ -315,7 +316,7 @@ def plan_spgemm(
         binning = bin_rows(stats, cfg, direct_ok, dense_mask)  # histogram sync
         groups = plan_groups(binning, cfg)
 
-    a_packed, b_packed = _pack_operands(A, B)
+    a_packed, b_packed, b_meta = _pack_operands(A, B)
 
     with StageTimer(timings, "spGEMMCounting", track) as st:
         # direct/empty rows already counted by the analysis pass
@@ -351,14 +352,14 @@ def plan_spgemm(
                         binning.rows_sorted, int(start), int(valid),
                         A.indptr, A.indices, A.data,
                         B.indptr, B.indices, B.data, nnz_row,
-                        a_packed, b_packed,
+                        a_packed, b_packed, b_meta,
                         chunk_rows=g.rows, cap=g.cap, n_cols=n,
                     )
                 else:
                     nnz_row = count_chunk(
                         binning.rows_sorted, int(start), int(valid),
                         A.indptr, A.indices, B.indptr, B.indices, nnz_row,
-                        a_packed, b_packed,
+                        a_packed, b_packed, b_meta,
                         chunk_rows=g.rows, cap=g.cap, n_cols=n,
                     )
         st.stop(nnz_row)

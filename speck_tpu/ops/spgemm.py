@@ -42,8 +42,9 @@ import numpy as np
 from ..utils.config import SpgemmConfig
 from ..utils.timings import Timings, StageTimer
 from .analysis import analyze, cumsum1d
-from .binning import Binning, ChunkGroup, bin_rows, plan_groups
-from .dense import dense_emit, dense_tiles, tile_stats
+from .binning import Binning, ChunkGroup, bin_caps, plan_groups
+from .dense import dense_emit, dense_tiles
+from .plan_device import plan_device
 from .device_csr import DeviceCSR
 from .esc import (
     count_chunk,
@@ -76,12 +77,13 @@ def _pow2(n: int) -> int:
 class DenseGroup:
     """Dense-eligible MXU tiles (ops/dense.py), pre-sliced into dispatch
     batches: batch b covers tiles [boffs[b], boffs[b+1]) of the padded
-    per-tile arrays. Tile i covers rows [r0s[i], r0s[i] + valids[i])."""
+    per-tile arrays (device-resident; only their count crossed to the
+    host). Tile i covers rows [r0s[i], r0s[i] + valids[i])."""
 
-    r0s: np.ndarray
-    kbases: np.ndarray
-    cbases: np.ndarray
-    valids: np.ndarray
+    r0s: jax.Array
+    kbases: jax.Array
+    cbases: jax.Array
+    valids: jax.Array
     boffs: List[int]
     tile_rows: int
     # effective window dims: fitted to the eligible tiles' actual spans
@@ -99,73 +101,8 @@ class DenseGroup:
     def batches(self):
         for b in range(len(self.boffs) - 1):
             s, e = self.boffs[b], self.boffs[b + 1]
-            yield (jnp.asarray(self.r0s[s:e]), jnp.asarray(self.kbases[s:e]),
-                   jnp.asarray(self.cbases[s:e]), self.valids[s:e])
-
-
-def _plan_dense(A, B, stats, cfg, m, n):
-    """Host decision: which row tiles run on the MXU dense path.
-
-    Returns (DenseGroup | None, dense row mask (m,) bool device array | None).
-    The per-tile stats live on device; only O(m / tile_rows) scalars sync.
-    """
-    if not (cfg.enable_dense and A.canonical and B.canonical and m > 0
-            and A.nnz > 0 and B.nnz > 0):
-        return None, None
-    tr = cfg.dense_tile_rows
-    packed = tile_stats(
-        A.indptr, A.indices, B.indptr, B.indices, stats.row_ops, stats.a_len,
-        tile_rows=tr, m=m,
-    )
-    km, ks, cm, cs, am, bm = np.asarray(packed)  # ONE host sync
-    elig = (
-        (ks <= cfg.dense_kw) & (cs <= cfg.dense_cw)
-        & (am <= cfg.dense_la) & (bm <= cfg.dense_lb) & (cs > 0)
-    )
-    # respect the staging budget: surplus tiles fall back to the ESC bins
-    max_tiles = max(0, cfg.fused_staging_budget // (tr * cfg.dense_cw))
-    idx = np.nonzero(elig)[0]
-    if len(idx) == 0:
-        return None, None
-    if len(idx) > max_tiles:
-        elig[idx[max_tiles:]] = False
-        idx = idx[:max_tiles]
-        if len(idx) == 0:
-            return None, None
-
-    # slice into dispatch batches: full batches share one compiled shape,
-    # the tail batch is padded to a power of two
-    db = max(1, cfg.dense_tiles_per_dispatch)
-    n_full, tail = divmod(len(idx), db)
-    k = n_full * db + (_pow2(tail) if tail else 0)
-    boffs = [i * db for i in range(n_full + 1)]
-    if tail:
-        boffs.append(k)
-
-    r0s = np.full(k, m, np.int32)
-    kbases = np.zeros(k, np.int32)
-    cbases = np.zeros(k, np.int32)
-    valids = np.zeros(k, np.int32)
-    r0s[: len(idx)] = idx * tr
-    kbases[: len(idx)] = km[idx]
-    cbases[: len(idx)] = cm[idx]
-    valids[: len(idx)] = np.minimum(tr, m - idx * tr)
-
-    def _ceil128(v):
-        return max(128, int(-(-int(v) // 128)) * 128)
-
-    group = DenseGroup(
-        r0s=r0s, kbases=kbases, cbases=cbases, valids=valids,
-        boffs=boffs, tile_rows=tr,
-        kw=_ceil128(ks[idx].max()), cw=_ceil128(cs[idx].max()),
-        la=_pow2(max(8, int(am[idx].max()))),
-        lb=_pow2(max(8, int(bm[idx].max()))),
-    )
-    # (m,) mask of dense-covered rows, built host-side (tiny) and uploaded
-    row_mask = np.zeros(m, bool)
-    for t in idx:
-        row_mask[t * tr: min((t + 1) * tr, m)] = True
-    return group, jnp.asarray(row_mask)
+            yield (self.r0s[s:e], self.kbases[s:e],
+                   self.cbases[s:e], self.valids[s:e])
 
 
 @dataclasses.dataclass
@@ -308,13 +245,64 @@ def plan_spgemm(
         st.stop(stats.row_ops)
 
     with StageTimer(timings, "loadBalanceCounting", track):
-        # MXU dense-window tiles first (spECK's dense-mode heuristic,
-        # Multiply.cu:379); covered rows are excluded from the ESC bins
-        dense_grp, dense_mask = _plan_dense(A, B, stats, cfg, m, n)
-        # direct-copy bins require canonical B (see ops/binning.py docstring)
+        # one fused device pass computes dense-tile eligibility (spECK's
+        # dense-mode heuristic, Multiply.cu:379), covered-row exclusion, and
+        # the ESC bin histogram; ONE packed readback serves all host
+        # decisions (every readback through a remote transport is a full
+        # round trip)
+        caps = bin_caps(cfg)
+        nbins = len(caps)
+        pad_to = max(1, cfg.product_budget // cfg.min_cap)
         direct_ok = bool(B.canonical) and cfg.enable_direct
-        binning = bin_rows(stats, cfg, direct_ok, dense_mask)  # histogram sync
+        use_dense = bool(
+            cfg.enable_dense and A.canonical and B.canonical
+            and m > 0 and A.nnz > 0 and B.nnz > 0
+        )
+        tr = cfg.dense_tile_rows
+        max_tiles = max(0, cfg.fused_staging_budget // (tr * cfg.dense_cw))
+        rows_sorted, nnz_init, t_r0, t_kb, t_cb, t_valid, pack = plan_device(
+            A.indptr, A.indices, B.indptr, B.indices,
+            stats.row_ops, stats.a_len, stats.work,
+            caps=tuple(caps), pad_to=pad_to, direct_ok=direct_ok,
+            use_dense=use_dense and max_tiles > 0, tile_rows=tr,
+            kw_max=cfg.dense_kw, cw_max=cfg.dense_cw,
+            la_max=cfg.dense_la, lb_max=cfg.dense_lb,
+            max_tiles=max_tiles, m=m,
+        )
+        pack_h = np.asarray(pack)  # the ONE planning host sync
+        counts_h = pack_h[: 2 * nbins + 1]
+        n_elig, kw_e, cw_e, la_e, lb_e = (int(x) for x in pack_h[2 * nbins + 1:])
+        starts_h = np.zeros_like(counts_h)
+        np.cumsum(counts_h[:-1], out=starts_h[1:])
+        binning = Binning(rows_sorted=rows_sorted, bin_counts=counts_h,
+                          bin_starts=starts_h, caps=caps, nnz_init=nnz_init)
         groups = plan_groups(binning, cfg)
+        dense_grp = None
+        if n_elig > 0:
+            db = max(1, cfg.dense_tiles_per_dispatch)
+            n_full, tail = divmod(n_elig, db)
+            k = n_full * db + (_pow2(tail) if tail else 0)
+            boffs = [i * db for i in range(n_full + 1)]
+            if tail:
+                boffs.append(k)
+            if k > t_r0.shape[0]:
+                padn = k - t_r0.shape[0]
+                t_r0 = jnp.concatenate(
+                    [t_r0, jnp.full((padn,), m, jnp.int32)])
+                t_kb = jnp.concatenate([t_kb, jnp.zeros((padn,), jnp.int32)])
+                t_cb = jnp.concatenate([t_cb, jnp.zeros((padn,), jnp.int32)])
+                t_valid = jnp.concatenate(
+                    [t_valid, jnp.zeros((padn,), jnp.int32)])
+
+            def _ceil128(v):
+                return max(128, -(-int(v) // 128) * 128)
+
+            dense_grp = DenseGroup(
+                r0s=t_r0[:k], kbases=t_kb[:k], cbases=t_cb[:k],
+                valids=t_valid[:k], boffs=boffs, tile_rows=tr,
+                kw=_ceil128(kw_e), cw=_ceil128(cw_e),
+                la=_pow2(max(8, la_e)), lb=_pow2(max(8, lb_e)),
+            )
 
     a_packed, b_packed, b_meta = _pack_operands(A, B)
 

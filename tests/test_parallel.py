@@ -80,3 +80,12 @@ def test_mesh_spgemm_empty_matrix():
     counts, cols, vals = mesh_spgemm_fixed_cap(a, a, mesh)
     got = padded_to_host_csr(counts, cols, vals, 6, 6)
     assert got.nnz == 0
+
+
+def test_multihost_helpers_single_process():
+    from speck_tpu.parallel import global_row_mesh, local_row_range
+
+    mesh = global_row_mesh()
+    assert mesh.devices.size >= 1
+    r0, r1 = local_row_range(100)
+    assert (r0, r1) == (0, 100)  # single-process CI owns everything

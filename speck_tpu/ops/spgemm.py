@@ -43,7 +43,7 @@ from ..utils.config import SpgemmConfig
 from ..utils.timings import Timings, StageTimer
 from .analysis import analyze, cumsum1d
 from .binning import Binning, ChunkGroup, bin_caps, plan_groups
-from .dense import dense_emit, dense_tiles
+from .dense import dense_emit, dense_gather_emit, dense_tiles
 from .plan_device import plan_device
 from .device_csr import DeviceCSR
 from .esc import (
@@ -152,6 +152,23 @@ class SpgemmPlan:
         with StageTimer(timings, "spGEMMNumeric", track) as st:
             if self.dense is not None:
                 d = self.dense
+                # pure-dense single-batch fast path: build C by gather
+                pure = (
+                    use_staged and self.dense_staged is not None
+                    and not self.groups and len(d.boffs) == 2
+                    and self.nnz > 0
+                )
+                if pure:
+                    counts, cols_c, vals_c = self.dense_staged[0]
+                    c_cols, c_vals = dense_gather_emit(
+                        counts, cols_c, vals_c, self.row_offsets, None,
+                        tile_rows=d.tile_rows, cw=d.cw, m=m, nnz=self.nnz,
+                    )
+                    st.stop(c_cols, c_vals)
+                    return DeviceCSR(
+                        indptr=self.row_offsets, indices=c_cols,
+                        data=c_vals, shape=(m, n), nnz=self.nnz,
+                    )
                 for bi, (r0s, kbs, cbs, valids) in enumerate(d.batches()):
                     if use_staged and self.dense_staged is not None:
                         counts, cols_c, vals_c = self.dense_staged[bi]

@@ -125,3 +125,36 @@ def test_dense_disabled_matches(rng):
     np.testing.assert_array_equal(C_d.row_offsets, C_e.row_offsets)
     np.testing.assert_array_equal(C_d.col_ids, C_e.col_ids)
     np.testing.assert_allclose(C_d.data, C_e.data, rtol=1e-4, atol=1e-6)
+
+def test_pure_dense_gather_emit(rng, monkeypatch):
+    """The pure-dense single-batch plan must take the gather-based emit
+    (dense_gather_emit) and produce the identical CSR the masked-scatter
+    emit produces; both must match the oracle. Empty rows included."""
+    import importlib
+
+    sg = importlib.import_module("speck_tpu.ops.spgemm")
+    calls = {"n": 0}
+    orig = sg.dense_gather_emit
+
+    def counted(*args, **kwargs):
+        calls["n"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(sg, "dense_gather_emit", counted)
+
+    a = _banded(96, 3, rng).to_scipy().tolil()
+    a[17, :] = 0  # empty row inside a tile
+    a[95, :] = 0  # empty trailing row
+    a = HostCSR.from_scipy(a.tocsr())
+    A = device_put_csr(a, np.float64)
+    plan = plan_spgemm(A, A, _DENSE_CFG)
+    assert plan.dense is not None and not plan.groups
+    assert len(plan.dense.boffs) == 2, "expected a single dense batch"
+    C_g = device_get_csr(plan.execute())          # gather path (staged)
+    assert calls["n"] == 1, "gather emit not taken"
+    C_s = device_get_csr(plan.execute(A, A))      # scatter path (recompute)
+    np.testing.assert_array_equal(C_g.row_offsets, C_s.row_offsets)
+    np.testing.assert_array_equal(C_g.col_ids, C_s.col_ids)
+    np.testing.assert_allclose(C_g.data, C_s.data, rtol=1e-6)
+    assert compare_csr(oracle_spgemm(a, a), C_g, compare_data=True,
+                       rel_tol=2e-4).ok

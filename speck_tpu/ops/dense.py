@@ -39,6 +39,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .analysis import cumsum1d
+
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
@@ -292,24 +294,22 @@ def dense_emit(r0s, counts, cols_c, vals_c, row_offsets, c_cols, c_vals, *,
     jax.jit,
     static_argnames=("tile_rows", "cw", "m", "nnz"),
 )
-def dense_gather_emit(counts, cols_c, vals_c, row_offsets, nnz_row, *,
+def dense_gather_emit(cols_c, vals_c, row_offsets, *,
                       tile_rows: int, cw: int, m: int, nnz: int = 0):
-    """Emit for the pure-dense case (every tile eligible, one batch, no ESC
-    rows): builds the final CSR arrays with gathers instead of a masked
-    scatter — gathers run ~2x faster than scatters on this hardware.
+    """Emit for the pure-dense case (every tile eligible — full_cover — and
+    no ESC rows): builds the final CSR arrays with gathers instead of a
+    masked scatter — gathers run ~2x faster than scatters on this hardware.
 
     Requires the staged tiles to cover rows 0..m in order (tile i = rows
     [i*tile_rows, ...)), so output row r's staged slots live at flat index
     r*cw + o. The output length (total nnz) is static per compile.
     """
-    del nnz_row  # row lengths come from row_offsets
     total = nnz if nnz else 1
     i = jnp.arange(total, dtype=jnp.int32)
     # run-length decode row ids from row_offsets
     rid = jnp.zeros((total,), jnp.int32).at[row_offsets[1:-1]].add(
         1, mode="drop"
     )
-    from .analysis import cumsum1d
     rid = cumsum1d(rid)
     o = i - row_offsets[rid]
     src = rid * cw + o

@@ -8,10 +8,10 @@ scatter, so instead of hashing, each chunk of rows is processed as a dense
 rectangle of ``cap`` product slots per row:
 
   expand   — each row's intermediate products (colB, valA*valB) are gathered
-             into a (rows, cap) rectangle: a marker-scatter + running count
-             assigns every product slot its owning A nonzero (the analogue
-             of spECK's threads-per-nnz striding, iterateMatrixCounting,
-             spECK_HashSpGEMM.cuh:39-128).
+             into a (rows, cap) rectangle: an interleaved key sort + doubling
+             forward fill assigns every product slot its owning A nonzero
+             (the analogue of spECK's threads-per-nnz striding,
+             iterateMatrixCounting, spECK_HashSpGEMM.cuh:39-128).
   sort     — one batched lax.sort along the product axis groups duplicate
              column ids (replaces hash-probe insertion; output rows come out
              sorted for free, eliminating spECK's separate sorting kernel,
@@ -72,6 +72,58 @@ def packable(data) -> bool:
     return data.dtype.itemsize == 4
 
 
+def _owner_fill(live, e, chans, cap: int):
+    """Owner payloads for every product slot: one key sort + a doubling
+    forward fill + one rank sort — all in the fast lane (batched 2-D sorts
+    and elementwise shifts), zero scatters/gathers.
+
+    Each live A slot owns product positions t in [e, e+blen). Interleave
+    A-slot records (key 2e — live starts are strictly increasing, so keys
+    are unique) with product slots (key 2t+1); after one stable key sort,
+    every product slot's owner is the nearest even-key record to its left,
+    so a last-non-null forward fill (Hillis-Steele doubling over the parity
+    mask) propagates the owner's payload channels onto its products. A
+    second rank sort (product key t, others past the end) restores product
+    order. This replaces the marker-scatter + owner-rank take_along
+    formulation of the same mapping (the analogue of spECK's
+    threads-per-nnz striding, spECK_HashSpGEMM.cuh:39-128).
+
+    live: (R, cap) bool; e: (R, cap) start positions (valid where live);
+    chans: tuple of (R, cap) int-typed payload channels. Returns the
+    channels reindexed by product slot t (garbage past a row's last
+    product; callers mask with t < ops).
+    """
+    R = live.shape[0]
+    t2 = jnp.arange(cap, dtype=jnp.int32)[None, :] * 2 + 1
+    key = jnp.concatenate(
+        [jnp.where(live, 2 * e, 2 * cap + 1),
+         jnp.broadcast_to(t2, (R, cap))], axis=1
+    )
+    s = jax.lax.sort(
+        (key,) + tuple(
+            jnp.concatenate([c, jnp.zeros((R, cap), c.dtype)], axis=1)
+            for c in chans),
+        dimension=1, num_keys=1,
+    )
+    key_s, vals = s[0], list(s[1:])
+    is_owner = (key_s & 1) == 0     # even key <=> live A-slot record
+    filled = is_owner
+    d, W = 1, 2 * cap
+    while d < W:
+        f_s = jnp.concatenate([jnp.zeros((R, d), bool), filled[:, :-d]],
+                              axis=1)
+        take = ~filled & f_s
+        for i, v in enumerate(vals):
+            v_s = jnp.concatenate(
+                [jnp.zeros((R, d), v.dtype), v[:, :-d]], axis=1)
+            vals[i] = jnp.where(take, v_s, v)
+        filled |= f_s
+        d <<= 1
+    key2 = jnp.where(is_owner, jnp.int32(2 * cap), key_s >> 1)
+    out = jax.lax.sort((key2,) + tuple(vals), dimension=1, num_keys=1)
+    return tuple(o[:, :cap] for o in out[1:])
+
+
 def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
             b_start, b_len, b_indices, b_data, cap: int, n_cols: int,
             with_values: bool, a_packed=None, b_packed=None,
@@ -82,19 +134,16 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     that gathered/padded B layouts (multi-device all_gather of row shards)
     work unchanged; for a plain CSR, b_start = indptr[:-1], b_len = diff.
 
-    The owning A nonzero of each product slot is found by run-length
-    decoding: scatter a marker payload at each A-slot's first product
-    position, then a running count (cumsum of markers) names the owner and
-    one take_along_axis fetches its payload u = source_base - start, so the
-    source index is simply u + t. Zero-length B rows collapse onto the next
-    slot's start position; their stacked markers make the running count skip
-    them, which is exactly right — but their payloads must not shadow the
-    live slot's, so payloads are scattered only for live slots.
+    The owning A nonzero of each product slot is resolved by ``_owner_fill``
+    (sort + forward fill); its payload u = source_base - start makes the
+    source index simply u + t. Zero-length B rows are excluded from the fill
+    (they own no products and must not shadow a live slot's payload).
 
     Expansion is gather-bound (this hardware moves ~100-260M random elements
     per second vs ~3G/s for row sorts), so the pass is shaped to minimize
-    gathers: one marker scatter, one payload take_along per operand, and the
-    two irreducible random reads of B's column id and value per product.
+    random ops: per-A-slot record gathers plus the irreducible random read
+    of B's (column id, value) record per product — everything else is
+    sorts and elementwise passes.
 
     Returns (col, val, ops): col[r, t] is the B column id of product t of
     row r (or the sentinel ``n_cols`` when t >= ops[r]); val is the product
@@ -126,21 +175,11 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
     ops = cum[:, -1]
     e = cum - blen                                      # slot start positions
 
-    # markers at the starts of LIVE slots only (empty/invalid slots own no
-    # products and must not shift the rank count); e == cap drops
+    # owner payloads per product slot via sort + forward fill (no scatters,
+    # no take_along: per-element random ops run ~100-260M elem/s on this
+    # hardware, batched row sorts ~3G elem/s and the fill is log2(2*cap)
+    # elementwise passes)
     live = va & (blen > 0)
-    rr = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, cap))
-    epos = jnp.where(live, e, cap)
-    ind = jnp.zeros((R, cap), jnp.int32).at[rr, epos].add(1, mode="drop")
-    p = jnp.cumsum(ind, axis=1) - 1                     # owner's live rank
-    pc = jnp.clip(p, 0, cap - 1)
-
-    # compact live-slot payloads by the same rank so pc indexes them
-    # directly (rank of a live slot = count of live slots before it);
-    # payloads (u, aval) travel as one 2-channel record: one scatter + one
-    # take_along instead of two of each
-    lrank = jnp.cumsum(live.astype(jnp.int32), axis=1) - 1
-    dst = jnp.where(live, lrank, cap)
     u = bstart_a - e                                    # src base - start
     if with_values:
         if aval_raw is not None:
@@ -150,28 +189,13 @@ def _expand(rows, valid_rows, a_indptr, a_indices, a_data,
                 jnp.where(va, a_data[aidx], 0), jnp.int32
             ) if a_data.dtype.itemsize == 4 else None
         if araw is not None:
-            upd = jnp.stack([u, araw], axis=-1)
-            by_rank = jnp.zeros((R, cap, 2), jnp.int32).at[rr, dst].set(
-                upd, mode="drop"
-            )
-            pk2 = jnp.take_along_axis(by_rank, pc[..., None], axis=1)
-            uc = pk2[..., 0]
-            ac = jax.lax.bitcast_convert_type(pk2[..., 1], jnp.float32)
+            uc, ar = _owner_fill(live, e, (u, araw), cap)
+            ac = jax.lax.bitcast_convert_type(ar, jnp.float32)
         else:
-            u_by_rank = jnp.zeros((R, cap), u.dtype).at[rr, dst].set(
-                u, mode="drop"
-            )
-            uc = jnp.take_along_axis(u_by_rank, pc, axis=1)
             aval = jnp.where(va, a_data[aidx], 0)
-            a_by_rank = jnp.zeros((R, cap), aval.dtype).at[rr, dst].set(
-                aval, mode="drop"
-            )
-            ac = jnp.take_along_axis(a_by_rank, pc, axis=1)
+            uc, ac = _owner_fill(live, e, (u, aval), cap)
     else:
-        u_by_rank = jnp.zeros((R, cap), u.dtype).at[rr, dst].set(
-            u, mode="drop"
-        )
-        uc = jnp.take_along_axis(u_by_rank, pc, axis=1)
+        (uc,) = _owner_fill(live, e, (u,), cap)
         ac = None
     t = j
     valid_t = t < ops[:, None]

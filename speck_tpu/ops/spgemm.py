@@ -93,6 +93,12 @@ class DenseGroup:
     cw: int
     la: int
     lb: int
+    # True iff EVERY row tile of the matrix is dense-eligible, so tile i
+    # covers rows [i*tile_rows, ...) in order and staged row index ==
+    # matrix row index (the gather-emit precondition). Not implied by
+    # "no ESC groups": an all-empty tile is ineligible (cspan == 0) yet
+    # contributes no groups either.
+    full_cover: bool = False
 
     @property
     def staging_slots(self) -> int:
@@ -152,16 +158,26 @@ class SpgemmPlan:
         with StageTimer(timings, "spGEMMNumeric", track) as st:
             if self.dense is not None:
                 d = self.dense
-                # pure-dense single-batch fast path: build C by gather
+                # pure-dense fast path: every tile is dense-eligible
+                # (full_cover) and no ESC/direct rows remain, so staged row
+                # index == matrix row index across the batch sequence —
+                # build C by gather instead of masked scatter
                 pure = (
                     use_staged and self.dense_staged is not None
-                    and not self.groups and len(d.boffs) == 2
-                    and self.nnz > 0
+                    and not self.groups and d.full_cover and self.nnz > 0
                 )
                 if pure:
-                    counts, cols_c, vals_c = self.dense_staged[0]
+                    if len(self.dense_staged) == 1:
+                        _, cols_c, vals_c = self.dense_staged[0]
+                    else:
+                        cols_c = jnp.concatenate(
+                            [s[1].reshape(-1, d.cw)
+                             for s in self.dense_staged])
+                        vals_c = jnp.concatenate(
+                            [s[2].reshape(-1, d.cw)
+                             for s in self.dense_staged])
                     c_cols, c_vals = dense_gather_emit(
-                        counts, cols_c, vals_c, self.row_offsets, None,
+                        cols_c, vals_c, self.row_offsets,
                         tile_rows=d.tile_rows, cw=d.cw, m=m, nnz=self.nnz,
                     )
                     st.stop(c_cols, c_vals)
@@ -319,6 +335,7 @@ def plan_spgemm(
                 valids=t_valid[:k], boffs=boffs, tile_rows=tr,
                 kw=_ceil128(kw_e), cw=_ceil128(cw_e),
                 la=_pow2(max(8, la_e)), lb=_pow2(max(8, lb_e)),
+                full_cover=(n_elig == -(-m // tr)),
             )
 
     a_packed, b_packed, b_meta = _pack_operands(A, B)

@@ -158,3 +158,72 @@ def test_pure_dense_gather_emit(rng, monkeypatch):
     np.testing.assert_allclose(C_g.data, C_s.data, rtol=1e-6)
     assert compare_csr(oracle_spgemm(a, a), C_g, compare_data=True,
                        rel_tol=2e-4).ok
+
+def test_ineligible_groupless_tile_not_pure(rng, monkeypatch):
+    """An INeligible tile whose rows all have zero products (long A rows
+    referencing only empty B rows) creates no ESC groups either; the
+    gather emit must NOT fire (staged row index would not equal matrix row
+    index) and the scatter emit must stay correct. (A fully-EMPTY tile, by
+    contrast, is eligible — spans bottom out at 1 — and keeps the tile
+    sequence intact.)"""
+    import importlib
+
+    sg = importlib.import_module("speck_tpu.ops.spgemm")
+    calls = {"n": 0}
+    orig = sg.dense_gather_emit
+
+    def counted(*args, **kwargs):
+        calls["n"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(sg, "dense_gather_emit", counted)
+
+    a = _banded(96, 3, rng).to_scipy().tolil()
+    b = _banded(96, 3, rng).to_scipy().tolil()
+    b[40:60, :] = 0              # empty B rows
+    for r in range(32, 48):      # tile 2: 20 nnz/row (> dense_la=16)
+        a[r, :] = 0              # -> tile ineligible, yet every row's
+        for c in range(40, 60):  # products hit only empty B rows (ops=0)
+            a[r, c] = 1.0
+    a = HostCSR.from_scipy(a.tocsr())
+    b = HostCSR.from_scipy(b.tocsr())
+    A = device_put_csr(a, np.float64)
+    B = device_put_csr(b, np.float64)
+    plan = plan_spgemm(A, B, _DENSE_CFG)
+    assert plan.dense is not None
+    assert not plan.dense.full_cover
+    # the ineligible tile's rows (alen > 0, ops == 0) still form an ESC
+    # group — so `not groups` alone already vetoes the gather emit; the
+    # full_cover flag pins the invariant independently
+    assert plan.groups
+    C = device_get_csr(plan.execute())
+    assert calls["n"] == 0, "gather emit must not fire without full cover"
+    assert compare_csr(oracle_spgemm(a, b), C, compare_data=True,
+                       rel_tol=2e-4).ok
+
+
+def test_pure_dense_gather_emit_multibatch(rng, monkeypatch):
+    """full_cover with several dense dispatch batches: the gather emit
+    concatenates the staged batches and must match the oracle."""
+    import importlib
+
+    sg = importlib.import_module("speck_tpu.ops.spgemm")
+    calls = {"n": 0}
+    orig = sg.dense_gather_emit
+
+    def counted(*args, **kwargs):
+        calls["n"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(sg, "dense_gather_emit", counted)
+
+    cfg = dataclasses.replace(_DENSE_CFG, dense_tiles_per_dispatch=2)
+    a = _banded(96, 3, rng)
+    A = device_put_csr(a, np.float64)
+    plan = plan_spgemm(A, A, cfg)
+    assert plan.dense is not None and not plan.groups
+    assert plan.dense.full_cover and len(plan.dense.boffs) > 2
+    C = device_get_csr(plan.execute())
+    assert calls["n"] == 1, "gather emit not taken"
+    assert compare_csr(oracle_spgemm(a, a), C, compare_data=True,
+                       rel_tol=2e-4).ok

@@ -42,3 +42,36 @@ def test_error_within_accumulation_bound(rng, case):
         f"{bad.sum()} entries exceed accumulation bound; worst ratio "
         f"{(err / allowed).max():.2f}"
     )
+
+
+def test_owner_fill_matches_numpy_reference(rng):
+    """Unit test of ops/esc.py _owner_fill: payload of product slot t must
+    be the payload of the last live A slot with start e <= t, across empty
+    B rows (dead slots), rows with no live slots, and full-cap rows."""
+    import jax.numpy as jnp
+    from speck_tpu.ops.esc import _owner_fill
+
+    cap = 32
+    R = 12
+    live = rng.random((R, cap)) < 0.4
+    live[3] = False                       # row with no live slots
+    live[5] = True                        # fully live row
+    # strictly increasing starts among live slots, gaps for dead slots
+    blen = np.where(live, rng.integers(1, 4, (R, cap)), 0)
+    e = np.cumsum(blen, axis=1) - blen
+    ops = blen.sum(axis=1)
+    pay1 = rng.integers(0, 1 << 20, (R, cap)).astype(np.int32)
+    pay2 = rng.integers(0, 1 << 20, (R, cap)).astype(np.int32)
+
+    got1, got2 = _owner_fill(
+        jnp.asarray(live), jnp.asarray(e, jnp.int32),
+        (jnp.asarray(pay1), jnp.asarray(pay2)), cap,
+    )
+    got1, got2 = np.asarray(got1), np.asarray(got2)
+
+    for r in range(R):
+        for t in range(min(int(ops[r]), cap)):
+            owners = [j for j in range(cap) if live[r, j] and e[r, j] <= t]
+            j = owners[-1]
+            assert got1[r, t] == pay1[r, j], (r, t)
+            assert got2[r, t] == pay2[r, j], (r, t)

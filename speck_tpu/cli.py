@@ -21,17 +21,22 @@ def main(argv=None):
     from .utils.config import Config
     from .utils.device import device_info
 
-    if len(argv) < 2:
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    # a lone config file still works when it supplies InputFile; flag-only
+    # invocations (e.g. `runspeck --fp64`) get the usage error, not a crash
+    config = Config.init(args[1] if len(args) > 1 else None)
+    if len(args) == 1 and args[0].endswith(".ini"):
+        config = Config.init(args[0])
+        args = []
+    # InputFile in the config overrides the command line (RunConfig.cpp:22)
+    path = config.get_string("InputFile", "") or (args[0] if args else "")
+    if not path:
         print(
             "Need matrix market file path (.mtx) as first argument\n"
             "Usage: runspeck <matrix.mtx> [config.ini] [--fp64]",
             file=sys.stderr,
         )
         return 1
-    args = [a for a in argv[1:] if not a.startswith("--")]
-    config = Config.init(args[1] if len(args) > 1 else None)
-    # InputFile in the config overrides the command line (RunConfig.cpp:22)
-    path = config.get_string("InputFile", "") or args[0]
     dtype = np.float64 if "--fp64" in argv else np.float32
     print(f"device: {device_info().summary()}")
     executor = Executor(path, config=config, dtype=dtype)

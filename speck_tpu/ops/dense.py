@@ -100,8 +100,11 @@ def tile_stats(a_indptr, a_indices, b_indptr, b_indices,
     cmax = tile_reduce(gcmax, jnp.max, -1)
     amax = tile_reduce(a_len, jnp.max, 0)
     bmax = tile_reduce(gblen, jnp.max, 0)
-    kspan = jnp.maximum(kmax - jnp.minimum(kmin, kmax) + 1, 0)
-    cspan = jnp.maximum(cmax - jnp.minimum(cmin, cmax) + 1, 0)
+    # empty tiles (no A entries / no referenced B columns) get span 0 so the
+    # planner's eligibility guard (cspan > 0) can exclude them from the
+    # dense-tile budget instead of letting them displace real tiles
+    kspan = jnp.where(kmax < 0, 0, kmax - kmin + 1)
+    cspan = jnp.where(cmax < 0, 0, cmax - cmin + 1)
     kmin = jnp.where(kmax < 0, 0, kmin)
     cmin = jnp.where(cmax < 0, 0, cmin)
     # one stacked array so the host needs a single D2H fetch (each fetch

@@ -347,7 +347,11 @@ def plan_spgemm(
         staging_left = cfg.fused_staging_budget
         dense_staged: Optional[List[tuple]] = None
         if dense_grp is not None:
-            staging_left -= dense_grp.staging_slots
+            # dense tiles reserve their staging first; the pow2 padding of
+            # the tile tail can push the reservation slightly past the
+            # budget, so floor at 0 (ESC chunks then take the two-phase
+            # path rather than fusing on a negative budget)
+            staging_left = max(0, staging_left - dense_grp.staging_slots)
             dense_staged = []
             for r0s, kbs, cbs, _ in dense_grp.batches():
                 nnz_row, st_b = dense_tiles(

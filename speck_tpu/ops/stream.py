@@ -1,0 +1,617 @@
+"""Stream ESC: flat product-stream SpGEMM kernels (round-2 core).
+
+TPU-native successor to the per-row-rectangle ESC kernels (ops/esc.py) and
+the TPU analogue of BOTH of spECK's hard-row mechanisms at once:
+
+- the shared-memory hash kernels with their per-size-class bins
+  (/root/reference/include/GPU/spECK_HashSpGEMM.cuh:39-1173, bin ladder
+  spECK_HashLoadBalancer.cuh:49-117), and
+- the windowed giant-row machinery: the dense-window resume cursor
+  (iterateMatrixDenseNumeric, spECK_HashSpGEMM.cuh:1175-1298) and the
+  shared->global hash-map flush/restart protocol (:106-126) that let one
+  row's products be processed across multiple passes.
+
+Design
+======
+
+Every intermediate product of C = A @ B gets one slot in a single flat
+stream, tightly packed:
+
+  - row i's product count ops_i is rounded up to a power of two
+    q_i = pow2ceil(max(ops_i, min_q));
+  - rows are sorted by DESCENDING q (one planning sort); the exclusive
+    cumsum e_i of q over that order is then always q_i-aligned, so no row
+    ever straddles a width-W rectangle row or a chunk boundary;
+  - the stream is chopped into fixed (G, W) chunks. Rows with q <= W are
+    packed many-per-rectangle-row (fill = ops/q in (0.5, 1] instead of the
+    per-row-rectangle ladder's ~0.34); rows with q > W ("wide rows") own
+    whole rectangle rows and are finished by the level ladder below.
+
+Per chunk (all flat batched ops -- no scan/vmap, see ops/esc.py notes):
+
+  decode   row id and owning A-slot of every stream position via boundary
+           scatters + blocked cumsums (run-length decode; replaces the
+           owner-fill sorts of esc._expand -- O(products) elementwise work
+           plus one O(m)/O(nnz) scatter per chunk).
+  gather   the A-slot record (u = b_row_start - p0, prodend, valA) at sid,
+           then the B (col, valB) record at u + t: TWO random gathers per
+           live product -- the irreducible data movement.
+  sort     each rectangle row by (row, col): one single-key sort on the
+           packed key rid_local*C + col when it fits int32, else a two-key
+           lax.sort. Output rows come out column-sorted for free.
+  contract segmented Hillis-Steele scans give run boundaries (exact per-row
+           nnz) and run sums (numeric values), exactly like esc._contract.
+  compact  one rank sort moves run-last entries to the rectangle-row front
+           (uniform staged layout consumed by emission and by the levels).
+
+Wide rows (q > W): their per-rectangle-row compacted partial results are
+re-streamed through "merge levels": level L re-sorts F=4 adjacent level
+L-1 segments as one 4x-wider rectangle row and contracts again, until the
+row fits one rectangle row and is final. This is the resume-cursor idea
+expressed as iterated compaction: each level either dedups (hash-map flush
+analogue) or just widens geometrically, so a row with 5e7+ products
+finishes in ~log4(ops/W) levels with O(ops) total slots across levels.
+
+Counting and numeric phases share all of this; when staging memory allows,
+ONE pass produces both (the fused mode), else the numeric phase re-expands
+(two-phase, like the reference's stages 7 and 13).
+
+Capacity limits: total quantized products per call < 2^31 (int32 stream
+positions; the reference's own row/col ceiling is 2^27, Multiply.cu:57-66).
+Larger problems must be row-blocked by the caller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .analysis import cumsum1d
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+# power-of-two class ladder: q class k has q = 1 << k
+N_QCLASS = 32
+
+
+def _pow2ceil(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def _cumsum_rect(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum over a (G, W) array in flat row-major order:
+    per-row cumsum + row-carry (the 2-D form of analysis.cumsum1d)."""
+    inner = jnp.cumsum(x, axis=1)
+    carry = jnp.concatenate(
+        [jnp.zeros((1,), x.dtype), jnp.cumsum(inner[:, -1])[:-1]]
+    )
+    return inner + carry[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Planning
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("min_q", "m"))
+def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
+                      a_data32, b_indptr, *, min_q: int, m: int):
+    """Device planning pass for the stream layout.
+
+    Returns (rows_sorted, e, p0, srec, src, hist_pack):
+      rows_sorted (m,)  row ids sorted by descending q (stream rows first,
+                        then direct rows by descending copy-length class,
+                        then everything else)
+      e (m,)            aligned stream start of each SORTED row (int32)
+      p0 (nnz,)         stream start of each sorted-order A-slot
+      srec (nnz, 3)     per-sorted-A-slot record [u, prodend, valA-bits]
+                        with u = b_row_start - p0
+      hist_pack (2*N_QCLASS,) int32: stream q-class histogram | direct
+                        copy-length-class histogram
+    """
+    ops = jnp.maximum(row_ops, 0)
+    # exact integer ceil(log2): count powers of two below ops (float log2
+    # is off by ulps exactly at the class boundaries). Class 31 = rows
+    # beyond the 2^30 per-row ceiling; plan_layout rejects those.
+    pows = jnp.int32(1) << jnp.arange(31, dtype=jnp.int32)
+    clog2 = jnp.sum(ops[:, None] > pows[None, :], axis=1, dtype=jnp.int32)
+    qc = jnp.maximum(clog2, int(np.log2(min_q)))
+    qc = jnp.where(stream_mask, qc, 0)
+    dc = jnp.where(direct_mask, clog2, 0)
+
+    # sort key: region (0 stream / 1 direct / 2 rest), then descending class
+    region = jnp.where(stream_mask, 0, jnp.where(direct_mask, 1, 2))
+    key = region * (2 * N_QCLASS) + jnp.where(
+        stream_mask, N_QCLASS - 1 - qc, jnp.where(direct_mask,
+                                                  N_QCLASS - 1 - dc, 0))
+    row_ids = jnp.arange(m, dtype=jnp.int32)
+    _, rows_sorted = jax.lax.sort((key, row_ids), dimension=0, num_keys=1,
+                                  is_stable=True)
+
+    cls = jnp.arange(N_QCLASS, dtype=jnp.int32)
+    s_hist = jnp.sum((qc[None, :] == cls[:, None]) & stream_mask[None, :],
+                     axis=1, dtype=jnp.int32)
+    d_hist = jnp.sum((dc[None, :] == cls[:, None]) & direct_mask[None, :],
+                     axis=1, dtype=jnp.int32)
+
+    # aligned stream offsets over sorted order (pow2 q, descending => each
+    # e is q-aligned; see module docstring)
+    q_sorted = jnp.where(stream_mask[rows_sorted],
+                         jnp.int32(1) << qc[rows_sorted], 0)
+    e = cumsum1d(q_sorted) - q_sorted  # exclusive
+
+    # per-A-slot records in sorted-row order
+    nnz = a_indices.shape[0]
+    alen = a_indptr[1:] - a_indptr[:-1]
+    alen_eff = jnp.where(stream_mask[rows_sorted], alen[rows_sorted], 0)
+    ca = cumsum1d(alen_eff)            # inclusive; ca[-1] = live A-slots
+    ca_excl = ca - alen_eff
+    # sorted-slot s belongs to sorted row rid_s: run-length decode
+    sridb = jnp.zeros((max(nnz, 1),), jnp.int32).at[ca_excl].add(
+        1, mode="drop")
+    rid_s = cumsum1d(sridb) - 1
+    rid_s = jnp.clip(rid_s, 0, m - 1)
+    src = a_indptr[rows_sorted[rid_s]] + (
+        jnp.arange(max(nnz, 1), dtype=jnp.int32) - ca_excl[rid_s])
+    src = jnp.clip(src, 0, max(nnz - 1, 0))
+    acol = a_indices[src]
+    blen = b_indptr[acol + 1] - b_indptr[acol]
+    live_s = jnp.arange(max(nnz, 1), dtype=jnp.int32) < ca[-1]
+    blen = jnp.where(live_s, blen, 0)
+    cb = cumsum1d(blen)
+    # product start of sorted slot s: e[rid_s] + products of earlier slots
+    # of the same row
+    row_first = jnp.clip(ca_excl[rid_s], 0, max(nnz - 1, 0))
+    cb_excl = cb - blen
+    cb_rowbase = cb_excl - jnp.take(cb_excl, row_first)
+    p0 = jnp.where(live_s, e[rid_s] + cb_rowbase, jnp.int32(INT_MAX))
+    u = jnp.where(live_s, b_indptr[acol] - p0, 0)
+    prodend = jnp.where(live_s, p0 + blen, 0)
+    srec = jnp.stack([u, prodend, a_data32[src]], axis=-1)
+    hist_pack = jnp.concatenate([s_hist, d_hist])
+    return rows_sorted, e, p0, srec, src, hist_pack
+
+
+# ---------------------------------------------------------------------------
+# Chunk kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode(boundary_pos, base, chunk_start, G: int, W: int):
+    """Run-length id decode for one chunk: id[t] = base + #(pos <= t) - 1
+    over t in [chunk_start, chunk_start + G*W)."""
+    CP = G * W
+    rel = boundary_pos - chunk_start
+    # negative scatter indices WRAP in XLA (python-style); push them out of
+    # bounds so mode="drop" actually drops them
+    rel = jnp.where(rel < 0, CP, rel)
+    marks = jnp.zeros((CP,), jnp.int32).at[rel].add(1, mode="drop")
+    return base + _cumsum_rect(marks.reshape(G, W)) - 1
+
+
+def _sort_rect(rid, col, val, n_cols: int, pack_bits: int):
+    """Sort each rectangle row by (rid, col); returns sorted (rid, col, val).
+    pack_bits > 0: single-key sort on rid_local << pack_bits | col."""
+    if pack_bits > 0:
+        rid0 = rid[:, :1]
+        keyk = ((rid - rid0) << pack_bits) | col
+        keyk = jnp.where(col >= n_cols, INT_MAX, keyk)
+        keyk, val_s = jax.lax.sort((keyk, val), dimension=1, num_keys=1)
+        col_s = jnp.where(keyk == INT_MAX, jnp.int32(n_cols),
+                          keyk & ((1 << pack_bits) - 1))
+        rid_s = jnp.where(keyk == INT_MAX, rid0 + 0 * keyk,
+                          rid0 + (keyk >> pack_bits))
+        return rid_s, col_s, val_s
+    return jax.lax.sort((rid, col, val), dimension=1, num_keys=2)
+
+
+def _contract_rect(rid_s, col_s, val_s, n_cols: int):
+    """Run boundaries + segmented run sums of (rid, col)-sorted rows.
+    Returns (last, run_sum): last marks the final slot of each live run."""
+    G, W = col_s.shape
+    changed = jnp.concatenate(
+        [jnp.ones((G, 1), bool),
+         (col_s[:, 1:] != col_s[:, :-1]) | (rid_s[:, 1:] != rid_s[:, :-1])],
+        axis=1)
+    nxt_change = jnp.concatenate([changed[:, 1:], jnp.ones((G, 1), bool)],
+                                 axis=1)
+    last = nxt_change & (col_s < n_cols)
+    v, f = val_s, changed
+    d = 1
+    while d < W:
+        v_s = jnp.concatenate([jnp.zeros_like(v[:, :d]), v[:, :-d]], axis=1)
+        f_s = jnp.concatenate([jnp.ones_like(f[:, :d]), f[:, :-d]], axis=1)
+        v = jnp.where(f, v, v + v_s)
+        f = f | f_s
+        d <<= 1
+    return last, v
+
+
+def _compact_rect(last, rid_s, col_s, run_sum):
+    """Rank-sort run-last entries to the rectangle-row front (order kept).
+    Returns (rid_c, col_c, val_c, counts)."""
+    G, W = col_s.shape
+    t = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
+    rank = jnp.cumsum(last.astype(jnp.int32), axis=1) - 1
+    key = jnp.where(last, rank, W + t)
+    _, rid_c, col_c, val_c = jax.lax.sort(
+        (key, rid_s, col_s, run_sum), dimension=1, num_keys=1)
+    counts = jnp.sum(last, axis=1, dtype=jnp.int32)
+    return rid_c, col_c, val_c, counts
+
+
+@partial(
+    jax.jit,
+    static_argnames=("G", "W", "n_cols", "pack_bits", "stage", "f64"),
+    donate_argnames=("nnz_row",),
+)
+def stream_chunk(rows_sorted, e, p0, srec, b_packed, b_indices, b_data,
+                 a_data, a_srcmap, nnz_row, chunk_start, rid_base, sid_base,
+                 n_wide, *, G: int, W: int, n_cols: int, pack_bits: int,
+                 stage: bool, f64: bool):
+    """One fused count(+stage) pass over stream chunk
+    [chunk_start, chunk_start + G*W).
+
+    Counting: contained rows (rid >= n_wide) get their exact nnz scattered
+    into nnz_row here; wide rows are counted by the level ladder.
+    stage=True additionally returns the compacted (rid, col, val, counts)
+    staged rectangle rows for emission / the levels.
+    """
+    t = chunk_start + jax.lax.broadcasted_iota(
+        jnp.int32, (G, W), 0) * W + jax.lax.broadcasted_iota(
+        jnp.int32, (G, W), 1)
+    rid = _decode(e, rid_base, chunk_start, G, W)
+    sid = _decode(p0, sid_base, chunk_start, G, W)
+    nnzA = srec.shape[0]
+    sid_c = jnp.clip(sid, 0, nnzA - 1)
+    rec = srec[sid_c]
+    u, pend = rec[..., 0], rec[..., 1]
+    dead = (t >= pend) | (sid < 0)
+    bsrc = jnp.where(dead, 0, u + t)
+    if f64:
+        aval = a_data[a_srcmap[sid_c]]
+        col = jnp.where(dead, jnp.int32(n_cols), b_indices[bsrc])
+        val = jnp.where(dead, 0.0, aval * b_data[bsrc])
+    else:
+        aval = jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32)
+        bp = b_packed[bsrc]
+        col = jnp.where(dead, jnp.int32(n_cols), bp[..., 0])
+        bval = jax.lax.bitcast_convert_type(bp[..., 1], jnp.float32)
+        val = jnp.where(dead, 0.0, aval * bval)
+
+    rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits)
+    last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols)
+
+    # contained rows count here; wide rows (first n_wide sorted rows) are
+    # counted at their final merge level
+    m = nnz_row.shape[0]
+    cnt_target = jnp.where(
+        last & (rid_s >= n_wide), rows_sorted[jnp.clip(rid_s, 0, m - 1)], m)
+    nnz_row = nnz_row.at[cnt_target].add(1, mode="drop")
+
+    if not stage:
+        return nnz_row, None
+    rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s, run_sum)
+    return nnz_row, (rid_c, col_c, val_c, counts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("G", "W", "n_cols", "pack_bits", "stage_wide", "f64"),
+    donate_argnames=("c_cols", "c_vals"),
+)
+def stream_chunk_numeric(rows_sorted, e, p0, srec, b_packed, b_indices,
+                         b_data, a_data, a_srcmap, row_offsets, c_cols,
+                         c_vals, chunk_start, rid_base, sid_base, n_wide,
+                         *, G: int, W: int, n_cols: int, pack_bits: int,
+                         stage_wide: bool, f64: bool):
+    """Two-phase numeric pass over one chunk: same expand/sort/contract as
+    stream_chunk, but contained rows' run-last entries scatter STRAIGHT to
+    their exact offsets (no staging) — the analogue of the reference's
+    numeric kernels writing to pre-allocated C (spECK_HashSpGEMM.cuh:
+    591-738). stage_wide additionally returns the compacted rectangle rows
+    (chunks that hold wide-row segments feed the merge levels).
+    """
+    t = chunk_start + jax.lax.broadcasted_iota(
+        jnp.int32, (G, W), 0) * W + jax.lax.broadcasted_iota(
+        jnp.int32, (G, W), 1)
+    rid = _decode(e, rid_base, chunk_start, G, W)
+    sid = _decode(p0, sid_base, chunk_start, G, W)
+    nnzA = srec.shape[0]
+    sid_c = jnp.clip(sid, 0, nnzA - 1)
+    rec = srec[sid_c]
+    u, pend = rec[..., 0], rec[..., 1]
+    dead = (t >= pend) | (sid < 0)
+    bsrc = jnp.where(dead, 0, u + t)
+    if f64:
+        aval = a_data[a_srcmap[sid_c]]
+        col = jnp.where(dead, jnp.int32(n_cols), b_indices[bsrc])
+        val = jnp.where(dead, 0.0, aval * b_data[bsrc])
+    else:
+        aval = jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32)
+        bp = b_packed[bsrc]
+        col = jnp.where(dead, jnp.int32(n_cols), bp[..., 0])
+        bval = jax.lax.bitcast_convert_type(bp[..., 1], jnp.float32)
+        val = jnp.where(dead, 0.0, aval * bval)
+
+    rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits)
+    last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols)
+
+    # rank among the row's run-lasts via segmented exclusive count
+    cl = jnp.cumsum(last.astype(jnp.int32), axis=1)
+    ce = cl - last.astype(jnp.int32)
+    tl = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
+    is_first = jnp.concatenate(
+        [jnp.ones((G, 1), bool), rid_s[:, 1:] != rid_s[:, :-1]], axis=1)
+    firstpos = jnp.where(is_first, tl, 0)
+    filled = is_first
+    d = 1
+    while d < W:
+        shifted = jnp.concatenate(
+            [jnp.zeros((G, d), jnp.int32), firstpos[:, :-d]], axis=1)
+        f_s = jnp.concatenate(
+            [jnp.zeros((G, d), bool), filled[:, :-d]], axis=1)
+        take = ~filled & f_s
+        firstpos = jnp.where(take, shifted, firstpos)
+        filled = filled | f_s
+        d <<= 1
+    rank = ce - jnp.take_along_axis(ce, firstpos, axis=1)
+
+    m = rows_sorted.shape[0]
+    row = rows_sorted[jnp.clip(rid_s, 0, m - 1)]
+    live = last & (rid_s >= n_wide)
+    oob = c_cols.shape[0]
+    flat = jnp.where(live, row_offsets[row] + rank, oob)
+    c_cols = c_cols.at[flat].set(col_s, mode="drop", unique_indices=True)
+    c_vals = c_vals.at[flat].set(run_sum, mode="drop", unique_indices=True)
+    if not stage_wide:
+        return c_cols, c_vals, None
+    rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s, run_sum)
+    return c_cols, c_vals, (rid_c, col_c, val_c, counts)
+
+
+# ---------------------------------------------------------------------------
+# Merge levels for wide rows
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("F", "W_in", "n_cols", "count"),
+    donate_argnames=("nnz_row",),
+)
+def stream_level(rows_sorted, rid_in, col_in, val_in, counts_in, in_map,
+                 final_mask, nnz_row, *, F: int, W_in: int, n_cols: int,
+                 count: bool = True):
+    """One merge level: each output rectangle row re-sorts F input segments
+    (width W_in each, compacted prefixes of counts_in) of ONE wide row and
+    contracts them. Rows whose segments all fit here (final_mask) get
+    counted; every output is compacted for the next level / emission.
+
+    in_map (R_out, F): input rectangle-row indices (-1 = none).
+    """
+    R_out = in_map.shape[0]
+    W_out = F * W_in
+    srcrow = in_map.reshape(-1)                       # (R_out*F,)
+    okrow = srcrow >= 0
+    src = jnp.clip(srcrow, 0, max(rid_in.shape[0] - 1, 0))
+    j = jax.lax.broadcasted_iota(jnp.int32, (R_out * F, W_in), 1)
+    livein = okrow[:, None] & (j < counts_in[src][:, None])
+    col = jnp.where(livein, col_in[src], jnp.int32(n_cols)).reshape(
+        R_out, W_out)
+    val = jnp.where(livein, val_in[src], 0.0).reshape(R_out, W_out)
+    rid_out = jnp.max(jnp.where(okrow, rid_in[src], -1).reshape(R_out, F),
+                      axis=1)
+
+    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
+    rid_b = jnp.broadcast_to(rid_out[:, None], (R_out, W_out))
+    last, run_sum = _contract_rect(rid_b, col_s, val_s, n_cols)
+
+    if count:
+        m = nnz_row.shape[0]
+        cnt_target = jnp.where(
+            last & final_mask[:, None] & (rid_b >= 0),
+            rows_sorted[jnp.clip(rid_b, 0, m - 1)], m)
+        nnz_row = nnz_row.at[cnt_target].add(1, mode="drop")
+
+    _, col_c, val_c, counts = _compact_rect(last, rid_b, col_s, run_sum)
+    return nnz_row, (rid_out, col_c, val_c, counts)
+
+
+# ---------------------------------------------------------------------------
+# Emission
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("wide_only", "contained_only"),
+    donate_argnames=("c_cols", "c_vals"),
+)
+def stream_emit(rows_sorted, rid_c, col_c, val_c, counts, n_wide,
+                row_offsets, c_cols, c_vals, *,
+                wide_only: bool = False, contained_only: bool = False):
+    """Scatter one staged buffer's compacted entries into the final CSR
+    arrays. Entries of row r go to row_offsets[r] + rank, where rank is
+    the entry's index within the row (entries of a row are contiguous and
+    ordered within one rectangle row by construction: contained rows fit a
+    level-0 rectangle row; wide rows emit only from their single final
+    merge row).
+
+    contained_only: skip wide rows (level-0 buffers); wide_only: only
+    final wide rows (level buffers, final_mask pre-applied via counts=0).
+    """
+    R, W = col_c.shape
+    t = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    live = t < counts[:, None]
+    if wide_only:
+        live = live & (rid_c >= 0)
+    if contained_only:
+        live = live & (rid_c >= n_wide)
+    # rank within row: entries are grouped by rid at the rect-row front in
+    # order, so rank = t - first position of this rid in the rect row
+    is_first = jnp.concatenate(
+        [jnp.ones((R, 1), bool), rid_c[:, 1:] != rid_c[:, :-1]], axis=1)
+    firstpos = jnp.where(is_first, t, 0)
+    d = 1
+    while d < W:
+        shifted = jnp.concatenate(
+            [jnp.zeros((R, d), jnp.int32), firstpos[:, :-d]], axis=1)
+        f_s = jnp.concatenate(
+            [jnp.zeros((R, d), bool), is_first[:, :-d]], axis=1)
+        take = ~is_first & f_s
+        firstpos = jnp.where(take, shifted, firstpos)
+        is_first = is_first | f_s
+        d <<= 1
+    rank = t - firstpos
+    m = rows_sorted.shape[0]
+    row = rows_sorted[jnp.clip(rid_c, 0, m - 1)]
+    oob = c_cols.shape[0]
+    flat = jnp.where(live, row_offsets[row] + rank, oob)
+    c_cols = c_cols.at[flat].set(col_c, mode="drop", unique_indices=True)
+    c_vals = c_vals.at[flat].set(val_c, mode="drop", unique_indices=True)
+    return c_cols, c_vals
+
+
+# ---------------------------------------------------------------------------
+# Host-side stream layout (pure numpy, driven by the histogram readback)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamLayout:
+    """Everything the host derives from the q-class histogram: chunk
+    schedule, wide-row segment table, merge-level plans."""
+
+    W: int
+    G: int                    # rect rows per chunk
+    n_chunks: int
+    total_q: int              # padded stream length (sum of q)
+    n_wide: int               # wide rows (q > W), first in sorted order
+    r_wide: int               # rect rows owned by wide rows
+    wide_segs: np.ndarray     # (n_wide,) segments (q/W) per wide row
+    rid_bases: np.ndarray     # (n_chunks,) rows with e < chunk start
+    n_stream_rows: int
+    n_direct_rows: int
+    direct_classes: List[Tuple[int, int, int]]  # (cap, start, count)
+
+
+def plan_layout(hist: np.ndarray, d_hist: np.ndarray, W: int,
+                product_budget: int) -> StreamLayout:
+    """Derive the full stream layout from the class histograms (the ONE
+    planning readback; the analogue of spECK's blockStarts D2H,
+    spECK_HashLoadBalancer.cuh:330-331)."""
+    qs = 1 << np.arange(N_QCLASS, dtype=np.int64)
+    total_q = int((hist.astype(np.int64) * qs).sum())
+    if total_q >= 2**31:
+        raise ValueError(
+            f"stream of {total_q} quantized products exceeds the 2^31 "
+            "int32 ceiling; row-block the multiply")
+    n_stream_rows = int(hist.sum())
+    wide_classes = [k for k in range(N_QCLASS) if (1 << k) > W and hist[k]]
+    n_wide = int(sum(hist[k] for k in wide_classes))
+    wide_segs = np.concatenate([
+        np.full(int(hist[k]), (1 << k) // W, np.int64)
+        for k in sorted(wide_classes, reverse=True)
+    ]) if n_wide else np.zeros(0, np.int64)
+    r_wide = int(wide_segs.sum())
+
+    G = max(1, product_budget // W)
+    # bounded pow4 ladder on G so tiny matrices compile small shapes
+    need = -(-max(total_q, 1) // W)
+    while G > 1 and G // 4 >= need:
+        G //= 4
+    n_chunks = -(-max(total_q, 1) // (G * W))
+
+    # rows whose e < c*G*W, per chunk, straight from the class layout:
+    # descending classes => row j (sorted) has e = prefix of q
+    counts_desc = hist[::-1].astype(np.int64)
+    qs_desc = qs[::-1]
+    cls_off = np.concatenate([[0], np.cumsum(counts_desc * qs_desc)])
+    rid_bases = np.zeros(n_chunks, np.int64)
+    for c in range(n_chunks):
+        s = c * G * W
+        k = int(np.searchsorted(cls_off, s, side="right")) - 1
+        k = min(k, N_QCLASS - 1)
+        rows_before = counts_desc[:k].sum()
+        if qs_desc[k] > 0 and counts_desc[k] > 0:
+            # rows of class k with e < s: ceil((s - class_start) / q)
+            rows_before += min(-(-(s - cls_off[k]) // qs_desc[k]),
+                               counts_desc[k])
+        rid_bases[c] = rows_before
+
+    n_direct = int(d_hist.sum())
+    direct_classes = []
+    start = n_stream_rows
+    for k in range(N_QCLASS - 1, -1, -1):
+        cnt = int(d_hist[k])
+        if cnt:
+            direct_classes.append((1 << k, start, cnt))
+            start += cnt
+    return StreamLayout(
+        W=W, G=G, n_chunks=n_chunks, total_q=total_q, n_wide=n_wide,
+        r_wide=r_wide, wide_segs=wide_segs, rid_bases=rid_bases,
+        n_stream_rows=n_stream_rows, n_direct_rows=n_direct,
+        direct_classes=direct_classes,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelPlan:
+    """One merge level: in_map rows of the previous buffer into F-wide
+    output rectangle rows; final rows finish (count + emit) here."""
+
+    F: int
+    W_in: int
+    in_map: np.ndarray      # (R_out, F) int32, -1 padded
+    final_mask: np.ndarray  # (R_out,) bool
+    segs_out: np.ndarray    # (n_unfinished_rows,) for the next level
+
+
+def plan_levels(layout: StreamLayout, F: int = 4,
+                max_width: int = 1 << 24) -> List[LevelPlan]:
+    """Merge-level schedule for the wide rows (host numpy).
+
+    Level 0 input = the first r_wide rectangle rows of the stream (width
+    W); each level groups up to F consecutive segments of one row. A row
+    is final when all its remaining segments fit one output row.
+    """
+    plans: List[LevelPlan] = []
+    segs = layout.wide_segs.copy()
+    rows = np.arange(layout.n_wide)
+    W_in = layout.W
+    while len(rows):
+        starts = np.concatenate([[0], np.cumsum(segs)])[:-1]
+        f_eff = min(F, max(max_width // W_in, 2))
+        out_rows = []
+        final = []
+        segs_out = []
+        keep_rows = []
+        for i, r in enumerate(rows):
+            s0, ns = int(starts[i]), int(segs[i])
+            n_out = -(-ns // f_eff)
+            for o in range(n_out):
+                seg_ids = np.full(f_eff, -1, np.int64)
+                lo = s0 + o * f_eff
+                hi = min(s0 + ns, lo + f_eff)
+                seg_ids[: hi - lo] = np.arange(lo, hi)
+                out_rows.append(seg_ids)
+                final.append(n_out == 1)
+            if n_out > 1:
+                keep_rows.append(r)
+                segs_out.append(n_out)
+        plans.append(LevelPlan(
+            F=f_eff, W_in=W_in,
+            in_map=np.asarray(out_rows, np.int32).reshape(-1, f_eff),
+            final_mask=np.asarray(final, bool),
+            segs_out=np.asarray(segs_out, np.int64),
+        ))
+        rows = np.asarray(keep_rows)
+        segs = np.asarray(segs_out, np.int64)
+        W_in = W_in * f_eff
+    return plans

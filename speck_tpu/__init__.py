@@ -2,9 +2,10 @@
 
 Computes C = A @ B for CSR sparse matrices on TPU via JAX/XLA/Pallas, with the
 capabilities of the reference CUDA library GPUPeople/spECK (PPoPP'20):
-a lightweight analysis pass drives load-balanced row binning, followed by an
-exact two-phase pipeline (symbolic nnz counting, then numeric accumulation into
-exactly-sized, per-row-sorted CSR output).
+a lightweight analysis pass routes rows between an MXU dense-window path, a
+direct-copy path, and a tightly packed flat product stream (sort-based
+expand/contract with merge levels for giant rows), producing exact symbolic
+counts and numeric accumulation into exactly-sized, per-row-sorted CSR output.
 
 Reference entry point parity: ``spECK::MultiplyspECK`` at
 /root/reference/include/Multiply.h:15-19 -> :func:`speck_tpu.spgemm`.

@@ -29,6 +29,13 @@ def main(argv=None):
         config = Config.init(args[0])
         args = []
     # InputFile in the config overrides the command line (RunConfig.cpp:22)
+    if "--fp64" in argv:
+        # real double precision end to end: without x64, JAX silently
+        # downcasts device arrays to f32 (reference: double instantiation,
+        # Multiply.cu:1130-1131)
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     path = config.get_string("InputFile", "") or (args[0] if args else "")
     if not path:
         print(

@@ -196,8 +196,7 @@ def dense_tiles(r0s, kbases, cbases, a_indptr, a_indices, a_data,
 
     Padding tiles (r0 >= m) contribute nothing. Returns
     (nnz_row, (counts (K,TR), cols (K,TR,cw), vals (K,TR,cw))) — the staging
-    layout ops/esc.py emit_chunk consumes (with an identity rows_sorted,
-    since dense tiles cover consecutive rows).
+    layout the dense_emit scatter consumes (tiles cover consecutive rows).
     """
     K = r0s.shape[0]
     t_tr = jnp.arange(tile_rows, dtype=jnp.int32)[None, :]

@@ -1,37 +1,23 @@
-"""Expand-sort-contract SpGEMM kernels (per-bin, fixed shapes).
+"""Expand-sort-contract SpGEMM kernels: the uniform-cap (rows, cap)
+rectangle formulation.
 
-TPU-native replacement for spECK's shared-memory hash-map kernels
-(hashSpGEMMCount/Numeric and their single-row/direct/dense variants,
-/root/reference/include/GPU/spECK_HashSpGEMM.cuh:39-1853, hash maps
-include/HashMap.cuh). TPUs have no fine-grained atomics or efficient random
-scatter, so instead of hashing, each chunk of rows is processed as a dense
-rectangle of ``cap`` product slots per row:
+Two kernels live here since the flat product stream (ops/stream.py) took
+over general row processing:
 
-  expand   — each row's intermediate products (colB, valA*valB) are gathered
-             into a (rows, cap) rectangle: an interleaved key sort + doubling
-             forward fill assigns every product slot its owning A nonzero
-             (the analogue of spECK's threads-per-nnz striding,
-             iterateMatrixCounting, spECK_HashSpGEMM.cuh:39-128).
-  sort     — one batched lax.sort along the product axis groups duplicate
-             column ids (replaces hash-probe insertion; output rows come out
-             sorted for free, eliminating spECK's separate sorting kernel,
-             spECK_HashSpGEMM.cuh:1857-1925).
-  contract — run boundaries give exact per-row nnz (counting phase,
-             hashSpGEMMCount analogue) and run sums give the numeric values
-             (hashSpGEMMNumeric analogue) via segmented scans.
+- ``direct_chunk`` — single-A-nonzero rows, C row = valA * B row (the
+  analogue of directSpGEMMNumericImplementation,
+  /root/reference/include/GPU/spECK_HashSpGEMM.cuh:543-569).
+- ``esc_fixed`` — the one-shot fused count+numeric kernel over ALL rows at
+  one static capacity: fully jittable, scatter-free, no host decisions —
+  the building block the SPMD mesh path (speck_tpu.parallel) runs per
+  shard inside shard_map, where data-dependent chunking is impossible.
 
-Counting and numeric are separate phases (exact allocation, no estimation),
-exactly like the reference's two-phase pipeline (Multiply.cu stages 7 and
-13) — but when staging memory allows, the fused kernel computes both from
-ONE expand+sort (beyond-reference optimization).
-
-Kernel structure note: every kernel here is a FLAT batched computation over
-one (rows, cap) rectangle — no lax.scan, no vmap. On TPU, XLA compiles
-flat gather/sort/scan-free-scatter pipelines to near-roofline code, while
-the same ops nested under scan/vmap lower to pathologically slow loops
-(measured ~10,000x slower on v5e); chunks of a bin are therefore dispatched
-from a host loop (async, so dispatch latency overlaps device work), exactly
-like spECK's per-bin kernel launches on streams (Multiply.cu:494-553).
+The expand stage resolves each product slot's owning A nonzero with an
+interleaved key sort + doubling forward fill (no atomics, no hash maps —
+replacing spECK's shared-memory hash probes, include/HashMap.cuh); the
+sort+contract stages group duplicate columns and compute run sums exactly
+like ops/stream.py. Everything is a FLAT batched computation — no
+lax.scan, no vmap (measured ~10,000x slowdowns on v5e for nested forms).
 """
 
 from __future__ import annotations
@@ -46,13 +32,6 @@ from .pallas_kernels import contract_divisible, contract_runs
 
 def _iota_like(x):
     return jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
-
-
-@jax.jit
-def pack_row_meta(indptr: jax.Array):
-    """Interleaved (row start, row length) records: one gather serves both
-    (gathers are index-latency-bound; see pack_csr_arrays)."""
-    return jnp.stack([indptr[:-1], indptr[1:] - indptr[:-1]], axis=-1)
 
 
 @jax.jit
@@ -278,143 +257,6 @@ def _compact_by_rank(last, col_s, run_sum):
     key = jnp.where(last, rank, W + t)
     _, cols_c, vals_c = jax.lax.sort((key, col_s, run_sum), dimension=1, num_keys=1)
     return cols_c, vals_c
-
-
-@partial(
-    jax.jit,
-    static_argnames=("chunk_rows", "cap", "n_cols"),
-    donate_argnames=("nnz_row",),
-)
-def count_chunk(rows_sorted, start, valid, a_indptr, a_indices,
-                b_indptr, b_indices, nnz_row, a_packed=None, b_packed=None,
-                b_meta=None, *, chunk_rows: int, cap: int, n_cols: int):
-    """Symbolic counting for one chunk: exact distinct-column count per row,
-    scattered into the global nnz_row array.
-
-    Analogue of spGEMMCountLauncher -> hashSpGEMMCountImplementation
-    (spECK_HashSpGEMM.cuh:1797-1853, 919-1058); the occupancyPerRow hash-map
-    writeout (:1005-1057) becomes a sorted-run boundary count.
-    """
-    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
-    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
-    col, _, _ = _expand(
-        rows, valid_rows, a_indptr, a_indices, None,
-        b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, None,
-        cap, n_cols, with_values=False, a_packed=a_packed, b_packed=b_packed,
-        b_meta=b_meta,
-    )
-    col_s = jax.lax.sort(col, dimension=1)
-    _, last = _run_boundaries(col_s, n_cols)
-    counts = jnp.sum(last, axis=1, dtype=jnp.int32)
-    m = nnz_row.shape[0]
-    target = jnp.where(valid_rows, rows, m)
-    return nnz_row.at[target].set(counts, mode="drop", unique_indices=True)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("chunk_rows", "cap", "n_cols"),
-    donate_argnames=("c_cols", "c_vals"),
-)
-def numeric_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
-                  b_indptr, b_indices, b_data, row_offsets, c_cols, c_vals,
-                  a_packed=None, b_packed=None, b_meta=None,
-                  *, chunk_rows: int, cap: int, n_cols: int):
-    """Numeric accumulation for one chunk, written straight to the final CSR
-    arrays at their exact offsets.
-
-    Analogue of spGEMMNumericLauncher -> hashSpGEMMNumericImplementation
-    (spECK_HashSpGEMM.cuh:1714-1794, 591-738): duplicate-column products are
-    summed per run of the sorted rectangle and compacted directly into C via
-    one masked scatter (replacing the compaction + counting-sort output
-    stage, :693-737). Output columns are ascending per row by construction.
-    """
-    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
-    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
-    col, val, _ = _expand(
-        rows, valid_rows, a_indptr, a_indices, a_data,
-        b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, b_data,
-        cap, n_cols, with_values=True, a_packed=a_packed, b_packed=b_packed,
-        b_meta=b_meta,
-    )
-    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
-    last, run_sum = _contract(col_s, val_s, n_cols)
-    out_rank = jnp.cumsum(last.astype(jnp.int32), axis=1) - 1
-    r = jnp.where(valid_rows, rows, 0)
-    flat = row_offsets[r][:, None] + out_rank
-    oob = c_cols.shape[0]
-    flat = jnp.where(last & valid_rows[:, None], flat, oob)
-    c_cols = c_cols.at[flat].set(col_s, mode="drop", unique_indices=True)
-    c_vals = c_vals.at[flat].set(run_sum, mode="drop", unique_indices=True)
-    return c_cols, c_vals
-
-
-@partial(
-    jax.jit,
-    static_argnames=("chunk_rows", "cap", "n_cols"),
-    donate_argnames=("nnz_row",),
-)
-def fused_chunk(rows_sorted, start, valid, a_indptr, a_indices, a_data,
-                b_indptr, b_indices, b_data, nnz_row,
-                a_packed=None, b_packed=None, b_meta=None, *,
-                chunk_rows: int, cap: int, n_cols: int):
-    """Single-pass count + numeric for one chunk: ONE expand + ONE sort
-    produce both the exact per-row nnz (scattered into ``nnz_row``) and the
-    compacted, column-sorted padded results (staged until the global offsets
-    are known, then emitted by ``emit_chunk``).
-
-    This halves the dominant expand/sort work relative to the reference's
-    two-phase pipeline (Multiply.cu stages 7 and 13 both re-iterate all
-    products); the trade is (rows, cap) staging memory, which the planner
-    budgets (ops/spgemm.py) — oversized bins fall back to the two-phase
-    count_chunk/numeric_chunk path.
-    """
-    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
-    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
-    col, val, _ = _expand(
-        rows, valid_rows, a_indptr, a_indices, a_data,
-        b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], b_indices, b_data,
-        cap, n_cols, with_values=True, a_packed=a_packed, b_packed=b_packed,
-        b_meta=b_meta,
-    )
-    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
-    last, run_sum = _contract(col_s, val_s, n_cols)
-    counts = jnp.sum(last, axis=1, dtype=jnp.int32)
-    m = nnz_row.shape[0]
-    target = jnp.where(valid_rows, rows, m)
-    nnz_row = nnz_row.at[target].set(counts, mode="drop", unique_indices=True)
-    cols_c, vals_c = _compact_by_rank(last, col_s, run_sum)
-    # staged width: a row has at most cap distinct columns
-    return nnz_row, (counts, cols_c[:, :cap], vals_c[:, :cap])
-
-
-@partial(
-    jax.jit,
-    static_argnames=("chunk_rows", "cap", "emit_cap"),
-    donate_argnames=("c_cols", "c_vals"),
-)
-def emit_chunk(rows_sorted, start, valid, counts, cols_c, vals_c,
-               row_offsets, c_cols, c_vals, *, chunk_rows: int, cap: int,
-               emit_cap: int = 0):
-    """Scatter a fused chunk's staged padded rows into the final CSR arrays
-    at their exact offsets (pure masked scatter, no expand/sort).
-
-    ``emit_cap`` (0 = cap) trims the scatter to the true max row nnz (known
-    after the offset scan) — staged caps are upper bounds, often far wider
-    than any actual row, and scatter cost scales with the slot count."""
-    ec = min(cap, emit_cap) if emit_cap else cap
-    rows = jax.lax.dynamic_slice_in_dim(rows_sorted, start, chunk_rows)
-    valid_rows = jnp.arange(chunk_rows, dtype=jnp.int32) < valid
-    r = jnp.where(valid_rows, rows, 0)
-    t = jnp.arange(ec, dtype=jnp.int32)[None, :]
-    live = (t < counts[:, None]) & valid_rows[:, None]
-    oob = c_cols.shape[0]
-    flat = jnp.where(live, row_offsets[r][:, None] + t, oob)
-    c_cols = c_cols.at[flat].set(cols_c[:, :ec], mode="drop",
-                                 unique_indices=True)
-    c_vals = c_vals.at[flat].set(vals_c[:, :ec], mode="drop",
-                                 unique_indices=True)
-    return c_cols, c_vals
 
 
 @partial(

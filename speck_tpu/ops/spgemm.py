@@ -4,36 +4,40 @@
 Pipeline stages (mirroring Multiply.cu's 9-stage structure; stage names match
 include/Timings.h / Multiply.cu:1099-1113):
 
-  1. analysis            (readOperations, Multiply.cu:245-252)   -> ops/analysis.py
-  2. dense-tile planning (dense-mode heuristic, :379)            -> ops/dense.py
-  3. binning + grouping  (load balancer, :281-353)               -> ops/binning.py
-  4. symbolic counting   (h_SpGEMMCountLauncher, :494-553)       -> ops/esc.py
-  5. offset scan + alloc (cub ExclusiveSum + alloc C, :570-601)  -> cumsum + host sync
-  6. numeric             (h_SpGEMMNumericLauncher, :837-1014)    -> ops/esc.py
-  (no separate sort pass: rows are emitted sorted; no global hash maps: huge
-   rows are just bigger static chunks)
+  1. analysis            (readOperations, Multiply.cu:245-252)  -> ops/analysis.py
+  2. planning            (load balancer + dense heuristic,
+                          :281-353, :379)                       -> ops/stream.py
+                          plan_device_stream: ONE device pass, ONE readback
+  3. symbolic counting   (h_SpGEMMCountLauncher, :494-553)      -> stream chunks
+  4. wide-row merges     (global-map / windowed giant rows,
+                          spECK_HashSpGEMM.cuh:106-126, 1175-1298) -> stream levels
+  5. offset scan + alloc (cub ExclusiveSum + alloc C, :570-601) -> cumsum + host sync
+  6. numeric / emission  (h_SpGEMMNumericLauncher, :837-1014)   -> staged emit or
+                          two-phase numeric chunks
 
-Chunks are dispatched from host loops — dispatches are asynchronous, so
-their latency overlaps device work; only genuine host syncs (histogram,
-tile stats, total nnz) block, exactly where the reference has D2H copies
-(the 8-byte sumProducts copy :249-252, blockStarts readback
-spECK_HashLoadBalancer.cuh:330-331, nnz readback :572-575).
+Row routing (the analogue of the per-block method selection,
+spECK_HashSpGEMM.cuh:1761-1793):
+  - dense-eligible row tiles  -> MXU dense-window matmuls (ops/dense.py)
+  - single-A-nonzero rows     -> direct copy (ops/esc.py direct_chunk)
+  - everything else           -> the flat product stream (ops/stream.py),
+    which packs small rows tightly AND windows giant rows via merge levels
+    (one mechanism; see ops/stream.py docstring)
 
-Beyond the reference:
-  - low-colrange row tiles run as dense matmuls on the MXU (ops/dense.py);
-  - when staging memory allows, counting and numeric are FUSED: one
-    expand+sort yields both the counts and the compacted rows (staged, then
-    emitted once offsets are known) — the two-phase pipeline re-iterates all
-    products (Multiply.cu stages 7 and 13);
-  - the symbolic result is reusable: ``plan_spgemm`` keeps the binning and
-    row offsets so repeated multiplies with identical structure (AMG setup,
-    graph contractions) skip analysis/counting entirely.
+Exactly TWO host syncs per plan: the packed planning readback and the
+nnz/max readback after the offset scan (the reference's two D2H points,
+Multiply.cu:249-252, 572-575).
+
+Beyond the reference: when staging memory allows, counting and numeric are
+FUSED (one expand/sort yields both phases), and the symbolic result is
+reusable -- ``plan_spgemm``/``execute`` skip analysis/counting for repeated
+multiplies with identical structure (AMG setup, graph contractions).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+import math
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,35 +46,35 @@ import numpy as np
 from ..utils.config import SpgemmConfig
 from ..utils.timings import Timings, StageTimer
 from .analysis import analyze, cumsum1d
-from .binning import Binning, ChunkGroup, bin_caps, plan_groups
 from .dense import dense_emit, dense_gather_emit, dense_tiles
-from .plan_device import plan_device
 from .device_csr import DeviceCSR
-from .esc import (
-    count_chunk,
-    direct_chunk,
-    emit_chunk,
-    fused_chunk,
-    numeric_chunk,
-    pack_csr_arrays,
-    pack_row_meta,
-    packable,
+from .esc import direct_chunk, pack_csr_arrays, packable
+from .stream import (
+    N_QCLASS,
+    LevelPlan,
+    StreamLayout,
+    plan_device_stream,
+    plan_layout,
+    plan_levels,
+    stream_chunk,
+    stream_chunk_numeric,
+    stream_emit,
+    stream_level,
 )
-
-
-def _pack_operands(A, B):
-    """Interleaved (col id, value) records for gather-count halving
-    (esc.pack_csr_arrays); None for non-32-bit value dtypes."""
-    ap = pack_csr_arrays(A.indices, A.data) if packable(A.data) else None
-    if B.indices is A.indices and B.data is A.data:
-        bp = ap
-    else:
-        bp = pack_csr_arrays(B.indices, B.data) if packable(B.data) else None
-    return ap, bp, pack_row_meta(B.indptr)
 
 
 def _pow2(n: int) -> int:
     return 1 << (n - 1).bit_length() if n > 1 else 1
+
+
+def _bucket_rows(count: int, full: int) -> int:
+    """Direct-chunk row count: the budget-limited size for populous
+    classes, else the next power of 4 >= count (bounded compile-shape
+    ladder)."""
+    if count >= full:
+        return full
+    pow4 = 1 << (((count - 1).bit_length() + 1) // 2 * 2) if count > 1 else 1
+    return max(1, min(full, pow4))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,9 +99,7 @@ class DenseGroup:
     lb: int
     # True iff EVERY row tile of the matrix is dense-eligible, so tile i
     # covers rows [i*tile_rows, ...) in order and staged row index ==
-    # matrix row index (the gather-emit precondition). Not implied by
-    # "no ESC groups": an all-empty tile is ineligible (cspan == 0) yet
-    # contributes no groups either.
+    # matrix row index (the gather-emit precondition).
     full_cover: bool = False
 
     @property
@@ -111,31 +113,72 @@ class DenseGroup:
                    self.cbases[s:e], self.valids[s:e])
 
 
+@dataclasses.dataclass(frozen=True)
+class DirectGroup:
+    """Fixed-shape chunks of one direct-copy class (single-A-nonzero rows,
+    C row = valA * B row): chunk c covers rows_sorted[starts[c] :
+    starts[c]+rows], first valids[c] live, copy capacity ``cap``."""
+
+    cap: int
+    rows: int
+    starts: np.ndarray
+    valids: np.ndarray
+
+
+@dataclasses.dataclass
+class StreamState:
+    """Device + host state of the stream path, kept on the plan."""
+
+    layout: StreamLayout
+    lplans: List[LevelPlan]
+    rows_sorted: jax.Array      # (m,) sorted by descending q
+    rows_padded: jax.Array      # rows_sorted padded for direct slicing
+    e: jax.Array                # (m,) aligned stream starts
+    p0: jax.Array               # (nnz,) A-slot stream starts
+    srec: jax.Array             # (nnz, 3) [u, prodend, valA bits]
+    src: jax.Array              # (nnz,) sorted-slot -> A nnz index
+    sid_bases: jax.Array        # (n_chunks,)
+    pack_bits: int
+    fused: bool
+    staged: Optional[list] = None       # per-chunk (rid, col, val, counts)
+    level_bufs: Optional[list] = None   # per-level (rid, col, val, fcnt)
+    wide_rid_in: Optional[jax.Array] = None
+
+
 @dataclasses.dataclass
 class SpgemmPlan:
-    """Symbolic (structure) result of C = A @ B, reusable across numeric runs."""
+    """Symbolic (structure) result of C = A @ B, reusable across numeric
+    runs."""
 
     A: DeviceCSR
     B: DeviceCSR
     cfg: SpgemmConfig
-    binning: Binning
-    groups: List[ChunkGroup]
     row_offsets: jax.Array   # (m+1,) int32
     nnz: int
-    sum_products: jax.Array  # () device scalar; float() it lazily — every
-    # device->host read through a remote transport is a potential stall
-    # fused-pass staging: (group, chunk) -> (counts (R,), cols (R, cap),
-    # vals (R, cap)) computed during planning (one expand/sort for both
-    # phases); consumed by execute() on the planning operands
-    staged: Dict[Tuple[int, int], tuple] = dataclasses.field(default_factory=dict)
-    # MXU dense-tile batches (ops/dense.py) + their staged results
+    sum_products: jax.Array  # () device scalar; float() it lazily
+    stream: Optional[StreamState] = None
+    groups: List[DirectGroup] = dataclasses.field(default_factory=list)
     dense: Optional["DenseGroup"] = None
     dense_staged: Optional[List[tuple]] = None
-    max_count: int = 0  # max nnz of any C row (trims emit scatter widths)
+    max_count: int = 0
 
     @property
     def shape(self):
         return (self.A.shape[0], self.B.shape[1])
+
+    def _chunk_args(self, A, B, ss: StreamState):
+        """Operand arrays for numeric re-expansion (possibly new values)."""
+        f64 = not packable(A.data)
+        if f64:
+            srec = ss.srec
+            b_packed = jnp.zeros((1, 2), jnp.int32)
+        else:
+            bits = jax.lax.bitcast_convert_type(
+                A.data.astype(jnp.float32), jnp.int32)[ss.src]
+            srec = jnp.concatenate([ss.srec[:, :2], bits[:, None]], axis=1)
+            b_packed = pack_csr_arrays(B.indices,
+                                       B.data.astype(jnp.float32))
+        return srec, b_packed, f64
 
     def execute(
         self,
@@ -154,17 +197,17 @@ class SpgemmPlan:
         track = timings is not None and timings.measure_all
         c_cols = jnp.zeros((max(self.nnz, 1),), jnp.int32)
         c_vals = jnp.zeros((max(self.nnz, 1),), A.data.dtype)
-        pk = None  # packed operands, built lazily for numeric recompute
         with StageTimer(timings, "spGEMMNumeric", track) as st:
             if self.dense is not None:
                 d = self.dense
-                # pure-dense fast path: every tile is dense-eligible
-                # (full_cover) and no ESC/direct rows remain, so staged row
-                # index == matrix row index across the batch sequence —
-                # build C by gather instead of masked scatter
+                # pure-dense fast path: every tile dense-eligible
+                # (full_cover), no stream/direct rows -> staged row index
+                # == matrix row index; build C by gather, not scatter
                 pure = (
                     use_staged and self.dense_staged is not None
                     and not self.groups and d.full_cover and self.nnz > 0
+                    and (self.stream is None
+                         or self.stream.layout.n_stream_rows == 0)
                 )
                 if pure:
                     if len(self.dense_staged) == 1:
@@ -189,7 +232,6 @@ class SpgemmPlan:
                     if use_staged and self.dense_staged is not None:
                         counts, cols_c, vals_c = self.dense_staged[bi]
                     else:
-                        # new operands: recompute tile values on the MXU
                         _, (counts, cols_c, vals_c) = dense_tiles(
                             r0s, kbs, cbs,
                             A.indptr, A.indices, A.data,
@@ -205,38 +247,59 @@ class SpgemmPlan:
                         tile_rows=d.tile_rows, cw=d.cw, m=m,
                         emit_cap=_pow2(self.max_count),
                     )
-            for gi, g in enumerate(self.groups):
-                for ci, (start, valid) in enumerate(zip(g.starts, g.valids)):
+            ss = self.stream
+            if (ss is not None and ss.layout.n_chunks > 0
+                    and ss.layout.total_q > 0):
+                lo = ss.layout
+                G, W = lo.G, lo.W
+                CP = G * W
+                nwj = jnp.int32(lo.n_wide)
+                if use_staged and ss.fused and ss.staged is not None:
+                    for stg in ss.staged:
+                        c_cols, c_vals = stream_emit(
+                            ss.rows_sorted, stg[0], stg[1], stg[2], stg[3],
+                            nwj, self.row_offsets, c_cols, c_vals,
+                            contained_only=True)
+                    level_bufs = ss.level_bufs or []
+                else:
+                    srec, b_packed, f64 = self._chunk_args(A, B, ss)
+                    wide_staged = []
+                    for c in range(lo.n_chunks):
+                        has_wide = c * G < lo.r_wide
+                        c_cols, c_vals, stg = stream_chunk_numeric(
+                            ss.rows_sorted, ss.e, ss.p0, srec, b_packed,
+                            B.indices, B.data, A.data, ss.src,
+                            self.row_offsets, c_cols, c_vals,
+                            jnp.int32(c * CP),
+                            jnp.int32(int(lo.rid_bases[c])),
+                            ss.sid_bases[c], nwj,
+                            G=G, W=W, n_cols=n, pack_bits=ss.pack_bits,
+                            stage_wide=has_wide, f64=f64)
+                        if stg is not None:
+                            wide_staged.append(stg)
+                    if use_staged and not ss.fused and ss.level_bufs:
+                        # two-phase plan: wide values were merged once at
+                        # plan time; reuse those buffers
+                        level_bufs = ss.level_bufs
+                    else:
+                        level_bufs = _run_levels(
+                            ss, wide_staged, None, n, count=False)[1]
+                for rid_out, col_c, val_c, fcnt in level_bufs:
+                    rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
+                    c_cols, c_vals = stream_emit(
+                        ss.rows_sorted, rid_b, col_c, val_c, fcnt, nwj,
+                        self.row_offsets, c_cols, c_vals, wide_only=True)
+            for g in self.groups:
+                for start, valid in zip(g.starts, g.valids):
                     if valid == 0:
                         continue
-                    if use_staged and (gi, ci) in self.staged:
-                        counts, cols_c, vals_c = self.staged[(gi, ci)]
-                        c_cols, c_vals = emit_chunk(
-                            self.binning.rows_sorted, int(start), int(valid),
-                            counts, cols_c, vals_c,
-                            self.row_offsets, c_cols, c_vals,
-                            chunk_rows=g.rows, cap=g.cap,
-                            emit_cap=_pow2(self.max_count),
-                        )
-                    elif g.direct:
-                        c_cols, c_vals = direct_chunk(
-                            self.binning.rows_sorted, int(start), int(valid),
-                            A.indptr, A.indices, A.data,
-                            B.indptr, B.indices, B.data,
-                            self.row_offsets, c_cols, c_vals,
-                            chunk_rows=g.rows, cap=g.cap,
-                        )
-                    else:
-                        if pk is None:
-                            pk = _pack_operands(A, B)
-                        c_cols, c_vals = numeric_chunk(
-                            self.binning.rows_sorted, int(start), int(valid),
-                            A.indptr, A.indices, A.data,
-                            B.indptr, B.indices, B.data,
-                            self.row_offsets, c_cols, c_vals,
-                            pk[0], pk[1], pk[2],
-                            chunk_rows=g.rows, cap=g.cap, n_cols=n,
-                        )
+                    c_cols, c_vals = direct_chunk(
+                        self.stream.rows_padded, int(start), int(valid),
+                        A.indptr, A.indices, A.data,
+                        B.indptr, B.indices, B.data,
+                        self.row_offsets, c_cols, c_vals,
+                        chunk_rows=g.rows, cap=g.cap,
+                    )
             st.stop(c_cols, c_vals)
         return DeviceCSR(
             indptr=self.row_offsets,
@@ -257,13 +320,57 @@ def _offsets_from_counts(nnz_row: jax.Array):
     return offs, meta
 
 
+def _run_levels(ss: StreamState, wide_staged, nnz_row, n_cols: int,
+                count: bool):
+    """Drive the merge-level ladder over the wide rows' level-0 staged
+    rectangle rows (the resume-cursor replay). wide_staged: per-wide-chunk
+    staged tuples covering stream rect rows [0, r_wide)."""
+    lo = ss.layout
+    if lo.n_wide == 0 or not wide_staged:
+        return nnz_row, []
+    G = lo.G
+    wcol = jnp.concatenate(
+        [wide_staged[i][1][: min(G, lo.r_wide - i * G)]
+         for i in range(len(wide_staged))])
+    wval = jnp.concatenate(
+        [wide_staged[i][2][: min(G, lo.r_wide - i * G)]
+         for i in range(len(wide_staged))])
+    wcnt = jnp.concatenate(
+        [wide_staged[i][3][: min(G, lo.r_wide - i * G)]
+         for i in range(len(wide_staged))])
+    rid_in = ss.wide_rid_in
+    if nnz_row is None:
+        nnz_row = jnp.zeros((ss.rows_sorted.shape[0],), jnp.int32)
+        count = False
+    level_bufs = []
+    for lp in ss.lplans:
+        nnz_row, (rid_out, col_c, val_c, counts) = stream_level(
+            ss.rows_sorted, rid_in, wcol, wval, wcnt,
+            jnp.asarray(lp.in_map), jnp.asarray(lp.final_mask), nnz_row,
+            F=lp.F, W_in=lp.W_in, n_cols=n_cols, count=count)
+        if lp.final_mask.any():
+            # keep a level's buffer only if some row finalizes (= emits)
+            # there; pure pass-through levels would otherwise pin O(stream)
+            # memory each (deep ladders of one giant row)
+            fi = jnp.asarray(np.nonzero(lp.final_mask)[0], jnp.int32)
+            level_bufs.append((rid_out[fi], col_c[fi], val_c[fi],
+                               counts[fi]))
+        keep = ~lp.final_mask
+        if not keep.any():
+            break
+        ki = jnp.asarray(np.nonzero(keep)[0], jnp.int32)
+        rid_in, wcol, wval, wcnt = (rid_out[ki], col_c[ki], val_c[ki],
+                                    counts[ki])
+    return nnz_row, level_bufs
+
+
 def plan_spgemm(
     A: DeviceCSR,
     B: DeviceCSR,
     cfg: Optional[SpgemmConfig] = None,
     timings: Optional[Timings] = None,
 ) -> SpgemmPlan:
-    """Analysis + binning + symbolic counting: everything up to (and
+    """Analysis + planning + symbolic counting: everything up to (and
     including) C's row offsets."""
     if A.shape[1] != B.shape[0]:
         raise ValueError(
@@ -277,15 +384,16 @@ def plan_spgemm(
         stats = analyze(A, B)
         st.stop(stats.row_ops)
 
+    if m == 0 or A.nnz == 0:
+        # empty product: C has m all-empty rows (early exit parity with
+        # sumProducts == 0, Multiply.cu:256-261)
+        return SpgemmPlan(
+            A=A, B=B, cfg=cfg,
+            row_offsets=jnp.zeros((m + 1,), jnp.int32), nnz=0,
+            sum_products=stats.sum_products,
+        )
+
     with StageTimer(timings, "loadBalanceCounting", track):
-        # one fused device pass computes dense-tile eligibility (spECK's
-        # dense-mode heuristic, Multiply.cu:379), covered-row exclusion, and
-        # the ESC bin histogram; ONE packed readback serves all host
-        # decisions (every readback through a remote transport is a full
-        # round trip)
-        caps = bin_caps(cfg)
-        nbins = len(caps)
-        pad_to = max(1, cfg.product_budget // cfg.min_cap)
         direct_ok = bool(B.canonical) and cfg.enable_direct
         use_dense = bool(
             cfg.enable_dense and A.canonical and B.canonical
@@ -293,23 +401,49 @@ def plan_spgemm(
         )
         tr = cfg.dense_tile_rows
         max_tiles = max(0, cfg.fused_staging_budget // (tr * cfg.dense_cw))
-        rows_sorted, nnz_init, t_r0, t_kb, t_cb, t_valid, pack = plan_device(
-            A.indptr, A.indices, B.indptr, B.indices,
-            stats.row_ops, stats.a_len, stats.work,
-            caps=tuple(caps), pad_to=pad_to, direct_ok=direct_ok,
+        f64 = not packable(A.data)
+        a32 = (jnp.zeros_like(A.indices) if f64 else
+               jax.lax.bitcast_convert_type(
+                   A.data.astype(jnp.float32), jnp.int32))
+        (rows_sorted, e, p0, srec, src, nnz_init, t_r0, t_kb, t_cb,
+         t_valid, pack) = plan_device_stream(
+            A.indptr, A.indices, a32, B.indptr, B.indices,
+            stats.row_ops, stats.a_len,
+            min_q=cfg.stream_min_q, direct_ok=direct_ok,
             use_dense=use_dense and max_tiles > 0, tile_rows=tr,
             kw_max=cfg.dense_kw, cw_max=cfg.dense_cw,
             la_max=cfg.dense_la, lb_max=cfg.dense_lb,
             max_tiles=max_tiles, m=m,
         )
         pack_h = np.asarray(pack)  # the ONE planning host sync
-        counts_h = pack_h[: 2 * nbins + 1]
-        n_elig, kw_e, cw_e, la_e, lb_e = (int(x) for x in pack_h[2 * nbins + 1:])
-        starts_h = np.zeros_like(counts_h)
-        np.cumsum(counts_h[:-1], out=starts_h[1:])
-        binning = Binning(rows_sorted=rows_sorted, bin_counts=counts_h,
-                          bin_starts=starts_h, caps=caps, nnz_init=nnz_init)
-        groups = plan_groups(binning, cfg)
+        s_hist = pack_h[:N_QCLASS]
+        d_hist = pack_h[N_QCLASS: 2 * N_QCLASS]
+        n_elig, kw_e, cw_e, la_e, lb_e = (
+            int(x) for x in pack_h[2 * N_QCLASS:])
+        W = cfg.stream_width
+        layout = plan_layout(s_hist, d_hist, W, cfg.product_budget)
+        lplans = plan_levels(layout, F=cfg.stream_level_factor,
+                             max_width=cfg.stream_max_width)
+
+        # direct-copy chunk groups per copy-length class
+        groups: List[DirectGroup] = []
+        max_chunk_rows = 1
+        for cap, start, count in layout.direct_classes:
+            full = max(1, 4 * cfg.product_budget // cap)
+            rpc = _bucket_rows(count, full)
+            max_chunk_rows = max(max_chunk_rows, rpc)
+            n_chunks = math.ceil(count / rpc)
+            k = _pow2(n_chunks)
+            starts = np.zeros(k, np.int32)
+            valids = np.zeros(k, np.int32)
+            for c in range(n_chunks):
+                starts[c] = start + c * rpc
+                valids[c] = min(rpc, count - c * rpc)
+            groups.append(DirectGroup(cap=cap, rows=rpc, starts=starts,
+                                      valids=valids))
+        rows_padded = jnp.concatenate(
+            [rows_sorted, jnp.zeros((max_chunk_rows,), jnp.int32)])
+
         dense_grp = None
         if n_elig > 0:
             db = max(1, cfg.dense_tiles_per_dispatch)
@@ -338,20 +472,32 @@ def plan_spgemm(
                 full_cover=(n_elig == -(-m // tr)),
             )
 
-    a_packed, b_packed, b_meta = _pack_operands(A, B)
+        pack_bits = int(n + 1).bit_length()
+        if (W // cfg.stream_min_q) * (1 << pack_bits) >= 2**31:
+            pack_bits = 0
+        G = layout.G
+        CP = G * W
+        sid_bases = jnp.searchsorted(
+            p0, jnp.arange(max(layout.n_chunks, 1), dtype=jnp.int32) * CP
+        ).astype(jnp.int32)
+        # fused staging: 3 int32 planes per stream slot + the dense tiles
+        staging = 3 * layout.total_q + (
+            dense_grp.staging_slots if dense_grp else 0)
+        fused = staging <= cfg.fused_staging_budget
+        ss = StreamState(
+            layout=layout, lplans=lplans, rows_sorted=rows_sorted,
+            rows_padded=rows_padded, e=e, p0=p0, srec=srec, src=src,
+            sid_bases=sid_bases, pack_bits=pack_bits, fused=fused,
+            wide_rid_in=(jnp.asarray(
+                np.repeat(np.arange(layout.n_wide), layout.wide_segs),
+                jnp.int32) if layout.n_wide
+                else jnp.zeros((0,), jnp.int32)),
+        )
 
     with StageTimer(timings, "spGEMMCounting", track) as st:
-        # direct/empty rows already counted by the analysis pass
-        nnz_row = binning.nnz_init
-        staged: Dict[Tuple[int, int], tuple] = {}
-        staging_left = cfg.fused_staging_budget
+        nnz_row = nnz_init
         dense_staged: Optional[List[tuple]] = None
         if dense_grp is not None:
-            # dense tiles reserve their staging first; the pow2 padding of
-            # the tile tail can push the reservation slightly past the
-            # budget, so floor at 0 (ESC chunks then take the two-phase
-            # path rather than fusing on a negative budget)
-            staging_left = max(0, staging_left - dense_grp.staging_slots)
             dense_staged = []
             for r0s, kbs, cbs, _ in dense_grp.batches():
                 nnz_row, st_b = dense_tiles(
@@ -363,44 +509,41 @@ def plan_spgemm(
                     m=m, k_dim=A.shape[1], n_cols=n,
                 )
                 dense_staged.append(st_b)
-        for gi, g in enumerate(groups):
-            if g.direct:
-                continue
-            slots = g.rows * g.cap
-            for ci, (start, valid) in enumerate(zip(g.starts, g.valids)):
-                if valid == 0:
-                    continue
-                if slots <= staging_left:
-                    # fused pass: one expand/sort yields counts AND the
-                    # staged compacted rows (skips the numeric re-expand)
-                    staging_left -= slots
-                    nnz_row, staged[(gi, ci)] = fused_chunk(
-                        binning.rows_sorted, int(start), int(valid),
-                        A.indptr, A.indices, A.data,
-                        B.indptr, B.indices, B.data, nnz_row,
-                        a_packed, b_packed, b_meta,
-                        chunk_rows=g.rows, cap=g.cap, n_cols=n,
-                    )
-                else:
-                    nnz_row = count_chunk(
-                        binning.rows_sorted, int(start), int(valid),
-                        A.indptr, A.indices, B.indptr, B.indices, nnz_row,
-                        a_packed, b_packed, b_meta,
-                        chunk_rows=g.rows, cap=g.cap, n_cols=n,
-                    )
+        if layout.n_chunks > 0 and layout.total_q > 0:
+            f64 = not packable(A.data)
+            b_packed = (jnp.zeros((1, 2), jnp.int32) if f64 else
+                        pack_csr_arrays(B.indices,
+                                        B.data.astype(jnp.float32)))
+            staged = []
+            nwj = jnp.int32(layout.n_wide)
+            for c in range(layout.n_chunks):
+                has_wide = c * G < layout.r_wide
+                nnz_row, stg = stream_chunk(
+                    rows_sorted, e, p0, srec, b_packed, B.indices, B.data,
+                    A.data, src, nnz_row,
+                    jnp.int32(c * CP), jnp.int32(int(layout.rid_bases[c])),
+                    sid_bases[c], nwj,
+                    G=G, W=W, n_cols=n, pack_bits=pack_bits,
+                    stage=fused or has_wide, f64=f64)
+                staged.append(stg)
+            nw_chunks = -(-layout.r_wide // G) if layout.r_wide else 0
+            nnz_row, level_bufs = _run_levels(
+                ss, staged[:nw_chunks], nnz_row, n, count=True)
+            ss.staged = staged if fused else None
+            ss.level_bufs = level_bufs
         st.stop(nnz_row)
 
     with StageTimer(timings, "allocC", track):
         row_offsets, meta = _offsets_from_counts(nnz_row)
         nnz, max_count = (int(x) for x in np.asarray(meta))  # ONE host sync
-        # (Multiply.cu:572-575); max_count trims emit widths
+        # (Multiply.cu:572-575); max_count trims dense emit widths
 
     return SpgemmPlan(
-        A=A, B=B, cfg=cfg, binning=binning, groups=groups,
+        A=A, B=B, cfg=cfg,
         row_offsets=row_offsets, nnz=nnz,
         sum_products=stats.sum_products,
-        staged=staged, dense=dense_grp, dense_staged=dense_staged,
-        max_count=max_count,
+        stream=ss, groups=groups, dense=dense_grp,
+        dense_staged=dense_staged, max_count=max_count,
     )
 
 

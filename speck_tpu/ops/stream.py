@@ -177,6 +177,83 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
     return rows_sorted, e, p0, srec, src, hist_pack
 
 
+@partial(
+    jax.jit,
+    static_argnames=("min_q", "direct_ok", "use_dense", "tile_rows",
+                     "kw_max", "cw_max", "la_max", "lb_max", "max_tiles",
+                     "m"),
+)
+def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
+                       row_ops, a_len, *, min_q: int, direct_ok: bool,
+                       use_dense: bool, tile_rows: int, kw_max: int,
+                       cw_max: int, la_max: int, lb_max: int,
+                       max_tiles: int, m: int):
+    """Single-dispatch planning: dense-tile eligibility (ops/dense.py),
+    direct/stream masks, the stream layout sort, and the A-slot records --
+    ONE packed int32 readback serves every host decision (the analogue of
+    the reference's planning D2H points, Multiply.cu:249-252 and
+    spECK_HashLoadBalancer.cuh:330-331).
+
+    pack = [stream q-class hist (32) | direct class hist (32) |
+            n_eligible_tiles | kw_eff | cw_eff | la_eff | lb_eff]
+    """
+    from .dense import tile_stats
+
+    if use_dense and m > 0:
+        stats = tile_stats(a_indptr, a_indices, b_indptr, b_indices,
+                           row_ops, a_len, tile_rows=tile_rows, m=m)
+        kmin, kspan, cmin, cspan, amax, bmax = (stats[i] for i in range(6))
+        T = kmin.shape[0]
+        elig = (
+            (kspan <= kw_max) & (cspan <= cw_max)
+            & (amax <= la_max) & (bmax <= lb_max) & (cspan > 0)
+        )
+        elig = elig & (jnp.cumsum(elig.astype(jnp.int32)) <= max_tiles)
+        n_elig = jnp.sum(elig, dtype=jnp.int32)
+        tid = jnp.arange(T, dtype=jnp.int32)
+        key = jnp.where(elig, tid, T + tid)
+        key_s, kb_s, cb_s = jax.lax.sort(
+            (key, kmin, cmin), dimension=0, num_keys=1)
+        is_real = key_s < T
+        r0 = jnp.where(is_real, key_s * tile_rows, m)
+        valid = jnp.where(
+            is_real, jnp.minimum(tile_rows, m - key_s * tile_rows), 0)
+        kb_s = jnp.where(is_real, kb_s, 0)
+        cb_s = jnp.where(is_real, cb_s, 0)
+        kw_eff = jnp.max(jnp.where(elig, kspan, 0))
+        cw_eff = jnp.max(jnp.where(elig, cspan, 0))
+        la_eff = jnp.max(jnp.where(elig, amax, 0))
+        lb_eff = jnp.max(jnp.where(elig, bmax, 0))
+        dense_mask = jnp.repeat(
+            elig, tile_rows, total_repeat_length=T * tile_rows)[:m]
+    else:
+        n_elig = jnp.int32(0)
+        r0 = jnp.zeros((0,), jnp.int32)
+        kb_s = jnp.zeros((0,), jnp.int32)
+        cb_s = jnp.zeros((0,), jnp.int32)
+        valid = jnp.zeros((0,), jnp.int32)
+        kw_eff = cw_eff = la_eff = lb_eff = jnp.int32(0)
+        dense_mask = jnp.zeros((m,), bool)
+
+    if direct_ok:
+        direct_mask = (a_len == 1) & (row_ops > 0) & ~dense_mask
+    else:
+        direct_mask = jnp.zeros((m,), bool)
+    stream_mask = (row_ops > 0) & ~direct_mask & ~dense_mask
+    rows_sorted, e, p0, srec, src, hist = _plan_stream_impl(
+        row_ops, stream_mask, direct_mask, a_indptr, a_indices, a_data32,
+        b_indptr, min_q=min_q, m=m)
+    # direct rows' exact counts come free from the analysis pass (their C
+    # row is a copy of one B row), like the reference's direct method
+    # (spECK_HashSpGEMM.cuh:572-589)
+    nnz_init = jnp.where(direct_mask, row_ops, 0)
+    pack = jnp.concatenate([
+        hist,
+        jnp.stack([n_elig, kw_eff, cw_eff, la_eff, lb_eff]).astype(jnp.int32),
+    ])
+    return rows_sorted, e, p0, srec, src, nnz_init, r0, kb_s, cb_s, valid, pack
+
+
 # ---------------------------------------------------------------------------
 # Chunk kernel
 # ---------------------------------------------------------------------------
@@ -526,7 +603,7 @@ def plan_layout(hist: np.ndarray, d_hist: np.ndarray, W: int,
     need = -(-max(total_q, 1) // W)
     while G > 1 and G // 4 >= need:
         G //= 4
-    n_chunks = -(-max(total_q, 1) // (G * W))
+    n_chunks = -(-total_q // (G * W)) if total_q else 0
 
     # rows whose e < c*G*W, per chunk, straight from the class layout:
     # descending classes => row j (sorted) has e = prefix of q

@@ -95,6 +95,14 @@ class SpgemmConfig:
     bin_growth: int = 4          # capacity ratio between adjacent bins
     num_bins: int = 6            # ladder bins before the "huge rows" path
     product_budget: int = 1 << 22  # max products per dispatch (~4M)
+    # stream ESC (ops/stream.py): rectangle-row width of the flat product
+    # stream; rows with more products own whole rectangle rows and are
+    # finished by merge levels growing the width by stream_level_factor
+    # per level (capped at stream_max_width slots per sort row)
+    stream_width: int = 8192
+    stream_min_q: int = 8        # smallest per-row product quantum (pow2)
+    stream_level_factor: int = 4
+    stream_max_width: int = 1 << 24
     # fused count+numeric staging: total padded product slots that may stay
     # resident between the counting and numeric phases (8 bytes/slot);
     # chunks beyond this run the classic two-phase path. 2^27 slots = 1 GiB.

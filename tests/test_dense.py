@@ -58,7 +58,8 @@ def test_dense_mixed_with_esc(rng):
     A = device_put_csr(a, np.float64)
     plan = plan_spgemm(A, A, _DENSE_CFG)
     assert plan.dense is not None
-    assert plan.groups, "wide-row tiles must fall back to ESC"
+    assert plan.stream is not None and plan.stream.layout.n_stream_rows, \
+        "wide-row tiles must fall back to the stream path"
     C = device_get_csr(plan.execute())
     ref = oracle_spgemm(a, a)
     # mixed routing: ESC rows carry cumsum-difference accumulation error
@@ -192,10 +193,9 @@ def test_ineligible_groupless_tile_not_pure(rng, monkeypatch):
     plan = plan_spgemm(A, B, _DENSE_CFG)
     assert plan.dense is not None
     assert not plan.dense.full_cover
-    # the ineligible tile's rows (alen > 0, ops == 0) still form an ESC
-    # group — so `not groups` alone already vetoes the gather emit; the
-    # full_cover flag pins the invariant independently
-    assert plan.groups
+    # the ineligible tile's rows (alen > 0, ops == 0) produce no stream
+    # content (zero products -> count 0 for free); full_cover alone must
+    # veto the gather emit
     C = device_get_csr(plan.execute())
     assert calls["n"] == 0, "gather emit must not fire without full cover"
     assert compare_csr(oracle_spgemm(a, b), C, compare_data=True,

@@ -220,7 +220,8 @@ def test_staged_plan_reexecute_consistent(rng):
     # dense disabled: this test targets the ESC fused-staging path
     cfg = dataclasses.replace(_TEST_CFG, enable_dense=False)
     plan = plan_spgemm(A, A, cfg)
-    assert plan.staged, "expected fused staging under the default budget"
+    assert plan.stream is not None and plan.stream.fused and \
+        plan.stream.staged, "expected fused staging under the default budget"
     C1 = device_get_csr(plan.execute())
     C2 = device_get_csr(plan.execute())
     C3 = device_get_csr(plan.execute(A, A))  # bypasses staging

@@ -1,0 +1,186 @@
+"""Stream-ESC specific tests: layout invariants, wide-row merge levels
+(the windowed giant-row path), fp64, and plan reuse through the stream.
+
+The reference handles rows wider than on-chip memory with a dense-window
+resume cursor and a global-map flush/restart protocol
+(/root/reference/include/GPU/spECK_HashSpGEMM.cuh:1175-1298, :106-126);
+speck-tpu's analogue is the merge-level ladder in ops/stream.py — these
+tests pin the cross-rectangle-row run merge it performs."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from conftest import random_host_csr
+from speck_tpu import (
+    SpgemmConfig,
+    compare_csr,
+    device_get_csr,
+    device_put_csr,
+    oracle_spgemm,
+    plan_spgemm,
+    spgemm,
+)
+from speck_tpu.formats.csr import HostCSR
+from speck_tpu.ops.stream import N_QCLASS, plan_layout, plan_levels
+
+_CFG = SpgemmConfig(product_budget=1 << 14, enable_dense=False)
+
+
+def _check(a, b, cfg, rtol=2e-3):
+    ref = oracle_spgemm(a, b)
+    C = device_get_csr(spgemm(device_put_csr(a), device_put_csr(b), cfg))
+    r = compare_csr(ref, C, compare_data=False)
+    assert r.ok, r.message
+    rv = compare_csr(ref, C, compare_data=True, rel_tol=rtol)
+    assert rv.ok, rv.message
+    return C
+
+
+def test_layout_alignment_invariants():
+    """pow2 quantization + descending sort => every row's stream start is
+    q-aligned, wide rows own whole rectangle rows, chunk boundaries are
+    never straddled."""
+    hist = np.zeros(N_QCLASS, np.int64)
+    hist[3] = 5    # q=8
+    hist[6] = 3    # q=64
+    hist[10] = 2   # q=1024 (wide at W=64)
+    d_hist = np.zeros(N_QCLASS, np.int64)
+    lo = plan_layout(hist, d_hist, W=64, product_budget=1 << 10)
+    assert lo.total_q == 5 * 8 + 3 * 64 + 2 * 1024
+    assert lo.n_wide == 2 and lo.r_wide == 2 * (1024 // 64)
+    # rid_bases: rows with e < c*G*W
+    qs = np.concatenate([np.full(2, 1024), np.full(3, 64), np.full(5, 8)])
+    e = np.concatenate([[0], np.cumsum(qs)])[:-1]
+    for c in range(lo.n_chunks):
+        assert lo.rid_bases[c] == np.sum(e < c * lo.G * 64), c
+    plans = plan_levels(lo, F=4)
+    # 16 segments/row -> 4 -> 1: two levels
+    assert len(plans) == 2
+    assert plans[0].in_map.shape == (8, 4)
+    assert plans[1].final_mask.all()
+
+
+def test_wide_row_multilevel(rng):
+    """A row needing >= 3 merge levels at the test width produces
+    oracle-exact structure and values (cross-rectangle-row run merge)."""
+    n = 600
+    base = sp.random(n, n, 0.03, format="csr",
+                     random_state=np.random.RandomState(5))
+    base.data = rng.standard_normal(base.nnz)
+    lil = base.tolil()
+    lil[0, :] = rng.standard_normal(n)   # ~600 * 18 = ~10k products
+    lil[7, ::2] = rng.standard_normal(n // 2)
+    a = HostCSR.from_scipy(lil.tocsr())
+    # small width so the hot rows span many rectangle rows and levels
+    cfg = dataclasses.replace(_CFG, stream_width=128,
+                              product_budget=1 << 11,
+                              stream_level_factor=4)
+    _check(a, a, cfg)
+
+
+def test_wide_row_no_dedup(rng):
+    """Wide row whose products are (almost) all distinct columns: the
+    levels converge by width growth alone, not deduplication."""
+    m = 300
+    # row 0 of A has nnz spread over many B rows with disjoint col ranges
+    cols_a = np.arange(0, 100)
+    rows_a = np.zeros(100, int)
+    # B: row i covers cols [3i, 3i+3) -> products of row 0 are all distinct
+    b = sp.csr_matrix(
+        (np.ones(300), (np.repeat(np.arange(100), 3),
+                        np.arange(300) % (3 * 100))), shape=(m, m))
+    a = sp.csr_matrix((rng.standard_normal(100), (rows_a, cols_a)),
+                      shape=(m, m)) + sp.eye(m, format="csr") * 0.5
+    ah = HostCSR.from_scipy(a.tocsr())
+    bh = HostCSR.from_scipy(b)
+    cfg = dataclasses.replace(_CFG, stream_width=32, product_budget=1 << 9)
+    _check(ah, bh, cfg)
+
+
+def test_two_phase_matches_fused(rng):
+    a = random_host_csr(rng, 120, 120, 0.08)
+    fused = _CFG
+    two = dataclasses.replace(_CFG, fused_staging_budget=0)
+    C_f = _check(a, a, fused)
+    C_t = _check(a, a, two)
+    np.testing.assert_array_equal(C_f.row_offsets, C_t.row_offsets)
+    np.testing.assert_array_equal(C_f.col_ids, C_t.col_ids)
+    np.testing.assert_allclose(C_f.data, C_t.data, rtol=1e-5, atol=1e-7)
+
+
+def test_fp64_end_to_end(rng):
+    """fp64 operands run the unpacked-gather fallback through the full
+    pipeline (parity with the double instantiation, Multiply.cu:1130-1131)
+    including a wide row. Requires jax_enable_x64 — without it JAX
+    silently downcasts device arrays to f32."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        n = 200
+        base = sp.random(n, n, 0.05, format="csr",
+                         random_state=np.random.RandomState(9))
+        base.data = rng.standard_normal(base.nnz)
+        lil = base.tolil()
+        lil[3, :] = rng.standard_normal(n)
+        a = HostCSR.from_scipy(lil.tocsr())
+        cfg = dataclasses.replace(_CFG, stream_width=256)
+        ref = oracle_spgemm(a, a)
+        A = device_put_csr(a, np.float64)
+        C = device_get_csr(spgemm(A, A, cfg))
+        assert C.data.dtype == np.float64
+        r = compare_csr(ref, C, compare_data=True, rel_tol=1e-9)
+        assert r.ok, r.message
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_plan_reuse_new_values(rng):
+    """execute(A2, B2) with new values on the plan's structure recomputes
+    through the stream numeric path, including wide-row level replay."""
+    n = 250
+    base = sp.random(n, n, 0.05, format="csr",
+                     random_state=np.random.RandomState(13))
+    base.data = rng.standard_normal(base.nnz)
+    lil = base.tolil()
+    lil[0, :] = rng.standard_normal(n)   # wide row
+    a = HostCSR.from_scipy(lil.tocsr())
+    cfg = dataclasses.replace(_CFG, stream_width=256)
+    A = device_put_csr(a)
+    plan = plan_spgemm(A, A, cfg)
+    assert plan.stream.layout.n_wide >= 1
+
+    a2 = HostCSR(rows=a.rows, cols=a.cols, row_offsets=a.row_offsets,
+                 col_ids=a.col_ids, data=a.data * 2.0 + 0.25)
+    # same structure, new values
+    a2h = a2
+    A2 = device_put_csr(a2h)
+    C2 = device_get_csr(plan.execute(A2, A2))
+    ref2 = oracle_spgemm(a2h, a2h)
+    r = compare_csr(ref2, C2, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+    # staged emit still intact afterwards
+    C1 = device_get_csr(plan.execute())
+    ref1 = oracle_spgemm(a, a)
+    assert compare_csr(ref1, C1, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_direct_plus_stream_plus_empty(rng):
+    """Mixed routing: single-nnz rows (direct), general rows (stream),
+    empty rows, all in one matrix."""
+    m = 90
+    rows, cols, vals = [], [], []
+    for r in range(m):
+        if r % 7 == 3:
+            continue                      # empty row
+        k = 1 if r % 2 == 0 else int(rng.integers(2, 9))
+        c = rng.choice(m, k, replace=False)
+        rows.extend([r] * k)
+        cols.extend(c)
+        vals.extend(rng.standard_normal(k))
+    a = HostCSR.from_scipy(sp.csr_matrix((vals, (rows, cols)),
+                                         shape=(m, m)))
+    _check(a, a, _CFG)

@@ -100,7 +100,7 @@ def _cumsum_rect(x: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("min_q", "m"))
 def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
-                      a_data32, b_indptr, *, min_q: int, m: int):
+                      a_data32, b_start, b_len, *, min_q: int, m: int):
     """Device planning pass for the stream layout.
 
     Returns (rows_sorted, e, p0, srec, src, hist_pack):
@@ -160,7 +160,7 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
         jnp.arange(max(nnz, 1), dtype=jnp.int32) - ca_excl[rid_s])
     src = jnp.clip(src, 0, max(nnz - 1, 0))
     acol = a_indices[src]
-    blen = b_indptr[acol + 1] - b_indptr[acol]
+    blen = b_len[acol]
     live_s = jnp.arange(max(nnz, 1), dtype=jnp.int32) < ca[-1]
     blen = jnp.where(live_s, blen, 0)
     cb = cumsum1d(blen)
@@ -170,7 +170,7 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
     cb_excl = cb - blen
     cb_rowbase = cb_excl - jnp.take(cb_excl, row_first)
     p0 = jnp.where(live_s, e[rid_s] + cb_rowbase, jnp.int32(INT_MAX))
-    u = jnp.where(live_s, b_indptr[acol] - p0, 0)
+    u = jnp.where(live_s, b_start[acol] - p0, 0)
     prodend = jnp.where(live_s, p0 + blen, 0)
     srec = jnp.stack([u, prodend, a_data32[src]], axis=-1)
     hist_pack = jnp.concatenate([s_hist, d_hist])
@@ -242,7 +242,7 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     stream_mask = (row_ops > 0) & ~direct_mask & ~dense_mask
     rows_sorted, e, p0, srec, src, hist = _plan_stream_impl(
         row_ops, stream_mask, direct_mask, a_indptr, a_indices, a_data32,
-        b_indptr, min_q=min_q, m=m)
+        b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], min_q=min_q, m=m)
     # direct rows' exact counts come free from the analysis pass (their C
     # row is a copy of one B row), like the reference's direct method
     # (spECK_HashSpGEMM.cuh:572-589)

@@ -5,10 +5,16 @@ from .dist import (
     mesh_spgemm_fixed_cap,
     partition_rows,
 )
+from .mesh_stream import (
+    NeedsetStats,
+    mesh_stream_spgemm,
+    mesh_stream_to_host_csr,
+)
 from .multihost import global_row_mesh, initialize, local_row_range
 
 __all__ = [
     "ShardedCSR", "distributed_spgemm", "make_row_mesh",
     "mesh_spgemm_fixed_cap", "partition_rows",
+    "NeedsetStats", "mesh_stream_spgemm", "mesh_stream_to_host_csr",
     "initialize", "global_row_mesh", "local_row_range",
 ]

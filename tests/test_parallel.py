@@ -89,3 +89,88 @@ def test_multihost_helpers_single_process():
     assert mesh.devices.size >= 1
     r0, r1 = local_row_range(100)
     assert (r0, r1) == (0, 100)  # single-process CI owns everything
+
+
+# ---------------------------------------------------------------------------
+# Mesh stream path (ops/stream.py inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _powerlaw_host(rng, m=512, avg=6):
+    """Skewed row lengths: the shape class the fixed-cap path exploded on
+    (one wide row inflated every row's rectangle)."""
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+
+    lens = np.minimum(((rng.pareto(1.8, m) + 1) * avg * 0.5).astype(int),
+                      m // 2)
+    lens[0] = m // 2  # one hot row
+    rows = np.repeat(np.arange(m), lens)
+    cols = rng.integers(0, m, rows.shape[0])
+    vals = rng.standard_normal(rows.shape[0])
+    mat = sp.csr_matrix((vals, (rows, cols)), shape=(m, m))
+    mat.sum_duplicates()
+    return HostCSR.from_scipy(mat)
+
+
+@pytest.mark.parametrize("exchange", ["allgather", "needset"])
+def test_mesh_stream_powerlaw(rng, exchange):
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    a = _powerlaw_host(rng)
+    mesh = make_row_mesh(8)
+    nnz_row, cols, vals, meta = mesh_stream_spgemm(
+        a, a, mesh, exchange=exchange)
+    got = mesh_stream_to_host_csr(nnz_row, cols, vals, meta)
+    ref = oracle_spgemm(a, a)
+    r = compare_csr(ref, got, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+    if exchange == "needset":
+        st = meta["stats"]
+        assert st is not None and st.reduction > 0
+        # every pair's true need is below the full-B volume
+        assert st.pairs_nnz.sum() <= a.nnz * 8
+
+
+def test_mesh_stream_needset_reduction_on_block_structure(rng):
+    """Block-diagonal A: each shard only needs its own B block, so the
+    need-set exchange moves ~1/D of what all_gather replicates."""
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    D, blk = 8, 48
+    m = D * blk
+    blocks = []
+    for d in range(D):
+        bmat = sp.random(blk, blk, 0.2, format="csr",
+                         random_state=np.random.RandomState(d + 1))
+        bmat.data = rng.standard_normal(bmat.nnz) + 1.0
+        blocks.append(bmat)
+    a = HostCSR.from_scipy(sp.block_diag(blocks, format="csr"))
+    mesh = make_row_mesh(8)
+    nnz_row, cols, vals, meta = mesh_stream_spgemm(
+        a, a, mesh, exchange="needset")
+    got = mesh_stream_to_host_csr(nnz_row, cols, vals, meta)
+    ref = oracle_spgemm(a, a)
+    assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok
+    st = meta["stats"]
+    # off-diagonal pairs exchange nothing
+    offdiag = st.pairs_nnz.sum() - np.trace(st.pairs_nnz)
+    assert offdiag == 0
+    assert st.reduction > 2  # far less than full replication
+
+
+def test_mesh_stream_rectangular(rng):
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    a = random_host_csr(rng, 70, 50, 0.15)
+    b = random_host_csr(rng, 50, 90, 0.15)
+    mesh = make_row_mesh(4)
+    nnz_row, cols, vals, meta = mesh_stream_spgemm(
+        a, b, mesh, exchange="needset")
+    got = mesh_stream_to_host_csr(nnz_row, cols, vals, meta)
+    ref = oracle_spgemm(a, b)
+    assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok

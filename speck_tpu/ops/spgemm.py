@@ -59,6 +59,7 @@ from .stream import (
     stream_chunk,
     stream_chunk_numeric,
     stream_emit,
+    stream_gather_emit,
     stream_level,
 )
 
@@ -134,6 +135,9 @@ class StreamState:
     rows_sorted: jax.Array      # (m,) sorted by descending q
     rows_padded: jax.Array      # rows_sorted padded for direct slicing
     e: jax.Array                # (m,) aligned stream starts
+    q_sorted: jax.Array         # (m,) product quantum per sorted row
+    el: jax.Array               # (m,) exclusive live-ops prefix
+    ops_sorted: jax.Array       # (m,) live products per sorted row
     p0: jax.Array               # (nnz,) A-slot stream starts
     srec: jax.Array             # (nnz, 3) [u, prodend, valA bits]
     src: jax.Array              # (nnz,) sorted-slot -> A nnz index
@@ -195,8 +199,26 @@ class SpgemmPlan:
         B = self.B if B is None else B
         m, n = self.shape
         track = timings is not None and timings.measure_all
-        c_cols = jnp.zeros((max(self.nnz, 1),), jnp.int32)
-        c_vals = jnp.zeros((max(self.nnz, 1),), A.data.dtype)
+        ssg = self.stream
+        gather_emit = (
+            use_staged and ssg is not None and ssg.fused
+            and ssg.staged is not None and ssg.layout.total_q > 0
+            and self.nnz > 0
+        )
+        if gather_emit:
+            # contained stream rows by GATHER over the concatenated staged
+            # buffers (~nnz(C) traffic instead of all G*W staged slots);
+            # dense/direct/wide rows overwrite their regions below
+            cols_flat = jnp.concatenate(
+                [stg[1].reshape(-1) for stg in ssg.staged])
+            vals_flat = jnp.concatenate(
+                [stg[2].reshape(-1) for stg in ssg.staged])
+            c_cols, c_vals = stream_gather_emit(
+                ssg.rows_sorted, ssg.e, self.row_offsets,
+                cols_flat, vals_flat, W=ssg.layout.W, nnz=self.nnz)
+        else:
+            c_cols = jnp.zeros((max(self.nnz, 1),), jnp.int32)
+            c_vals = jnp.zeros((max(self.nnz, 1),), A.data.dtype)
         with StageTimer(timings, "spGEMMNumeric", track) as st:
             if self.dense is not None:
                 d = self.dense
@@ -255,11 +277,7 @@ class SpgemmPlan:
                 CP = G * W
                 nwj = jnp.int32(lo.n_wide)
                 if use_staged and ss.fused and ss.staged is not None:
-                    for stg in ss.staged:
-                        c_cols, c_vals = stream_emit(
-                            ss.rows_sorted, stg[0], stg[1], stg[2], stg[3],
-                            nwj, self.row_offsets, c_cols, c_vals,
-                            contained_only=True)
+                    # contained rows already emitted by the gather pass
                     level_bufs = ss.level_bufs or []
                 else:
                     srec, b_packed, f64 = self._chunk_args(A, B, ss)
@@ -405,8 +423,8 @@ def plan_spgemm(
         a32 = (jnp.zeros_like(A.indices) if f64 else
                jax.lax.bitcast_convert_type(
                    A.data.astype(jnp.float32), jnp.int32))
-        (rows_sorted, e, p0, srec, src, nnz_init, t_r0, t_kb, t_cb,
-         t_valid, pack) = plan_device_stream(
+        (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, nnz_init,
+         t_r0, t_kb, t_cb, t_valid, pack) = plan_device_stream(
             A.indptr, A.indices, a32, B.indptr, B.indices,
             stats.row_ops, stats.a_len,
             min_q=cfg.stream_min_q, direct_ok=direct_ok,
@@ -486,7 +504,8 @@ def plan_spgemm(
         fused = staging <= cfg.fused_staging_budget
         ss = StreamState(
             layout=layout, lplans=lplans, rows_sorted=rows_sorted,
-            rows_padded=rows_padded, e=e, p0=p0, srec=srec, src=src,
+            rows_padded=rows_padded, e=e, q_sorted=q_sorted, el=el,
+            ops_sorted=ops_sorted, p0=p0, srec=srec, src=src,
             sid_bases=sid_bases, pack_bits=pack_bits, fused=fused,
             wide_rid_in=(jnp.asarray(
                 np.repeat(np.arange(layout.n_wide), layout.wide_segs),
@@ -515,14 +534,13 @@ def plan_spgemm(
                         pack_csr_arrays(B.indices,
                                         B.data.astype(jnp.float32)))
             staged = []
-            nwj = jnp.int32(layout.n_wide)
             for c in range(layout.n_chunks):
                 has_wide = c * G < layout.r_wide
                 nnz_row, stg = stream_chunk(
-                    rows_sorted, e, p0, srec, b_packed, B.indices, B.data,
-                    A.data, src, nnz_row,
+                    rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
+                    b_packed, B.indices, B.data, A.data, src, nnz_row,
                     jnp.int32(c * CP), jnp.int32(int(layout.rid_bases[c])),
-                    sid_bases[c], nwj,
+                    sid_bases[c],
                     G=G, W=W, n_cols=n, pack_bits=pack_bits,
                     stage=fused or has_wide, f64=f64)
                 staged.append(stg)

@@ -83,10 +83,23 @@ def _pow2ceil(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
 
+def _cumsum_w(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum along axis 1 via Hillis-Steele doubling: log2(W)
+    shifted adds, all vectorized — jnp.cumsum's native lowering can
+    serialize along the lane (minor) dimension on TPU."""
+    W = x.shape[1]
+    d = 1
+    while d < W:
+        x = x + jnp.concatenate(
+            [jnp.zeros_like(x[:, :d]), x[:, :-d]], axis=1)
+        d <<= 1
+    return x
+
+
 def _cumsum_rect(x: jax.Array) -> jax.Array:
     """Inclusive cumsum over a (G, W) array in flat row-major order:
     per-row cumsum + row-carry (the 2-D form of analysis.cumsum1d)."""
-    inner = jnp.cumsum(x, axis=1)
+    inner = _cumsum_w(x)
     carry = jnp.concatenate(
         [jnp.zeros((1,), x.dtype), jnp.cumsum(inner[:, -1])[:-1]]
     )
@@ -103,11 +116,18 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
                       a_data32, b_start, b_len, *, min_q: int, m: int):
     """Device planning pass for the stream layout.
 
-    Returns (rows_sorted, e, p0, srec, src, hist_pack):
+    Returns (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src,
+    hist_pack):
       rows_sorted (m,)  row ids sorted by descending q (stream rows first,
                         then direct rows by descending copy-length class,
                         then everything else)
       e (m,)            aligned stream start of each SORTED row (int32)
+      q_sorted (m,)     product quantum per sorted row (0 for non-stream)
+      el (m,)           exclusive cumsum of LIVE ops in sorted order (the
+                        post-sort live-slot prefix; row j's live entries
+                        occupy [el[j] - rect_base, +ops) of its rectangle
+                        row after the sort packs dead slots to the end)
+      ops_sorted (m,)   live product count per sorted row
       p0 (nnz,)         stream start of each sorted-order A-slot
       srec (nnz, 3)     per-sorted-A-slot record [u, prodend, valA-bits]
                         with u = b_row_start - p0
@@ -144,6 +164,8 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
     q_sorted = jnp.where(stream_mask[rows_sorted],
                          jnp.int32(1) << qc[rows_sorted], 0)
     e = cumsum1d(q_sorted) - q_sorted  # exclusive
+    ops_sorted = jnp.where(stream_mask[rows_sorted], ops[rows_sorted], 0)
+    el = cumsum1d(ops_sorted) - ops_sorted
 
     # per-A-slot records in sorted-row order
     nnz = a_indices.shape[0]
@@ -174,7 +196,7 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
     prodend = jnp.where(live_s, p0 + blen, 0)
     srec = jnp.stack([u, prodend, a_data32[src]], axis=-1)
     hist_pack = jnp.concatenate([s_hist, d_hist])
-    return rows_sorted, e, p0, srec, src, hist_pack
+    return rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, hist_pack
 
 
 @partial(
@@ -240,7 +262,8 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     else:
         direct_mask = jnp.zeros((m,), bool)
     stream_mask = (row_ops > 0) & ~direct_mask & ~dense_mask
-    rows_sorted, e, p0, srec, src, hist = _plan_stream_impl(
+    (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src,
+     hist) = _plan_stream_impl(
         row_ops, stream_mask, direct_mask, a_indptr, a_indices, a_data32,
         b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], min_q=min_q, m=m)
     # direct rows' exact counts come free from the analysis pass (their C
@@ -251,7 +274,8 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
         hist,
         jnp.stack([n_elig, kw_eff, cw_eff, la_eff, lb_eff]).astype(jnp.int32),
     ])
-    return rows_sorted, e, p0, srec, src, nnz_init, r0, kb_s, cb_s, valid, pack
+    return (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src,
+            nnz_init, r0, kb_s, cb_s, valid, pack)
 
 
 # ---------------------------------------------------------------------------
@@ -272,8 +296,11 @@ def _decode(boundary_pos, base, chunk_start, G: int, W: int):
 
 
 def _sort_rect(rid, col, val, n_cols: int, pack_bits: int):
-    """Sort each rectangle row by (rid, col); returns sorted (rid, col, val).
-    pack_bits > 0: single-key sort on rid_local << pack_bits | col."""
+    """Sort each rectangle row by (rid, col) with ALL dead slots
+    (col >= n_cols) last -- live entries pack to the rectangle-row front
+    in row order (the invariant the O(m) counting and the gather emit
+    depend on). pack_bits > 0: single-key sort on
+    rid_local << pack_bits | col."""
     if pack_bits > 0:
         rid0 = rid[:, :1]
         keyk = ((rid - rid0) << pack_bits) | col
@@ -284,6 +311,7 @@ def _sort_rect(rid, col, val, n_cols: int, pack_bits: int):
         rid_s = jnp.where(keyk == INT_MAX, rid0 + 0 * keyk,
                           rid0 + (keyk >> pack_bits))
         return rid_s, col_s, val_s
+    rid = jnp.where(col >= n_cols, INT_MAX, rid)
     return jax.lax.sort((rid, col, val), dimension=1, num_keys=2)
 
 
@@ -327,15 +355,20 @@ def _compact_rect(last, rid_s, col_s, run_sum):
     static_argnames=("G", "W", "n_cols", "pack_bits", "stage", "f64"),
     donate_argnames=("nnz_row",),
 )
-def stream_chunk(rows_sorted, e, p0, srec, b_packed, b_indices, b_data,
-                 a_data, a_srcmap, nnz_row, chunk_start, rid_base, sid_base,
-                 n_wide, *, G: int, W: int, n_cols: int, pack_bits: int,
-                 stage: bool, f64: bool):
+def stream_chunk(rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
+                 b_packed, b_indices, b_data, a_data, a_srcmap, nnz_row,
+                 chunk_start, rid_base, sid_base, *, G: int, W: int,
+                 n_cols: int, pack_bits: int, stage: bool, f64: bool):
     """One fused count(+stage) pass over stream chunk
     [chunk_start, chunk_start + G*W).
 
-    Counting: contained rows (rid >= n_wide) get their exact nnz scattered
-    into nnz_row here; wide rows are counted by the level ladder.
+    Counting: every row CONTAINED in this chunk (q <= W) gets its exact
+    nnz via an O(m) row-segment difference over the per-rectangle-row
+    cumulative run-last counts -- after the sort, a row's live entries
+    occupy [el[j]-rect_base, +ops) of its rectangle row, so its distinct
+    count is cl[seg_end] - cl[seg_start-1]. This replaces a per-slot
+    scatter-add (G*W indices, measured ~1/3 of chunk time) with a few
+    m-sized gathers. Wide rows (q > W) are counted by the level ladder.
     stage=True additionally returns the compacted (rid, col, val, counts)
     staged rectangle rows for emission / the levels.
     """
@@ -364,12 +397,25 @@ def stream_chunk(rows_sorted, e, p0, srec, b_packed, b_indices, b_data,
     rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits)
     last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols)
 
-    # contained rows count here; wide rows (first n_wide sorted rows) are
-    # counted at their final merge level
+    # O(m) counting for rows contained in this chunk
     m = nnz_row.shape[0]
-    cnt_target = jnp.where(
-        last & (rid_s >= n_wide), rows_sorted[jnp.clip(rid_s, 0, m - 1)], m)
-    nnz_row = nnz_row.at[cnt_target].add(1, mode="drop")
+    CP = G * W
+    cl = _cumsum_w(last.astype(jnp.int32)).reshape(-1)   # per-rect cumsum
+    contained = ((q_sorted > 0) & (q_sorted <= W)
+                 & (e >= chunk_start) & (e < chunk_start + CP))
+    g = jnp.clip((e - chunk_start) // W, 0, G - 1)
+    # first sorted row of each of this chunk's rectangle rows
+    g_first = jnp.searchsorted(
+        e, chunk_start + jnp.arange(G, dtype=jnp.int32) * W).astype(
+        jnp.int32)
+    lrel = el - el[jnp.clip(g_first[g], 0, m - 1)]
+    seg_end = g * W + lrel + ops_sorted - 1
+    seg_before = g * W + lrel - 1
+    cnt = (cl[jnp.clip(seg_end, 0, CP - 1)]
+           - jnp.where(lrel > 0, cl[jnp.clip(seg_before, 0, CP - 1)], 0))
+    cnt = jnp.where(contained & (ops_sorted > 0), cnt, 0)
+    target = jnp.where(contained, rows_sorted, m)
+    nnz_row = nnz_row.at[target].set(cnt, mode="drop", unique_indices=True)
 
     if not stage:
         return nnz_row, None
@@ -553,6 +599,50 @@ def stream_emit(rows_sorted, rid_c, col_c, val_c, counts, n_wide,
     c_cols = c_cols.at[flat].set(col_c, mode="drop", unique_indices=True)
     c_vals = c_vals.at[flat].set(val_c, mode="drop", unique_indices=True)
     return c_cols, c_vals
+
+
+@partial(jax.jit, static_argnames=("W", "nnz"))
+def stream_gather_emit(rows_sorted, e, row_offsets, cols_flat,
+                       vals_flat, *, W: int, nnz: int):
+    """Build the contained-row portion of C by GATHERING from the
+    concatenated staged chunk buffers instead of scattering every staged
+    slot. Scatter cost is proportional to G*W slots (~3% live on sparse
+    outputs); gather cost is proportional to nnz(C) -- measured ~30x less
+    traffic on the banded benchmark.
+
+    Source derivation per output index i: its matrix row r (run-length
+    decode of row_offsets), sorted position j = inv[r], global rectangle
+    row gg = e[j] // W (contained rows never straddle, so a row's staged
+    entries are the compacted prefix of ONE rectangle row), and within-
+    rectangle offset = (count-prefix of j) - (count-prefix of gg's first
+    row). Rows not in the stream (direct/dense/wide) gather garbage here
+    and are overwritten by their own emit passes.
+    """
+    from .analysis import cumsum1d
+
+    m = rows_sorted.shape[0]
+    total = max(nnz, 1)
+    R_total = cols_flat.shape[0] // W
+    # inverse permutation and sorted-order count prefix
+    inv = jnp.zeros((m,), jnp.int32).at[rows_sorted].set(
+        jnp.arange(m, dtype=jnp.int32))
+    nnz_row = row_offsets[1:] - row_offsets[:-1]
+    scnt = nnz_row[rows_sorted]
+    scum = cumsum1d(scnt) - scnt                  # exclusive, sorted order
+    # first sorted row of each global rectangle row
+    gg_first = jnp.searchsorted(
+        e, jnp.arange(R_total, dtype=jnp.int32) * W).astype(jnp.int32)
+    rect_base = scum[jnp.clip(gg_first, 0, m - 1)]
+
+    i = jnp.arange(total, dtype=jnp.int32)
+    rid_dec = jnp.zeros((total,), jnp.int32).at[row_offsets[1:-1]].add(
+        1, mode="drop")
+    r = cumsum1d(rid_dec)
+    j = inv[jnp.clip(r, 0, m - 1)]
+    gg = jnp.clip(e[j] // W, 0, max(R_total - 1, 0))
+    src = gg * W + (scum[j] - rect_base[gg]) + (i - row_offsets[r])
+    src = jnp.clip(src, 0, cols_flat.shape[0] - 1)
+    return cols_flat[src], vals_flat[src]
 
 
 # ---------------------------------------------------------------------------

@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark: C = A @ A on a synthetic FEM-like banded matrix (the shape
-class of BASELINE.md config 1, cant.mtx-like: ~65K rows, ~33 nnz/row) on the
-default device (TPU under the driver).
+"""Benchmark harness covering the BASELINE.md target configs on the
+default device (TPU under the driver), one process, every timing forced
+through a real device->host fetch.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value = GFLOPS (2 * sum_products / time, the reference's derived metric,
-BASELINE.md); vs_baseline = speedup over scipy.sparse csr_matmat on this
-host (the oracle backend standing in for the reference's cuSPARSE compare
-path — the repo publishes no GPU numbers, BASELINE.json "published": {}).
+Prints per-config results as '#'-prefixed lines and ONE final JSON line
+{"metric", "value", "unit", "vs_baseline"} for the driver: config 1
+(banded A·A GFLOPS, vs scipy.sparse csr_matmat on this host — the oracle
+backend standing in for the reference's cuSPARSE compare path; the repo
+publishes no GPU numbers, BASELINE.json "published": {}).
+
+Protocol parity: warmup + measured iterations, mean complete-call time
+(/root/reference/source/Executor.cpp:43-78).
 """
 
 import json
@@ -19,6 +22,7 @@ import numpy as np
 
 def make_banded(n=65536, half_band=16, seed=3):
     import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
 
     rs = np.random.RandomState(seed)
     offs = list(range(-half_band, half_band + 1))
@@ -26,67 +30,107 @@ def make_banded(n=65536, half_band=16, seed=3):
         [rs.standard_normal(n - abs(o)) for o in offs], offs,
         shape=(n, n), format="csr",
     )
+    return HostCSR.from_scipy(mat)
+
+
+def make_powerlaw(m=131072, avg=12, alpha=2.2, seed=5):
+    import scipy.sparse as sp
     from speck_tpu.formats.csr import HostCSR
 
+    rs = np.random.RandomState(seed)
+    lens = np.minimum((rs.pareto(alpha, m) + 1) * avg * 0.5, m // 4
+                      ).astype(np.int64)
+    rows = np.repeat(np.arange(m), lens)
+    cols = rs.randint(0, m, rows.shape[0])
+    vals = rs.standard_normal(rows.shape[0])
+    mat = sp.csr_matrix((vals, (rows, cols)), shape=(m, m))
+    mat.sum_duplicates()
     return HostCSR.from_scipy(mat)
+
+
+def make_prolongation(m, mc, seed=11):
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+
+    rs = np.random.RandomState(seed)
+    return HostCSR.from_scipy(sp.csr_matrix(
+        (np.ones(m), (np.arange(m), rs.randint(0, mc, m))), shape=(m, mc)))
+
+
+def bench_pair(name, a, b, dtype=np.float32, iters=3, warm=1):
+    import jax
+    from speck_tpu import device_put_csr, spgemm
+    from speck_tpu.ops.analysis import analyze
+
+    A = device_put_csr(a, dtype)
+    B = A if b is a else device_put_csr(b, dtype)
+    sum_products = float(analyze(A, B).sum_products)
+
+    def run():
+        C = spgemm(A, B)
+        float(C.data[-1])   # block_until_ready lies through the tunnel
+        return C
+
+    for _ in range(warm):
+        C = run()
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        C = run()
+        ts.append(time.perf_counter() - t0)
+    mean_s = sum(ts) / len(ts)
+    print(f"# {name}: mean {mean_s*1e3:.1f} ms, nnz(C)={C.nnz}, "
+          f"products={sum_products:.3e}, "
+          f"GFLOPS={2*sum_products/mean_s/1e9:.3f}, "
+          f"nnz(C)/s={C.nnz/mean_s:.3e}", flush=True)
+    return mean_s, C, sum_products
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from speck_tpu import device_put_csr, spgemm
-    from speck_tpu.ops.analysis import analyze
-
     # warm the device->host channel: the first fetch in a process costs
     # ~99 s through the axon tunnel, later fetches ~27 ms
     int(jnp.sum(jnp.arange(8)))
 
-    a = make_banded()
-    # host baseline (scipy, float64)
-    S = a.to_scipy()
+    # ---- config 1 (headline): banded A·A, fp32 ----
+    a1 = make_banded()
+    S = a1.to_scipy()
     t0 = time.perf_counter()
     C_ref = S @ S
     scipy_s = time.perf_counter() - t0
+    mean_s, C1, sum_products = bench_pair("config1_banded_65k_AxA", a1, a1)
+    assert C1.nnz == C_ref.nnz, f"nnz mismatch: {C1.nnz} vs {C_ref.nnz}"
 
-    A = device_put_csr(a, np.float32)
-    stats = analyze(A, A)
-    sum_products = float(stats.sum_products)
+    # ---- config 2: skewed power-law A·A ----
+    a2 = make_powerlaw(131072)
+    bench_pair("config2_powerlaw_131k_AxA", a2, a2, iters=2)
 
-    import numpy as _np
+    # ---- config 3: larger skewed A·A (long rows) ----
+    a3 = make_powerlaw(262144, seed=7)
+    bench_pair("config3_powerlaw_262k_AxA", a3, a3, iters=2)
 
-    def run_one():
-        C = spgemm(A, A)
-        # force true completion: block_until_ready is ack-at-enqueue through
-        # the axon tunnel; only a real D2H fetch waits for the data
-        float(C.data[-1])
-        return C
+    # ---- config 4: rectangular A·P (Galerkin leg) ----
+    p4 = make_prolongation(65536, 16384)
+    bench_pair("config4_rect_AxP_65kx16k", a1, p4, iters=2)
 
-    warmup, iters = 2, 3
-    for _ in range(warmup):
-        C = run_one()
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        C = run_one()
-        times.append(time.perf_counter() - t0)
-    mean_s = sum(times) / len(times)
-
-    assert C.nnz == C_ref.nnz, f"nnz mismatch: {C.nnz} vs {C_ref.nnz}"
+    # ---- fp64 path (double instantiation parity, Multiply.cu:1130-31) ----
+    jax.config.update("jax_enable_x64", True)
+    try:
+        a5 = make_banded(16384, 8, seed=9)
+        bench_pair("fp64_banded_16k_AxA", a5, a5, dtype=np.float64,
+                   iters=2)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
     gflops = 2.0 * sum_products / mean_s / 1e9
-    result = {
+    print(json.dumps({
         "metric": "spgemm_banded_65k_AxA_gflops",
         "value": round(gflops, 3),
         "unit": "GFLOPS",
         "vs_baseline": round(scipy_s / mean_s, 3),
-    }
-    print(json.dumps(result))
-    print(
-        f"# mean {mean_s*1e3:.2f} ms over {iters} iters, nnz(C)={C.nnz}, "
-        f"sum_products={sum_products:.3e}, scipy={scipy_s*1e3:.1f} ms",
-        file=sys.stderr,
-    )
+    }))
 
 
 if __name__ == "__main__":

@@ -61,6 +61,8 @@ from .stream import (
     stream_emit,
     stream_gather_emit,
     stream_level,
+    stream_wide_finish,
+    wide_entry_totals,
 )
 
 
@@ -147,6 +149,10 @@ class StreamState:
     staged: Optional[list] = None       # per-chunk (rid, col, val, counts)
     level_bufs: Optional[list] = None   # per-level (rid, col, val, fcnt)
     wide_rid_in: Optional[jax.Array] = None
+    # adaptive wide-finish classes (host params from the totals readback):
+    # list of dicts with keys R2, W2, E_pad, entry_excl, row_total,
+    # rid_of_out — None means the geometric ladder is in use
+    finish: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -300,8 +306,9 @@ class SpgemmPlan:
                         # plan time; reuse those buffers
                         level_bufs = ss.level_bufs
                     else:
-                        level_bufs = _run_levels(
-                            ss, wide_staged, None, n, count=False)[1]
+                        level_bufs = _run_wide(
+                            ss, wide_staged, None, n, count=False,
+                            max_width=self.cfg.stream_max_width)[1]
                 for rid_out, col_c, val_c, fcnt in level_bufs:
                     rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
                     c_cols, c_vals = stream_emit(
@@ -338,14 +345,8 @@ def _offsets_from_counts(nnz_row: jax.Array):
     return offs, meta
 
 
-def _run_levels(ss: StreamState, wide_staged, nnz_row, n_cols: int,
-                count: bool):
-    """Drive the merge-level ladder over the wide rows' level-0 staged
-    rectangle rows (the resume-cursor replay). wide_staged: per-wide-chunk
-    staged tuples covering stream rect rows [0, r_wide)."""
+def _wide_slices(ss: StreamState, wide_staged):
     lo = ss.layout
-    if lo.n_wide == 0 or not wide_staged:
-        return nnz_row, []
     G = lo.G
     wcol = jnp.concatenate(
         [wide_staged[i][1][: min(G, lo.r_wide - i * G)]
@@ -356,30 +357,116 @@ def _run_levels(ss: StreamState, wide_staged, nnz_row, n_cols: int,
     wcnt = jnp.concatenate(
         [wide_staged[i][3][: min(G, lo.r_wide - i * G)]
          for i in range(len(wide_staged))])
-    rid_in = ss.wide_rid_in
+    return wcol, wval, wcnt
+
+
+def _finish_classes(totals: np.ndarray, rid_live: np.ndarray):
+    """Lay out the finish pass over the CURRENT wide buffers: rows
+    bucketed by pow2(entry total) class so one oversized row does not
+    inflate every row's sort width. ``totals`` are per-live-row entry
+    counts in buffer (ascending-rid) order; rid_live the sorted-row ids."""
+    entry_excl = np.concatenate([[0], np.cumsum(totals)])[:-1]
+    e_total = int(totals.sum())
+    E_pad = _pow2(max(e_total, 2))
+    classes = {}
+    for i, tot in enumerate(totals):
+        classes.setdefault(_pow2(max(int(tot), 8)), []).append(i)
+    out = []
+    for W2, idxs in sorted(classes.items(), reverse=True):
+        R2 = _pow2(len(idxs))
+        rid = np.full(R2, -1, np.int32)
+        rid[: len(idxs)] = rid_live[idxs]
+        ee = np.full(R2, e_total, np.int32)
+        ee[: len(idxs)] = entry_excl[idxs]
+        rt = np.zeros(R2, np.int32)
+        rt[: len(idxs)] = totals[idxs]
+        out.append(dict(
+            R2=R2, W2=W2, E_pad=E_pad,
+            entry_excl=jnp.asarray(ee), row_total=jnp.asarray(rt),
+            rid_of_out=jnp.asarray(rid)))
+    return out
+
+
+def _run_wide(ss: StreamState, wide_staged, nnz_row, n_cols: int,
+              count: bool, max_width: int):
+    """Finish the wide rows with the hybrid ladder->finish strategy: run
+    geometric merge levels only until the remaining rows' DEDUPLICATED
+    entry totals fit ``max_width`` (checked with a small per-level
+    readback — the analogue of the reference's global-map sizing D2H,
+    Multiply.cu:397), then complete each row in ONE sort at its true
+    entry width. The count pass records the structure in ss.finish; the
+    numeric pass replays it without readbacks."""
+    lo = ss.layout
+    if lo.n_wide == 0 or not wide_staged:
+        return nnz_row, []
     if nnz_row is None:
         nnz_row = jnp.zeros((ss.rows_sorted.shape[0],), jnp.int32)
         count = False
-    level_bufs = []
-    for lp in ss.lplans:
+    wcol, wval, wcnt = _wide_slices(ss, wide_staged)
+    rid_in = ss.wide_rid_in
+    W_in = lo.W
+    deciding = ss.finish is None
+    if deciding:
+        ss.finish = dict(ladder_levels=len(ss.lplans), classes=None,
+                         W_in=W_in)
+    bufs = []
+    li = 0
+    while True:
+        if deciding:
+            totals = np.asarray(wide_entry_totals(
+                wcnt, rid_in, n_wide=lo.n_wide)).astype(np.int64)
+            rid_h = np.asarray(rid_in)
+            # live rows in buffer order (ascending rid, one entry run each)
+            live_rids, first_idx = np.unique(rid_h, return_index=True)
+            live_tot = totals[live_rids]
+            keep_live = live_tot > 0
+            live_rids, live_tot = live_rids[keep_live], live_tot[keep_live]
+            if live_tot.size == 0:
+                ss.finish.update(ladder_levels=li, classes=[])
+                break
+            if _pow2(int(live_tot.max())) <= max_width:
+                ss.finish.update(
+                    ladder_levels=li, W_in=W_in,
+                    classes=_finish_classes(live_tot, live_rids))
+                deciding = False
+        if not deciding and li >= ss.finish["ladder_levels"]:
+            classes = ss.finish["classes"]
+            if classes is not None:
+                wc_flat = wcol.reshape(-1)
+                wv_flat = wval.reshape(-1)
+                for f in classes:
+                    nnz_row, buf = stream_wide_finish(
+                        ss.rows_sorted, wc_flat, wv_flat, wcnt,
+                        f["entry_excl"], f["row_total"], f["rid_of_out"],
+                        nnz_row, R2=f["R2"], W2=f["W2"],
+                        W0=ss.finish["W_in"], E_pad=f["E_pad"],
+                        n_cols=n_cols, count=count)
+                    bufs.append(buf)
+            break
+        if li >= len(ss.lplans):
+            break
+        lp = ss.lplans[li]
         nnz_row, (rid_out, col_c, val_c, counts) = stream_level(
             ss.rows_sorted, rid_in, wcol, wval, wcnt,
             jnp.asarray(lp.in_map), jnp.asarray(lp.final_mask), nnz_row,
             F=lp.F, W_in=lp.W_in, n_cols=n_cols, count=count)
         if lp.final_mask.any():
             # keep a level's buffer only if some row finalizes (= emits)
-            # there; pure pass-through levels would otherwise pin O(stream)
-            # memory each (deep ladders of one giant row)
+            # there; pass-through levels would otherwise pin O(stream)
+            # memory each
             fi = jnp.asarray(np.nonzero(lp.final_mask)[0], jnp.int32)
-            level_bufs.append((rid_out[fi], col_c[fi], val_c[fi],
-                               counts[fi]))
+            bufs.append((rid_out[fi], col_c[fi], val_c[fi], counts[fi]))
         keep = ~lp.final_mask
         if not keep.any():
+            if deciding:
+                ss.finish.update(ladder_levels=li + 1, classes=None)
             break
         ki = jnp.asarray(np.nonzero(keep)[0], jnp.int32)
         rid_in, wcol, wval, wcnt = (rid_out[ki], col_c[ki], val_c[ki],
                                     counts[ki])
-    return nnz_row, level_bufs
+        W_in = W_in * lp.F
+        li += 1
+    return nnz_row, bufs
 
 
 def plan_spgemm(
@@ -438,7 +525,13 @@ def plan_spgemm(
         d_hist = pack_h[N_QCLASS: 2 * N_QCLASS]
         n_elig, kw_e, cw_e, la_e, lb_e = (
             int(x) for x in pack_h[2 * N_QCLASS:])
+        # adaptive rectangle width: giant rows get wider rectangles (at
+        # most ~1024 segments each) so per-rectangle dedup is stronger and
+        # the wide finish engages sooner; bounded ladder {8192..65536}
         W = cfg.stream_width
+        nz = np.nonzero(s_hist)[0]
+        if nz.size:
+            W = min(max(W, 1 << max(int(nz.max()) - 10, 0)), 65536)
         layout = plan_layout(s_hist, d_hist, W, cfg.product_budget)
         lplans = plan_levels(layout, F=cfg.stream_level_factor,
                              max_width=cfg.stream_max_width)
@@ -545,8 +638,9 @@ def plan_spgemm(
                     stage=fused or has_wide, f64=f64)
                 staged.append(stg)
             nw_chunks = -(-layout.r_wide // G) if layout.r_wide else 0
-            nnz_row, level_bufs = _run_levels(
-                ss, staged[:nw_chunks], nnz_row, n, count=True)
+            nnz_row, level_bufs = _run_wide(
+                ss, staged[:nw_chunks], nnz_row, n, count=True,
+                max_width=cfg.stream_max_width)
             ss.staged = staged if fused else None
             ss.level_bufs = level_bufs
         st.stop(nnz_row)

@@ -601,6 +601,73 @@ def stream_emit(rows_sorted, rid_c, col_c, val_c, counts, n_wide,
     return c_cols, c_vals
 
 
+@partial(jax.jit, static_argnames=("n_wide",))
+def wide_entry_totals(wcnt, wide_rid, *, n_wide: int):
+    """Per-wide-row total staged entries after level 0 (sum of its
+    rectangle rows' compacted counts) — the small readback that lets the
+    host lay the finish pass out tightly."""
+    return jax.ops.segment_sum(wcnt, wide_rid, num_segments=n_wide)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("R2", "W2", "W0", "E_pad", "n_cols", "count"),
+    donate_argnames=("nnz_row",),
+)
+def stream_wide_finish(rows_sorted, wcol_flat, wval_flat, wcnt,
+                       entry_excl, row_total, rid_of_out, nnz_row, *,
+                       R2: int, W2: int, W0: int, E_pad: int, n_cols: int,
+                       count: bool):
+    """Adaptive wide-row finish: gather each wide row's level-0 staged
+    entries (compacted, deduplicated per rectangle row) into ONE (R2, W2)
+    rectangle sized by the TRUE entry totals, then a single sort+contract
+    completes the row. Replaces the geometric merge-level ladder whose
+    per-level width growth made giant rows pay ~n_levels full passes at
+    degrading sort throughput (the ladder remains the fallback for rows
+    whose entries exceed stream_max_width).
+
+    wcol_flat/wval_flat: flattened (r_wide * W0) staged wide buffers;
+    wcnt (r_wide,): per-rectangle-row live counts; entry_excl (R2,):
+    host-computed exclusive entry prefix per output row; row_total (R2,):
+    true entries per row; rid_of_out (R2,): sorted row index of each
+    output row.
+    """
+    from .analysis import cumsum1d
+
+    r_wide = wcnt.shape[0]
+    # entry id -> (source rectangle row, position) via run-length decode
+    ccum = cumsum1d(wcnt)
+    ccum_excl = ccum - wcnt
+    marks = jnp.zeros((E_pad,), jnp.int32).at[ccum_excl].add(
+        1, mode="drop")
+    blk = marks.reshape(max(E_pad // 4096, 1), -1)
+    rr_tab = _cumsum_rect(blk).reshape(-1) - 1
+    rr_tab = jnp.clip(rr_tab, 0, r_wide - 1)
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (R2, W2), 1)
+    e_id = entry_excl[:, None] + j
+    dead = (j >= row_total[:, None]) | (e_id >= E_pad)
+    e_c = jnp.clip(e_id, 0, E_pad - 1)
+    rr = rr_tab[e_c]
+    src = rr * W0 + (e_c - ccum_excl[rr])
+    src = jnp.clip(src, 0, wcol_flat.shape[0] - 1)
+    col = jnp.where(dead, jnp.int32(n_cols), wcol_flat[src])
+    val = jnp.where(dead, 0.0, wval_flat[src])
+
+    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
+    rid_b = jnp.broadcast_to(rid_of_out[:, None], (R2, W2))
+    last, run_sum = _contract_rect(rid_b, col_s, val_s, n_cols)
+    counts = jnp.sum(last, axis=1, dtype=jnp.int32)
+    if count:
+        m = nnz_row.shape[0]
+        tgt = jnp.where(rid_of_out >= 0,
+                        rows_sorted[jnp.clip(rid_of_out, 0, m - 1)], m)
+        nnz_row = nnz_row.at[tgt].set(counts, mode="drop",
+                                      unique_indices=True)
+    _, col_c, val_c, counts = _compact_rect(last, rid_b, col_s, run_sum)
+    return nnz_row, (rid_of_out, col_c, val_c, counts)
+
+
 @partial(jax.jit, static_argnames=("W", "nnz"))
 def stream_gather_emit(rows_sorted, e, row_offsets, cols_flat,
                        vals_flat, *, W: int, nnz: int):
@@ -610,38 +677,45 @@ def stream_gather_emit(rows_sorted, e, row_offsets, cols_flat,
     outputs); gather cost is proportional to nnz(C) -- measured ~30x less
     traffic on the banded benchmark.
 
-    Source derivation per output index i: its matrix row r (run-length
-    decode of row_offsets), sorted position j = inv[r], global rectangle
-    row gg = e[j] // W (contained rows never straddle, so a row's staged
-    entries are the compacted prefix of ONE rectangle row), and within-
-    rectangle offset = (count-prefix of j) - (count-prefix of gg's first
-    row). Rows not in the stream (direct/dense/wide) gather garbage here
-    and are overwritten by their own emit passes.
+    Per output index i, only TWO random reads: a per-row source-base
+    table (m-sized, cache-friendly) and the staged record itself — all
+    rectangle/permutation/offset arithmetic is folded into the m-level
+    ``src_base`` precompute (a row's staged entries are the compacted
+    prefix of ONE rectangle row, since contained rows never straddle).
+    Rows not in the stream (direct/dense/wide) gather garbage here and
+    are overwritten by their own emit passes.
     """
     from .analysis import cumsum1d
 
     m = rows_sorted.shape[0]
     total = max(nnz, 1)
     R_total = cols_flat.shape[0] // W
-    # inverse permutation and sorted-order count prefix
-    inv = jnp.zeros((m,), jnp.int32).at[rows_sorted].set(
-        jnp.arange(m, dtype=jnp.int32))
     nnz_row = row_offsets[1:] - row_offsets[:-1]
     scnt = nnz_row[rows_sorted]
     scum = cumsum1d(scnt) - scnt                  # exclusive, sorted order
     # first sorted row of each global rectangle row
     gg_first = jnp.searchsorted(
-        e, jnp.arange(R_total, dtype=jnp.int32) * W).astype(jnp.int32)
+        e, jnp.arange(max(R_total, 1), dtype=jnp.int32) * W).astype(
+        jnp.int32)
     rect_base = scum[jnp.clip(gg_first, 0, m - 1)]
+    gg_s = jnp.clip(e // W, 0, max(R_total - 1, 0))
+    base_sorted = (gg_s * W + scum - rect_base[gg_s]
+                   - row_offsets[rows_sorted])
+    src_base = jnp.zeros((m,), jnp.int32).at[rows_sorted].set(
+        base_sorted, mode="drop", unique_indices=True)
 
     i = jnp.arange(total, dtype=jnp.int32)
     rid_dec = jnp.zeros((total,), jnp.int32).at[row_offsets[1:-1]].add(
         1, mode="drop")
     r = cumsum1d(rid_dec)
-    j = inv[jnp.clip(r, 0, m - 1)]
-    gg = jnp.clip(e[j] // W, 0, max(R_total - 1, 0))
-    src = gg * W + (scum[j] - rect_base[gg]) + (i - row_offsets[r])
-    src = jnp.clip(src, 0, cols_flat.shape[0] - 1)
+    src = jnp.clip(src_base[r] + i, 0, cols_flat.shape[0] - 1)
+    if vals_flat.dtype.itemsize == 4:
+        packed = jnp.stack(
+            [cols_flat,
+             jax.lax.bitcast_convert_type(vals_flat, jnp.int32)], axis=-1)
+        rec = packed[src]
+        return rec[..., 0], jax.lax.bitcast_convert_type(
+            rec[..., 1], vals_flat.dtype)
     return cols_flat[src], vals_flat[src]
 
 

@@ -184,3 +184,41 @@ def test_direct_plus_stream_plus_empty(rng):
     a = HostCSR.from_scipy(sp.csr_matrix((vals, (rows, cols)),
                                          shape=(m, m)))
     _check(a, a, _CFG)
+
+
+def test_wide_finish_vs_ladder(rng):
+    """The adaptive wide finish (single sort at true entry width) and the
+    geometric merge ladder (forced via a tiny stream_max_width) must
+    produce identical CSRs."""
+    n = 400
+    base = sp.random(n, n, 0.04, format="csr",
+                     random_state=np.random.RandomState(21))
+    base.data = rng.standard_normal(base.nnz)
+    lil = base.tolil()
+    lil[0, :] = rng.standard_normal(n)          # wide row, big dedup
+    lil[5, ::3] = rng.standard_normal(len(range(0, n, 3)))
+    a = HostCSR.from_scipy(lil.tocsr())
+    cfg_f = dataclasses.replace(_CFG, stream_width=128,
+                                product_budget=1 << 11)
+    cfg_l = dataclasses.replace(cfg_f, stream_max_width=64)  # force ladder
+    A = device_put_csr(a)
+    plan_f = plan_spgemm(A, A, cfg_f)
+    plan_l = plan_spgemm(A, A, cfg_l)
+    assert plan_f.stream.finish["classes"] is not None, \
+        "expected adaptive finish"
+    assert plan_l.stream.finish["classes"] is None, \
+        "expected pure-ladder fallback"
+    C_f = device_get_csr(plan_f.execute())
+    C_l = device_get_csr(plan_l.execute())
+    np.testing.assert_array_equal(C_f.row_offsets, C_l.row_offsets)
+    np.testing.assert_array_equal(C_f.col_ids, C_l.col_ids)
+    np.testing.assert_allclose(C_f.data, C_l.data, rtol=1e-4, atol=1e-6)
+    ref = oracle_spgemm(a, a)
+    assert compare_csr(ref, C_f, compare_data=True, rel_tol=2e-3).ok
+    # numeric replay through the finish path with new values
+    a2 = HostCSR(rows=a.rows, cols=a.cols, row_offsets=a.row_offsets,
+                 col_ids=a.col_ids, data=a.data * -1.5)
+    C2 = device_get_csr(plan_f.execute(device_put_csr(a2),
+                                       device_put_csr(a2)))
+    ref2 = oracle_spgemm(a2, a2)
+    assert compare_csr(ref2, C2, compare_data=True, rel_tol=2e-3).ok

@@ -103,10 +103,11 @@ class SpgemmConfig:
     stream_min_q: int = 8        # smallest per-row product quantum (pow2)
     stream_level_factor: int = 4
     stream_max_width: int = 1 << 24
-    # fused count+numeric staging: total padded product slots that may stay
-    # resident between the counting and numeric phases (8 bytes/slot);
-    # chunks beyond this run the classic two-phase path. 2^27 slots = 1 GiB.
-    fused_staging_budget: int = 1 << 27
+    # fused count+numeric staging: total staged int32 planes (3 per stream
+    # slot: row, col, value) that may stay resident between the counting
+    # and numeric phases; beyond this the stream runs the classic
+    # two-phase path (re-expand for numeric). 2^28 planes = 1 GiB.
+    fused_staging_budget: int = 1 << 28
     enable_direct: bool = True    # direct-copy bins for single-A-nnz rows
     # dense-window MXU path (ops/dense.py): tiles of ``dense_tile_rows``
     # consecutive rows whose A-column span fits ``dense_kw``, output-column

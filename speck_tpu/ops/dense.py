@@ -125,6 +125,21 @@ def _gather_rect(indptr, indices, data, rows, valid, width: int):
     return cols, vals, live
 
 
+def _densify_scatter(loc, val, width: int):
+    """Densification by one flat masked scatter per plane: dense[r, loc] =
+    val. Scatter cost is one index per INPUT nonzero (R*L), vs the sort
+    trick's two (R*(L+W))-wide sorts — wins when L << W (sparse fragments
+    into wide windows)."""
+    R, L = loc.shape
+    r = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    flat = jnp.where(loc < width, r * width + loc, R * width)
+    dense = jnp.zeros((R * width,), val.dtype).at[flat].set(
+        val, mode="drop", unique_indices=True).reshape(R, width)
+    hit = jnp.zeros((R * width,), jnp.bool_).at[flat].set(
+        True, mode="drop", unique_indices=True).reshape(R, width)
+    return dense, hit
+
+
 def _densify_sorted(loc, val, width: int):
     """Densification of per-row sorted sparse fragments via two batched
     sorts — the fastest primitive this hardware offers for data movement
@@ -177,13 +192,13 @@ def _densify_sorted(loc, val, width: int):
 @partial(
     jax.jit,
     static_argnames=("tile_rows", "kw", "cw", "la", "lb", "m", "k_dim",
-                     "n_cols"),
+                     "n_cols", "densify"),
     donate_argnames=("nnz_row",),
 )
 def dense_tiles(r0s, kbases, cbases, a_indptr, a_indices, a_data,
                 b_indptr, b_indices, b_data, nnz_row, *,
                 tile_rows: int, kw: int, cw: int, la: int, lb: int,
-                m: int, k_dim: int, n_cols: int):
+                m: int, k_dim: int, n_cols: int, densify: str = "scatter"):
     """Fused count+numeric for a batch of dense-eligible tiles as ONE flat
     batched computation: all K tiles' rows are flattened to a (K*TR, ...)
     problem, the matmuls run as one batched dot, and the compaction is one
@@ -210,7 +225,8 @@ def dense_tiles(r0s, kbases, cbases, a_indptr, a_indices, a_data,
     )
     kb_row = jnp.repeat(kbases, tile_rows)
     kloc = jnp.where(alive, acol - kb_row[:, None], kw)  # pads sort last
-    A_dense, A_hit = _densify_sorted(kloc, aval, kw)
+    _dens = _densify_scatter if densify == "scatter" else _densify_sorted
+    A_dense, A_hit = _dens(kloc, aval, kw)
 
     # ---- B side: (K*kw, lb) rectangle -> (K*kw, cw) dense window
     ks = (kbases[:, None] + jnp.arange(kw, dtype=jnp.int32)[None, :]).reshape(-1)
@@ -220,7 +236,7 @@ def dense_tiles(r0s, kbases, cbases, a_indptr, a_indices, a_data,
     )
     cb_k = jnp.repeat(cbases, kw)
     cloc = jnp.where(blive, bcol - cb_k[:, None], cw)
-    B_dense, B_hit = _densify_sorted(cloc, bval, cw)
+    B_dense, B_hit = _dens(cloc, bval, cw)
 
     # ---- MXU: values (full precision) + structural counts; counts are
     # exact in fp (products are 1.0, accumulation fp32) — the pattern matmul

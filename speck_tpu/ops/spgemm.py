@@ -53,6 +53,7 @@ from .stream import (
     N_QCLASS,
     LevelPlan,
     StreamLayout,
+    build_srec,
     plan_device_stream,
     plan_layout,
     plan_levels,
@@ -268,6 +269,7 @@ class SpgemmPlan:
                             tile_rows=d.tile_rows, kw=d.kw,
                             cw=d.cw, la=d.la, lb=d.lb,
                             m=m, k_dim=A.shape[1], n_cols=n,
+                            densify=self.cfg.dense_densify,
                         )
                     c_cols, c_vals = dense_emit(
                         r0s, counts, cols_c, vals_c,
@@ -510,7 +512,7 @@ def plan_spgemm(
         a32 = (jnp.zeros_like(A.indices) if f64 else
                jax.lax.bitcast_convert_type(
                    A.data.astype(jnp.float32), jnp.int32))
-        (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, nnz_init,
+        (rows_sorted, e, q_sorted, el, ops_sorted, nnz_init,
          t_r0, t_kb, t_cb, t_valid, pack) = plan_device_stream(
             A.indptr, A.indices, a32, B.indptr, B.indices,
             stats.row_ops, stats.a_len,
@@ -588,9 +590,21 @@ def plan_spgemm(
             pack_bits = 0
         G = layout.G
         CP = G * W
-        sid_bases = jnp.searchsorted(
-            p0, jnp.arange(max(layout.n_chunks, 1), dtype=jnp.int32) * CP
-        ).astype(jnp.int32)
+        # O(nnz) A-slot records only when stream rows exist (pure dense /
+        # direct matrices skip the whole build)
+        if layout.total_q > 0:
+            p0, srec, src = build_srec(
+                A.indptr, A.indices, a32, B.indptr[:-1],
+                B.indptr[1:] - B.indptr[:-1], rows_sorted, e, q_sorted,
+                m=m)
+            sid_bases = jnp.searchsorted(
+                p0, jnp.arange(max(layout.n_chunks, 1),
+                               dtype=jnp.int32) * CP).astype(jnp.int32)
+        else:
+            p0 = jnp.zeros((1,), jnp.int32)
+            srec = jnp.zeros((1, 3), jnp.int32)
+            src = jnp.zeros((1,), jnp.int32)
+            sid_bases = jnp.zeros((1,), jnp.int32)
         # fused staging: 3 int32 planes per stream slot + the dense tiles
         staging = 3 * layout.total_q + (
             dense_grp.staging_slots if dense_grp else 0)
@@ -619,6 +633,7 @@ def plan_spgemm(
                     tile_rows=dense_grp.tile_rows, kw=dense_grp.kw,
                     cw=dense_grp.cw, la=dense_grp.la, lb=dense_grp.lb,
                     m=m, k_dim=A.shape[1], n_cols=n,
+                    densify=cfg.dense_densify,
                 )
                 dense_staged.append(st_b)
         if layout.n_chunks > 0 and layout.total_q > 0:

@@ -111,10 +111,10 @@ def _cumsum_rect(x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("min_q", "m"))
 def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
                       a_data32, b_start, b_len, *, min_q: int, m: int):
-    """Device planning pass for the stream layout.
+    """Device planning pass for the stream layout (row layout + A-slot
+    records; the SPMD mesh path uses this combined form).
 
     Returns (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src,
     hist_pack):
@@ -134,6 +134,18 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
       hist_pack (2*N_QCLASS,) int32: stream q-class histogram | direct
                         copy-length-class histogram
     """
+    rows_sorted, e, q_sorted, el, ops_sorted, hist_pack = _plan_rows_impl(
+        row_ops, stream_mask, direct_mask, min_q=min_q, m=m)
+    p0, srec, src = build_srec(a_indptr, a_indices, a_data32, b_start,
+                               b_len, rows_sorted, e, q_sorted, m=m)
+    return rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, hist_pack
+
+
+@partial(jax.jit, static_argnames=("min_q", "m"))
+def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
+                    m: int):
+    """Row-level half of stream planning: sort, aligned offsets, live
+    prefixes, class histograms — everything O(m)."""
     ops = jnp.maximum(row_ops, 0)
     # exact integer ceil(log2): count powers of two below ops (float log2
     # is off by ulps exactly at the class boundaries). Class 31 = rows
@@ -166,11 +178,20 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
     e = cumsum1d(q_sorted) - q_sorted  # exclusive
     ops_sorted = jnp.where(stream_mask[rows_sorted], ops[rows_sorted], 0)
     el = cumsum1d(ops_sorted) - ops_sorted
+    hist_pack = jnp.concatenate([s_hist, d_hist])
+    return rows_sorted, e, q_sorted, el, ops_sorted, hist_pack
 
-    # per-A-slot records in sorted-row order
+
+@partial(jax.jit, static_argnames=("m",))
+def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
+               e, q_sorted, *, m: int):
+    """Per-sorted-A-slot stream records (the O(nnz) half of planning):
+    (p0, srec, src) — see _plan_stream_impl. Split out so matrices with
+    no stream rows (pure dense / pure direct routing) skip it entirely."""
+    stream_mask_s = q_sorted > 0
     nnz = a_indices.shape[0]
     alen = a_indptr[1:] - a_indptr[:-1]
-    alen_eff = jnp.where(stream_mask[rows_sorted], alen[rows_sorted], 0)
+    alen_eff = jnp.where(stream_mask_s, alen[rows_sorted], 0)
     ca = cumsum1d(alen_eff)            # inclusive; ca[-1] = live A-slots
     ca_excl = ca - alen_eff
     # sorted-slot s belongs to sorted row rid_s: run-length decode
@@ -195,8 +216,7 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
     u = jnp.where(live_s, b_start[acol] - p0, 0)
     prodend = jnp.where(live_s, p0 + blen, 0)
     srec = jnp.stack([u, prodend, a_data32[src]], axis=-1)
-    hist_pack = jnp.concatenate([s_hist, d_hist])
-    return rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, hist_pack
+    return p0, srec, src
 
 
 @partial(
@@ -262,19 +282,18 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     else:
         direct_mask = jnp.zeros((m,), bool)
     stream_mask = (row_ops > 0) & ~direct_mask & ~dense_mask
-    (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src,
-     hist) = _plan_stream_impl(
-        row_ops, stream_mask, direct_mask, a_indptr, a_indices, a_data32,
-        b_indptr[:-1], b_indptr[1:] - b_indptr[:-1], min_q=min_q, m=m)
+    rows_sorted, e, q_sorted, el, ops_sorted, hist = _plan_rows_impl(
+        row_ops, stream_mask, direct_mask, min_q=min_q, m=m)
     # direct rows' exact counts come free from the analysis pass (their C
     # row is a copy of one B row), like the reference's direct method
-    # (spECK_HashSpGEMM.cuh:572-589)
+    # (spECK_HashSpGEMM.cuh:572-589). The O(nnz) A-slot records are built
+    # lazily by the caller (build_srec) only when stream rows exist.
     nnz_init = jnp.where(direct_mask, row_ops, 0)
     pack = jnp.concatenate([
         hist,
         jnp.stack([n_elig, kw_eff, cw_eff, la_eff, lb_eff]).astype(jnp.int32),
     ])
-    return (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src,
+    return (rows_sorted, e, q_sorted, el, ops_sorted,
             nnz_init, r0, kb_s, cb_s, valid, pack)
 
 

@@ -124,6 +124,11 @@ class SpgemmConfig:
     # ~tiles * (tile_rows*kw + kw*cw + 4*tile_rows*cw) * 4 bytes (~1 GiB at
     # the defaults); one flat batched kernel per dispatch
     dense_tiles_per_dispatch: int = 256
+    # densification of CSR fragments into MXU windows: "sort" (two wide
+    # merge sorts) or "scatter" (one masked scatter per plane). Measured
+    # on v5e (banded 65k A·A): sort 0.72 s vs scatter 0.98 s complete —
+    # scatters lose even at one index per input nonzero
+    dense_densify: str = "sort"
     sentinel_shift_check: bool = True
     value_dtype: str = "float32"
     index_dtype: str = "int32"

@@ -126,19 +126,28 @@ def load_mtx(path: str, dtype=np.float64, use_native: bool = True) -> HostCOO:
 
 
 def store_mtx(path: str, coo: HostCOO, field: str = "real") -> None:
-    """Write a HostCOO as a general MatrixMarket coordinate file (1-based)."""
-    with open(path, "w") as fh:
-        fh.write(f"%%MatrixMarket matrix coordinate {field} general\n")
-        fh.write(f"{coo.rows} {coo.cols} {coo.nnz}\n")
-        if field == "pattern":
+    """Write a HostCOO as a general MatrixMarket coordinate file (1-based).
+
+    The body is formatted by the native C++ writer when available
+    (%.17g round-trips float64 exactly); numpy fallback otherwise — a
+    per-nonzero python write loop is unusable at 1e8 nnz."""
+    from ..native import mtx_format_native
+
+    body = mtx_format_native(coo.row_ids, coo.col_ids,
+                             np.asarray(coo.data, np.float64), field)
+    with open(path, "wb") as fh:
+        fh.write(
+            f"%%MatrixMarket matrix coordinate {field} general\n".encode())
+        fh.write(f"{coo.rows} {coo.cols} {coo.nnz}\n".encode())
+        if body is not None:
+            fh.write(body)
+        elif field == "pattern":
             np.savetxt(
                 fh,
                 np.stack([coo.row_ids + 1, coo.col_ids + 1], axis=1),
                 fmt="%d %d",
             )
         else:
-            # vectorized formatting: a per-nonzero python write loop is
-            # unusable at 1e8 nnz; %.17g round-trips float64 exactly
             rec = np.rec.fromarrays([
                 coo.row_ids.astype(np.int64) + 1,
                 coo.col_ids.astype(np.int64) + 1,

@@ -69,8 +69,42 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint),    # out cols
             ctypes.POINTER(ctypes.c_double),  # out vals
         ]
+        if hasattr(lib, "speck_mtx_format"):
+            lib.speck_mtx_format.restype = ctypes.c_longlong
+            lib.speck_mtx_format.argtypes = [
+                ctypes.POINTER(ctypes.c_uint),    # rows (0-based)
+                ctypes.POINTER(ctypes.c_uint),    # cols (0-based)
+                ctypes.POINTER(ctypes.c_double),  # vals
+                ctypes.c_longlong,                # count
+                ctypes.c_int,                     # ncol (2/3)
+                ctypes.c_char_p,                  # out buffer
+                ctypes.c_longlong,                # out capacity
+            ]
         _lib = lib
         return _lib
+
+
+def mtx_format_native(row_ids, col_ids, data, field: str):
+    """Format a COO body as MatrixMarket text via the native writer;
+    returns bytes or None (fallback to numpy formatting)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "speck_mtx_format"):
+        return None
+    n = int(row_ids.shape[0])
+    r = np.ascontiguousarray(row_ids, np.uint32)
+    c = np.ascontiguousarray(col_ids, np.uint32)
+    d = np.ascontiguousarray(data, np.float64)
+    ncol = 2 if field == "pattern" else 3
+    cap = n * 64 + 64
+    buf = ctypes.create_string_buffer(cap)
+    wrote = lib.speck_mtx_format(
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, ncol, buf, cap)
+    if wrote < 0:
+        return None
+    return buf.raw[:wrote]
 
 
 def mtx_parse_native(path: str, dtype):

@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cctype>
+#include <cstdio>
 
 namespace {
 
@@ -76,6 +77,33 @@ long long speck_mtx_parse(const char* body, long long len, long long count,
         }
     }
     return count;
+}
+
+// Formats `count` entries as "r c v\n" (1-based ids, %.17g values — exact
+// float64 round-trip) into `out`. ncol: 2 = pattern "r c\n", 3 = real.
+// Returns bytes written, or -1 if `out_cap` is insufficient. The writer
+// counterpart of the parser above; np.savetxt's per-row python loop is
+// unusable at 1e8 nnz.
+long long speck_mtx_format(const unsigned int* rows, const unsigned int* cols,
+                           const double* vals, long long count, int ncol,
+                           char* out, long long out_cap) {
+    char* p = out;
+    char* end = out + out_cap;
+    for (long long i = 0; i < count; ++i) {
+        if (end - p < 64) return -1;
+        int n;
+        if (ncol >= 3) {
+            n = std::snprintf(p, static_cast<std::size_t>(end - p),
+                              "%u %u %.17g\n", rows[i] + 1, cols[i] + 1,
+                              vals[i]);
+        } else {
+            n = std::snprintf(p, static_cast<std::size_t>(end - p),
+                              "%u %u\n", rows[i] + 1, cols[i] + 1);
+        }
+        if (n <= 0 || p + n >= end) return -1;
+        p += n;
+    }
+    return static_cast<long long>(p - out);
 }
 
 }  // extern "C"

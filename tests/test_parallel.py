@@ -174,3 +174,18 @@ def test_mesh_stream_rectangular(rng):
     got = mesh_stream_to_host_csr(nnz_row, cols, vals, meta)
     ref = oracle_spgemm(a, b)
     assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_multihost_spgemm_single_process(rng):
+    """multihost_spgemm degenerates to the global-mesh stream step under
+    one process; validates vs the oracle on the 8-device virtual mesh."""
+    from speck_tpu.parallel.multihost import (multihost_spgemm,
+                                              scaling_efficiency)
+    from speck_tpu.parallel import mesh_stream_to_host_csr
+
+    a = random_host_csr(rng, 96, 96, 0.1)
+    nnz_row, cols, vals, meta = multihost_spgemm(a, a)
+    got = mesh_stream_to_host_csr(nnz_row, cols, vals, meta)
+    ref = oracle_spgemm(a, a)
+    assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok
+    assert scaling_efficiency(8.0, 1.25, 8) == 0.8

@@ -79,6 +79,76 @@ def contract_divisible(R: int, W: int) -> bool:
     return contract_supported(W) and R % _block_rows(R, W) == 0
 
 
+_STREAM_MAX_W = 8192
+
+
+def _stream_block_rows(R: int, W: int) -> int:
+    # ~6 live (br, W) f32/i32 planes; keep them well under the ~16 MB core
+    return max(1, min(R, 64, (6 * 1024 * 1024) // (4 * W)))
+
+
+def stream_contract_supported(R: int, W: int) -> bool:
+    return (_HAVE_PALLAS and W <= _STREAM_MAX_W
+            and R % _stream_block_rows(R, W) == 0)
+
+
+def _stream_contract_kernel(n_cols: int, rid_ref, col_ref, val_ref,
+                            last_ref, sum_ref):
+    rid = rid_ref[:]
+    col = col_ref[:]
+    val = val_ref[:]
+    R, W = col.shape
+    changed = jnp.concatenate(
+        [jnp.ones((R, 1), jnp.int32),
+         jnp.where((col[:, 1:] != col[:, :-1])
+                   | (rid[:, 1:] != rid[:, :-1]),
+                   jnp.int32(1), jnp.int32(0))], axis=1)
+    nxt = jnp.concatenate([changed[:, 1:], jnp.ones((R, 1), jnp.int32)],
+                          axis=1)
+    last = jnp.where((nxt > 0) & (col < n_cols), jnp.int32(1), jnp.int32(0))
+    v, f = val, changed
+    d = 1
+    while d < W:
+        v_s = jnp.concatenate([jnp.zeros_like(v[:, :d]), v[:, :-d]], axis=1)
+        f_s = jnp.concatenate([jnp.ones_like(f[:, :d]), f[:, :-d]], axis=1)
+        v = jnp.where(f > 0, v, v + v_s)
+        f = jnp.maximum(f, f_s)
+        d <<= 1
+    last_ref[:] = last
+    sum_ref[:] = v
+
+
+@partial(jax.jit, static_argnames=("n_cols",))
+def stream_contract_runs(rid_s: jax.Array, col_s: jax.Array,
+                         val_s: jax.Array, n_cols: int):
+    """(run-last mask, per-run sums) of (rid, col)-sorted rectangle rows,
+    VMEM-resident: the stream analogue of ``contract_runs`` with the row
+    channel in the boundary predicate. Semantically identical to
+    stream._contract_rect (same doubling order)."""
+    R, W = col_s.shape
+    br = _stream_block_rows(R, W)
+    interpret = jax.default_backend() != "tpu"
+    last8, sums = pl.pallas_call(
+        partial(_stream_contract_kernel, n_cols),
+        grid=(R // br,),
+        in_specs=[
+            pl.BlockSpec((br, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((br, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, W), jnp.int32),
+            jax.ShapeDtypeStruct((R, W), val_s.dtype),
+        ],
+        interpret=interpret,
+    )(rid_s, col_s, val_s)
+    return last8 > 0, sums
+
+
 @partial(jax.jit, static_argnames=("n_cols",))
 def contract_runs(col_s: jax.Array, val_s: jax.Array, n_cols: int):
     """(run-last mask, per-run sums at run-last positions) of a

@@ -650,7 +650,8 @@ def plan_spgemm(
                     jnp.int32(c * CP), jnp.int32(int(layout.rid_bases[c])),
                     sid_bases[c],
                     G=G, W=W, n_cols=n, pack_bits=pack_bits,
-                    stage=fused or has_wide, f64=f64)
+                    stage=fused or has_wide, f64=f64,
+                    pallas_contract=cfg.stream_pallas_contract)
                 staged.append(stg)
             nw_chunks = -(-layout.r_wide // G) if layout.r_wide else 0
             nnz_row, level_bufs = _run_wide(

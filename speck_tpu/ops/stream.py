@@ -334,10 +334,22 @@ def _sort_rect(rid, col, val, n_cols: int, pack_bits: int):
     return jax.lax.sort((rid, col, val), dimension=1, num_keys=2)
 
 
-def _contract_rect(rid_s, col_s, val_s, n_cols: int):
+def _contract_rect(rid_s, col_s, val_s, n_cols: int,
+                   use_pallas: bool = False):
     """Run boundaries + segmented run sums of (rid, col)-sorted rows.
-    Returns (last, run_sum): last marks the final slot of each live run."""
+    Returns (last, run_sum): last marks the final slot of each live run.
+
+    use_pallas routes through the VMEM-resident Pallas kernel
+    (ops/pallas_kernels.stream_contract_runs) when the shape fits its
+    blocking; measured on v5e the XLA form is fully fused into the
+    surrounding chunk (standalone contract ~2 ms of a 150 ms chunk), so
+    this is an A/B hook more than a default."""
+    from .pallas_kernels import stream_contract_runs, stream_contract_supported
+
     G, W = col_s.shape
+    if use_pallas and stream_contract_supported(G, W) and \
+            val_s.dtype == jnp.float32:
+        return stream_contract_runs(rid_s, col_s, val_s, n_cols)
     changed = jnp.concatenate(
         [jnp.ones((G, 1), bool),
          (col_s[:, 1:] != col_s[:, :-1]) | (rid_s[:, 1:] != rid_s[:, :-1])],
@@ -371,13 +383,15 @@ def _compact_rect(last, rid_s, col_s, run_sum):
 
 @partial(
     jax.jit,
-    static_argnames=("G", "W", "n_cols", "pack_bits", "stage", "f64"),
+    static_argnames=("G", "W", "n_cols", "pack_bits", "stage", "f64",
+                     "pallas_contract"),
     donate_argnames=("nnz_row",),
 )
 def stream_chunk(rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
                  b_packed, b_indices, b_data, a_data, a_srcmap, nnz_row,
                  chunk_start, rid_base, sid_base, *, G: int, W: int,
-                 n_cols: int, pack_bits: int, stage: bool, f64: bool):
+                 n_cols: int, pack_bits: int, stage: bool, f64: bool,
+                 pallas_contract: bool = False):
     """One fused count(+stage) pass over stream chunk
     [chunk_start, chunk_start + G*W).
 
@@ -414,7 +428,8 @@ def stream_chunk(rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
         val = jnp.where(dead, 0.0, aval * bval)
 
     rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits)
-    last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols)
+    last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols,
+                                   use_pallas=pallas_contract)
 
     # O(m) counting for rows contained in this chunk
     m = nnz_row.shape[0]

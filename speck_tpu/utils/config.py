@@ -103,6 +103,10 @@ class SpgemmConfig:
     stream_min_q: int = 8        # smallest per-row product quantum (pow2)
     stream_level_factor: int = 4
     stream_max_width: int = 1 << 24
+    # route the chunk contract stage through the VMEM Pallas kernel
+    # (pallas_kernels.stream_contract_runs); default off — measured on
+    # v5e the XLA contract fuses into the chunk at ~no standalone cost
+    stream_pallas_contract: bool = False
     # fused count+numeric staging: total staged int32 planes (3 per stream
     # slot: row, col, value) that may stay resident between the counting
     # and numeric phases; beyond this the stream runs the classic

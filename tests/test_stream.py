@@ -222,3 +222,18 @@ def test_wide_finish_vs_ladder(rng):
                                        device_put_csr(a2)))
     ref2 = oracle_spgemm(a2, a2)
     assert compare_csr(ref2, C2, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_pallas_contract_matches_xla(rng):
+    """stream_pallas_contract routes the chunk contract through the VMEM
+    Pallas kernel (interpret mode on CPU); results must be identical."""
+    a = random_host_csr(rng, 150, 150, 0.07)
+    cfg_x = dataclasses.replace(_CFG, stream_width=512,
+                                product_budget=1 << 12)
+    cfg_p = dataclasses.replace(cfg_x, stream_pallas_contract=True)
+    A = device_put_csr(a)
+    C_x = device_get_csr(spgemm(A, A, cfg_x))
+    C_p = device_get_csr(spgemm(A, A, cfg_p))
+    np.testing.assert_array_equal(C_x.row_offsets, C_p.row_offsets)
+    np.testing.assert_array_equal(C_x.col_ids, C_p.col_ids)
+    np.testing.assert_allclose(C_x.data, C_p.data, rtol=0, atol=0)

@@ -104,7 +104,9 @@ def mtx_format_native(row_ids, col_ids, data, field: str):
         n, ncol, buf, cap)
     if wrote < 0:
         return None
-    return buf.raw[:wrote]
+    # string_at copies only the written bytes (.raw would materialize the
+    # whole 64-bytes-per-nnz over-allocation first)
+    return ctypes.string_at(buf, int(wrote))
 
 
 def mtx_parse_native(path: str, dtype):

@@ -289,9 +289,13 @@ class SpgemmPlan:
                     level_bufs = ss.level_bufs or []
                 else:
                     srec, b_packed, f64 = self._chunk_args(A, B, ss)
+                    # wide values from a two-phase plan were merged once at
+                    # plan time; don't recompute staging we would discard
+                    reuse_levels = bool(use_staged and not ss.fused
+                                        and ss.level_bufs)
                     wide_staged = []
                     for c in range(lo.n_chunks):
-                        has_wide = c * G < lo.r_wide
+                        has_wide = (c * G < lo.r_wide) and not reuse_levels
                         c_cols, c_vals, stg = stream_chunk_numeric(
                             ss.rows_sorted, ss.e, ss.p0, srec, b_packed,
                             B.indices, B.data, A.data, ss.src,
@@ -303,9 +307,7 @@ class SpgemmPlan:
                             stage_wide=has_wide, f64=f64)
                         if stg is not None:
                             wide_staged.append(stg)
-                    if use_staged and not ss.fused and ss.level_bufs:
-                        # two-phase plan: wide values were merged once at
-                        # plan time; reuse those buffers
+                    if reuse_levels:
                         level_bufs = ss.level_bufs
                     else:
                         level_bufs = _run_wide(

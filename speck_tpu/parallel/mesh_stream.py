@@ -146,10 +146,18 @@ def mesh_stream_spgemm(
     max_q, total_qs = min_q, []
     for r0, r1 in a_ranges:
         ops = _host_row_ops(_slice_rows(a, r0, r1), b_len_h)
+        if ops.size and int(ops.max(initial=0)) > 2 ** 30:
+            raise ValueError(
+                f"row with {int(ops.max())} products exceeds the 2^30 "
+                "per-row int32 ceiling (shard rows {r0}:{r1})")
         q = np.where(ops > 0,
                      2 ** np.ceil(np.log2(np.maximum(ops, min_q))), 0
                      ).astype(np.int64)
         total_qs.append(int(q.sum()))
+        if total_qs[-1] >= 2 ** 31:
+            raise ValueError(
+                f"shard rows {r0}:{r1} quantize to {total_qs[-1]} stream "
+                "slots, past the 2^31 int32 ceiling; use more shards")
         if q.size:
             max_q = max(max_q, int(q.max(initial=min_q)))
     W = max(cfg.stream_width, _pow2ceil(max_q))

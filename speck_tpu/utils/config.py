@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import configparser
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 class Config:
@@ -83,18 +83,15 @@ class Config:
 class SpgemmConfig:
     """Tuning knobs for the TPU SpGEMM pipeline.
 
-    The bin ladder replaces spECK's 6 kernel size classes
-    (Multiply.cu:105-107, kernelCount=6): rows are binned by
-    work = max(ops, a_row_nnz) into power-of-``bin_growth`` capacity classes
-    starting at ``min_cap``. ``product_budget`` bounds the number of
-    intermediate products materialized per device dispatch (the analogue of
-    spECK's shared-memory budgeting, Multiply.cu:110-134).
+    The flat product stream (ops/stream.py) replaces spECK's 6 kernel
+    size classes (Multiply.cu:105-107, kernelCount=6): rows are
+    pow2-quantized and tightly packed into fixed (G, W) chunks.
+    ``product_budget`` bounds the stream slots materialized per device
+    dispatch (the analogue of spECK's shared-memory budgeting,
+    Multiply.cu:110-134).
     """
 
-    min_cap: int = 64            # smallest per-row product capacity
-    bin_growth: int = 4          # capacity ratio between adjacent bins
-    num_bins: int = 6            # ladder bins before the "huge rows" path
-    product_budget: int = 1 << 22  # max products per dispatch (~4M)
+    product_budget: int = 1 << 22  # max stream slots per dispatch (~4M)
     # stream ESC (ops/stream.py): rectangle-row width of the flat product
     # stream; rows with more products own whole rectangle rows and are
     # finished by merge levels growing the width by stream_level_factor
@@ -137,10 +134,3 @@ class SpgemmConfig:
     value_dtype: str = "float32"
     index_dtype: str = "int32"
 
-    @property
-    def caps(self) -> Tuple[int, ...]:
-        return tuple(self.min_cap * self.bin_growth ** i for i in range(self.num_bins))
-
-    @property
-    def max_cap(self) -> int:
-        return self.caps[-1]

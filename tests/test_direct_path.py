@@ -113,7 +113,7 @@ def test_direct_long_copy(rng):
         col_ids=np.array([0, 1], np.uint32),
         data=np.array([3.0, -1.0]),
     )
-    b = random_host_csr(rng, m, 600, 0.6)  # row lengths ~360 > min_cap 64
+    b = random_host_csr(rng, m, 600, 0.6)  # long copy rows
     ref = oracle_spgemm(a, b)
     got = device_get_csr(spgemm(device_put_csr(a), device_put_csr(b), _CFG))
     assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok

@@ -142,7 +142,7 @@ def test_skewed_rows(rng):
 
 def test_bin_ladder_spread(rng):
     """Rows spanning several bins including the huge path (tiny config)."""
-    cfg = SpgemmConfig(min_cap=8, bin_growth=4, num_bins=2, product_budget=1 << 12)
+    cfg = SpgemmConfig(product_budget=1 << 12, stream_width=256)
     a = random_host_csr(rng, 96, 96, 0.15)
     b = random_host_csr(rng, 96, 96, 0.4)
     _check(a, b, cfg)

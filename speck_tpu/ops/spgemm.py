@@ -53,11 +53,13 @@ from .stream import (
     N_QCLASS,
     LevelPlan,
     StreamLayout,
+    accum_finalize,
     build_srec,
     plan_device_stream,
     plan_layout,
     plan_levels,
     stream_chunk,
+    stream_chunk_accum,
     stream_chunk_numeric,
     stream_emit,
     stream_gather_emit,
@@ -154,6 +156,19 @@ class StreamState:
     # list of dicts with keys R2, W2, E_pad, entry_excl, row_total,
     # rid_of_out — None means the geometric ladder is in use
     finish: Optional[list] = None
+    # dense-span accumulator region (huge rows with bounded column
+    # ranges, sorted first): its own product space + host part/class plan
+    n_accum: int = 0
+    e2: Optional[jax.Array] = None
+    p02: Optional[jax.Array] = None
+    srec2: Optional[jax.Array] = None
+    src2: Optional[jax.Array] = None
+    sid_bases2: Optional[jax.Array] = None
+    rid_bases2: Optional[jax.Array] = None
+    cmin_s: Optional[jax.Array] = None   # (m,) out-col window base, sorted
+    abase: Optional[jax.Array] = None    # (m,) accumulator slot base
+    accum: Optional[dict] = None         # host plan: n_chunks2, parts
+    accum_bufs: Optional[list] = None    # staged finalize outputs
 
 
 @dataclasses.dataclass
@@ -283,7 +298,9 @@ class SpgemmPlan:
                 lo = ss.layout
                 G, W = lo.G, lo.W
                 CP = G * W
-                nwj = jnp.int32(lo.n_wide)
+                # first n_accum + n_wide sorted rows are emitted by the
+                # accumulator / wide paths, not the contained scatter
+                nwj = jnp.int32(ss.n_accum + lo.n_wide)
                 if use_staged and ss.fused and ss.staged is not None:
                     # contained rows already emitted by the gather pass
                     level_bufs = ss.level_bufs or []
@@ -301,7 +318,7 @@ class SpgemmPlan:
                             B.indices, B.data, A.data, ss.src,
                             self.row_offsets, c_cols, c_vals,
                             jnp.int32(c * CP),
-                            jnp.int32(int(lo.rid_bases[c])),
+                            jnp.int32(int(lo.rid_bases[c]) + ss.n_accum),
                             ss.sid_bases[c], nwj,
                             G=G, W=W, n_cols=n, pack_bits=ss.pack_bits,
                             stage_wide=has_wide, f64=f64)
@@ -317,6 +334,18 @@ class SpgemmPlan:
                     rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
                     c_cols, c_vals = stream_emit(
                         ss.rows_sorted, rid_b, col_c, val_c, fcnt, nwj,
+                        self.row_offsets, c_cols, c_vals, wide_only=True)
+            if ss is not None and ss.accum:
+                if use_staged and ss.accum_bufs is not None:
+                    accum_bufs = ss.accum_bufs
+                else:
+                    accum_bufs = _run_accum(ss, A, B, None, n,
+                                            count=False)[1]
+                zero = jnp.int32(0)
+                for rid_out, col_c, val_c, fcnt in accum_bufs:
+                    rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
+                    c_cols, c_vals = stream_emit(
+                        ss.rows_sorted, rid_b, col_c, val_c, fcnt, zero,
                         self.row_offsets, c_cols, c_vals, wide_only=True)
             for g in self.groups:
                 for start, valid in zip(g.starts, g.valids):
@@ -362,6 +391,108 @@ def _wide_slices(ss: StreamState, wide_staged):
         [wide_staged[i][3][: min(G, lo.r_wide - i * G)]
          for i in range(len(wide_staged))])
     return wcol, wval, wcnt
+
+
+def _plan_accum(a_hist: np.ndarray, a_psum: np.ndarray, CP: int,
+                budget: int):
+    """Host layout of the accumulator region from the planning pack:
+    span classes in device sort order (descending), greedily split into
+    parts whose accumulator slots fit ``budget``. Returns
+    (n_accum, total_p2, n_chunks2, parts, class_meta) where class_meta =
+    [(k, rows, span)] desc and parts = [dict(row_lo, row_hi, part_base,
+    slots, classes=[(R_pad, S, off, rid_of_out np.ndarray)])]."""
+    classes = [(k, int(a_hist[k]), 1 << k)
+               for k in range(N_QCLASS - 1, -1, -1) if a_hist[k]]
+    n_accum = int(a_hist.sum())
+    total_p2 = int(a_psum.sum())
+    if total_p2 >= 2 ** 31:
+        raise ValueError(
+            f"accumulator region of {total_p2} products exceeds the 2^31 "
+            "int32 ceiling; row-block the multiply")
+    n_chunks2 = -(-total_p2 // CP) if total_p2 else 0
+    # greedy parts: rows in device sort order (span class descending);
+    # each part's padded accumulator slots stay <= budget (a lone row
+    # wider than the budget still gets one slot run of its own)
+    parts = []
+    # PART-LOCAL accumulator offsets (global offsets could overflow int32
+    # for many wide spans; rows outside the active part are masked by the
+    # kernel's row range, so local offsets suffice)
+    abase = np.zeros(max(n_accum, 1), np.int32)
+    row = 0
+    cur = None
+    for k, rows, span in classes:
+        done = 0
+        while done < rows:
+            if cur is None:
+                cur = dict(row_lo=row, row_hi=row, slots=0, classes=[])
+            avail = (budget - cur["slots"]) // span
+            if avail < 1:
+                if cur["classes"]:
+                    parts.append(cur)
+                    cur = None
+                    continue
+                avail = 1  # single row wider than the budget
+            take = min(rows - done, avail)
+            R_pad = _pow2(take)
+            rid = np.full(R_pad, -1, np.int32)
+            rid[:take] = np.arange(row, row + take)
+            abase[row: row + take] = (cur["slots"]
+                                      + np.arange(take, dtype=np.int64)
+                                      * span).astype(np.int32)
+            cur["classes"].append((R_pad, span, cur["slots"], rid))
+            cur["slots"] += R_pad * span
+            row += take
+            done += take
+            cur["row_hi"] = row
+    if cur is not None and cur["classes"]:
+        parts.append(cur)
+    return n_accum, total_p2, n_chunks2, parts, abase
+
+
+def _run_accum(ss: StreamState, A, B, nnz_row, n_cols: int, count: bool):
+    """Drive the accumulator region: expand + scatter-add every product
+    into its row's dense span window, then finalize per span class (the
+    reference's dense mode for single huge rows,
+    spECK_HashSpGEMM.cuh:1761-1793). Returns (nnz_row, staged bufs)."""
+    from .esc import packable
+
+    ac = ss.accum
+    if not ac or ac["n_chunks2"] == 0:
+        return nnz_row, []
+    if nnz_row is None:
+        nnz_row = jnp.zeros((ss.rows_sorted.shape[0],), jnp.int32)
+        count = False
+    f64 = not packable(A.data)
+    if f64:
+        srec2 = ss.srec2
+        b_packed = jnp.zeros((1, 2), jnp.int32)
+    else:
+        bits = jax.lax.bitcast_convert_type(
+            A.data.astype(jnp.float32), jnp.int32)[ss.src2]
+        srec2 = jnp.concatenate([ss.srec2[:, :2], bits[:, None]], axis=1)
+        b_packed = pack_csr_arrays(B.indices, B.data.astype(jnp.float32))
+    G, W = ac["G"], ac["W"]
+    CP = G * W
+    bufs = []
+    vdtype = A.data.dtype
+    for part in ac["parts"]:
+        acc = jnp.zeros((part["slots"],), vdtype)
+        pres = jnp.zeros((part["slots"],), jnp.int32)
+        lo_j = jnp.int32(part["row_lo"])
+        hi_j = jnp.int32(part["row_hi"])
+        for c in range(ac["n_chunks2"]):
+            acc, pres = stream_chunk_accum(
+                ss.e2, ss.p02, srec2, b_packed, B.indices, B.data,
+                A.data, ss.src2, ss.abase, ss.cmin_s, acc, pres,
+                jnp.int32(c * CP), ss.rid_bases2[c], ss.sid_bases2[c],
+                lo_j, hi_j, G=G, W=W, n_cols=n_cols, f64=f64)
+        for R_pad, S, off, rid in part["classes"]:
+            nnz_row, buf = accum_finalize(
+                ss.rows_sorted, acc[off: off + R_pad * S],
+                pres[off: off + R_pad * S], ss.cmin_s,
+                jnp.asarray(rid), nnz_row, R_c=R_pad, S_c=S, count=count)
+            bufs.append(buf)
+    return nnz_row, bufs
 
 
 def _finish_classes(totals: np.ndarray, rid_live: np.ndarray):
@@ -417,21 +548,25 @@ def _run_wide(ss: StreamState, wide_staged, nnz_row, n_cols: int,
     li = 0
     while True:
         if deciding:
+            # rid values are global sorted ids; the accum region sorts
+            # first, so wide-row segment ids start at n_accum
             totals = np.asarray(wide_entry_totals(
-                wcnt, rid_in, n_wide=lo.n_wide)).astype(np.int64)
-            rid_h = np.asarray(rid_in)
+                wcnt, rid_in - ss.n_accum, n_wide=lo.n_wide)
+            ).astype(np.int64)
+            loc = np.asarray(rid_in) - ss.n_accum
             # live rows in buffer order (ascending rid, one entry run each)
-            live_rids, first_idx = np.unique(rid_h, return_index=True)
-            live_tot = totals[live_rids]
+            live_loc = np.unique(loc)
+            live_tot = totals[live_loc]
             keep_live = live_tot > 0
-            live_rids, live_tot = live_rids[keep_live], live_tot[keep_live]
+            live_loc, live_tot = live_loc[keep_live], live_tot[keep_live]
             if live_tot.size == 0:
                 ss.finish.update(ladder_levels=li, classes=[])
                 break
             if _pow2(int(live_tot.max())) <= max_width:
                 ss.finish.update(
                     ladder_levels=li, W_in=W_in,
-                    classes=_finish_classes(live_tot, live_rids))
+                    classes=_finish_classes(live_tot,
+                                            live_loc + ss.n_accum))
                 deciding = False
         if not deciding and li >= ss.finish["ladder_levels"]:
             classes = ss.finish["classes"]
@@ -514,21 +649,28 @@ def plan_spgemm(
         a32 = (jnp.zeros_like(A.indices) if f64 else
                jax.lax.bitcast_convert_type(
                    A.data.astype(jnp.float32), jnp.int32))
-        (rows_sorted, e, q_sorted, el, ops_sorted, nnz_init,
-         t_r0, t_kb, t_cb, t_valid, pack) = plan_device_stream(
+        use_accum = bool(cfg.enable_accum and B.canonical and m > 0
+                         and A.nnz > 0)
+        (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
+         cmin_sorted, nnz_init, t_r0, t_kb, t_cb, t_valid,
+         pack) = plan_device_stream(
             A.indptr, A.indices, a32, B.indptr, B.indices,
             stats.row_ops, stats.a_len,
             min_q=cfg.stream_min_q, direct_ok=direct_ok,
             use_dense=use_dense and max_tiles > 0, tile_rows=tr,
             kw_max=cfg.dense_kw, cw_max=cfg.dense_cw,
             la_max=cfg.dense_la, lb_max=cfg.dense_lb,
-            max_tiles=max_tiles, m=m,
+            max_tiles=max_tiles, m=m, use_accum=use_accum,
+            accum_min_ops=cfg.accum_min_ops,
+            accum_span_cap=cfg.accum_span_cap,
         )
         pack_h = np.asarray(pack)  # the ONE planning host sync
         s_hist = pack_h[:N_QCLASS]
         d_hist = pack_h[N_QCLASS: 2 * N_QCLASS]
+        a_hist = pack_h[2 * N_QCLASS: 3 * N_QCLASS]
+        a_psum = pack_h[3 * N_QCLASS: 4 * N_QCLASS]
         n_elig, kw_e, cw_e, la_e, lb_e = (
-            int(x) for x in pack_h[2 * N_QCLASS:])
+            int(x) for x in pack_h[4 * N_QCLASS:])
         # adaptive rectangle width: giant rows get wider rectangles (at
         # most ~1024 segments each) so per-rectangle dedup is stronger and
         # the wide finish engages sooner; bounded ladder {8192..65536}
@@ -592,6 +734,9 @@ def plan_spgemm(
             pack_bits = 0
         G = layout.G
         CP = G * W
+        # accumulator region sorts FIRST: every stream rid base shifts
+        n_accum, total_p2, n_chunks2, accum_parts, abase_h = _plan_accum(
+            a_hist, a_psum, CP, cfg.accum_budget)
         # O(nnz) A-slot records only when stream rows exist (pure dense /
         # direct matrices skip the whole build)
         if layout.total_q > 0:
@@ -617,10 +762,25 @@ def plan_spgemm(
             ops_sorted=ops_sorted, p0=p0, srec=srec, src=src,
             sid_bases=sid_bases, pack_bits=pack_bits, fused=fused,
             wide_rid_in=(jnp.asarray(
-                np.repeat(np.arange(layout.n_wide), layout.wide_segs),
+                n_accum + np.repeat(np.arange(layout.n_wide),
+                                    layout.wide_segs),
                 jnp.int32) if layout.n_wide
                 else jnp.zeros((0,), jnp.int32)),
+            n_accum=n_accum,
         )
+        if n_accum and n_chunks2:
+            p02, srec2, src2 = build_srec(
+                A.indptr, A.indices, a32, B.indptr[:-1],
+                B.indptr[1:] - B.indptr[:-1], rows_sorted, e2, q2_sorted,
+                m=m)
+            cks = jnp.arange(max(n_chunks2, 1), dtype=jnp.int32) * CP
+            ss.e2, ss.p02, ss.srec2, ss.src2 = e2, p02, srec2, src2
+            ss.sid_bases2 = jnp.searchsorted(p02, cks).astype(jnp.int32)
+            ss.rid_bases2 = jnp.searchsorted(e2, cks).astype(jnp.int32)
+            ss.cmin_s = cmin_sorted
+            ss.abase = jnp.asarray(abase_h)
+            ss.accum = dict(n_chunks2=n_chunks2, parts=accum_parts,
+                            G=G, W=W)
 
     with StageTimer(timings, "spGEMMCounting", track) as st:
         nnz_row = nnz_init
@@ -649,7 +809,7 @@ def plan_spgemm(
                 nnz_row, stg = stream_chunk(
                     rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
                     b_packed, B.indices, B.data, A.data, src, nnz_row,
-                    jnp.int32(c * CP), jnp.int32(int(layout.rid_bases[c])),
+                    jnp.int32(c * CP), jnp.int32(int(layout.rid_bases[c]) + ss.n_accum),
                     sid_bases[c],
                     G=G, W=W, n_cols=n, pack_bits=pack_bits,
                     stage=fused or has_wide, f64=f64,
@@ -661,6 +821,10 @@ def plan_spgemm(
                 max_width=cfg.stream_max_width)
             ss.staged = staged if fused else None
             ss.level_bufs = level_bufs
+        if ss.accum:
+            nnz_row, accum_bufs = _run_accum(ss, A, B, nnz_row, n,
+                                             count=True)
+            ss.accum_bufs = accum_bufs
         st.stop(nnz_row)
 
     with StageTimer(timings, "allocC", track):

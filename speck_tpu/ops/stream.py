@@ -134,7 +134,8 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
       hist_pack (2*N_QCLASS,) int32: stream q-class histogram | direct
                         copy-length-class histogram
     """
-    rows_sorted, e, q_sorted, el, ops_sorted, hist_pack = _plan_rows_impl(
+    (rows_sorted, e, q_sorted, el, ops_sorted, _e2, _q2,
+     hist_pack) = _plan_rows_impl(
         row_ops, stream_mask, direct_mask, min_q=min_q, m=m)
     p0, srec, src = build_srec(a_indptr, a_indices, a_data32, b_start,
                                b_len, rows_sorted, e, q_sorted, m=m)
@@ -143,9 +144,16 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
 
 @partial(jax.jit, static_argnames=("min_q", "m"))
 def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
-                    m: int):
+                    m: int, accum_mask=None, span=None):
     """Row-level half of stream planning: sort, aligned offsets, live
-    prefixes, class histograms — everything O(m)."""
+    prefixes, class histograms — everything O(m).
+
+    With ``accum_mask``/``span``, eligible huge rows form a FOURTH region
+    sorted first (grouped by span class descending): they get their own
+    tightly packed product space (e2 — no quantization; the accumulator
+    does not sort, so no alignment is needed) and sentinel e = -1 in the
+    main stream (counted by rid bases, never decoded into chunks).
+    """
     ops = jnp.maximum(row_ops, 0)
     # exact integer ceil(log2): count powers of two below ops (float log2
     # is off by ulps exactly at the class boundaries). Class 31 = rows
@@ -153,14 +161,25 @@ def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
     pows = jnp.int32(1) << jnp.arange(31, dtype=jnp.int32)
     clog2 = jnp.sum(ops[:, None] > pows[None, :], axis=1, dtype=jnp.int32)
     qc = jnp.maximum(clog2, int(np.log2(min_q)))
+    if accum_mask is None:
+        accum_mask = jnp.zeros((m,), bool)
+        span = jnp.ones((m,), jnp.int32)
+    sp = jnp.maximum(span, 1)
+    sc = jnp.sum(sp[:, None] > pows[None, :], axis=1, dtype=jnp.int32)
     qc = jnp.where(stream_mask, qc, 0)
     dc = jnp.where(direct_mask, clog2, 0)
+    sc = jnp.where(accum_mask, sc, 0)
 
-    # sort key: region (0 stream / 1 direct / 2 rest), then descending class
-    region = jnp.where(stream_mask, 0, jnp.where(direct_mask, 1, 2))
-    key = region * (2 * N_QCLASS) + jnp.where(
-        stream_mask, N_QCLASS - 1 - qc, jnp.where(direct_mask,
-                                                  N_QCLASS - 1 - dc, 0))
+    # sort key: region (0 accum / 1 stream / 2 direct / 3 rest), then
+    # descending class (span class for accum, q class otherwise)
+    region = jnp.where(accum_mask, 0,
+                       jnp.where(stream_mask, 1,
+                                 jnp.where(direct_mask, 2, 3)))
+    subkey = jnp.where(accum_mask, N_QCLASS - 1 - sc,
+                       jnp.where(stream_mask, N_QCLASS - 1 - qc,
+                                 jnp.where(direct_mask,
+                                           N_QCLASS - 1 - dc, 0)))
+    key = region * (2 * N_QCLASS) + subkey
     row_ids = jnp.arange(m, dtype=jnp.int32)
     _, rows_sorted = jax.lax.sort((key, row_ids), dimension=0, num_keys=1,
                                   is_stable=True)
@@ -170,16 +189,31 @@ def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
                      axis=1, dtype=jnp.int32)
     d_hist = jnp.sum((dc[None, :] == cls[:, None]) & direct_mask[None, :],
                      axis=1, dtype=jnp.int32)
+    a_hist = jnp.sum((sc[None, :] == cls[:, None]) & accum_mask[None, :],
+                     axis=1, dtype=jnp.int32)
+    a_psum = jnp.sum(
+        jnp.where((sc[None, :] == cls[:, None]) & accum_mask[None, :],
+                  ops[None, :], 0), axis=1, dtype=jnp.int32)
 
     # aligned stream offsets over sorted order (pow2 q, descending => each
     # e is q-aligned; see module docstring)
     q_sorted = jnp.where(stream_mask[rows_sorted],
                          jnp.int32(1) << qc[rows_sorted], 0)
     e = cumsum1d(q_sorted) - q_sorted  # exclusive
+    # accum rows sort BEFORE the stream region: sentinel -1 keeps them
+    # counted by rid bases (#(e < chunk_start)) but never decoded into a
+    # chunk; direct/rest rows AFTER the region keep the natural cumsum
+    # value (= total_q), which already excludes them from earlier chunks
+    e = jnp.where(accum_mask[rows_sorted], -1, e)
     ops_sorted = jnp.where(stream_mask[rows_sorted], ops[rows_sorted], 0)
     el = cumsum1d(ops_sorted) - ops_sorted
-    hist_pack = jnp.concatenate([s_hist, d_hist])
-    return rows_sorted, e, q_sorted, el, ops_sorted, hist_pack
+    # accumulator product space: tight (no alignment needed — no sorting);
+    # accum rows are first, so the natural cumsum is globally ascending
+    q2_sorted = jnp.where(accum_mask[rows_sorted], ops[rows_sorted], 0)
+    e2 = cumsum1d(q2_sorted) - q2_sorted
+    hist_pack = jnp.concatenate([s_hist, d_hist, a_hist, a_psum])
+    return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
+            hist_pack)
 
 
 @partial(jax.jit, static_argnames=("m",))
@@ -223,13 +257,15 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     jax.jit,
     static_argnames=("min_q", "direct_ok", "use_dense", "tile_rows",
                      "kw_max", "cw_max", "la_max", "lb_max", "max_tiles",
-                     "m"),
+                     "m", "use_accum", "accum_min_ops", "accum_span_cap"),
 )
 def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
                        row_ops, a_len, *, min_q: int, direct_ok: bool,
                        use_dense: bool, tile_rows: int, kw_max: int,
                        cw_max: int, la_max: int, lb_max: int,
-                       max_tiles: int, m: int):
+                       max_tiles: int, m: int, use_accum: bool = False,
+                       accum_min_ops: int = 1 << 14,
+                       accum_span_cap: int = 1 << 20):
     """Single-dispatch planning: dense-tile eligibility (ops/dense.py),
     direct/stream masks, the stream layout sort, and the A-slot records --
     ONE packed int32 readback serves every host decision (the analogue of
@@ -281,9 +317,37 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
         direct_mask = (a_len == 1) & (row_ops > 0) & ~dense_mask
     else:
         direct_mask = jnp.zeros((m,), bool)
-    stream_mask = (row_ops > 0) & ~direct_mask & ~dense_mask
-    rows_sorted, e, q_sorted, el, ops_sorted, hist = _plan_rows_impl(
-        row_ops, stream_mask, direct_mask, min_q=min_q, m=m)
+    if use_accum and m > 0:
+        # per-row output-column range (segment min/max over A's nonzeros —
+        # the rowColMinMax analogue, common.cuh:303-319); canonical B, so
+        # a B row's range is its first/last column id
+        b_len = b_indptr[1:] - b_indptr[:-1]
+        b_ne = b_len > 0
+        b_cmin = jnp.where(b_ne, b_indices[b_indptr[:-1]], INT_MAX)
+        b_cmax = jnp.where(
+            b_ne, b_indices[jnp.maximum(b_indptr[1:] - 1, 0)], -1)
+        nnz = a_indices.shape[0]
+        seg = (jnp.zeros((nnz,), jnp.int32).at[a_indptr[1:-1]].add(
+            1, mode="drop").cumsum() if nnz
+            else jnp.zeros((0,), jnp.int32))
+        gcmin = jax.ops.segment_min(b_cmin[a_indices], seg, num_segments=m)
+        gcmax = jax.ops.segment_max(b_cmax[a_indices], seg, num_segments=m)
+        span = jnp.maximum(gcmax - jnp.minimum(gcmin, gcmax) + 1, 1)
+        gcmin = jnp.where(gcmax < 0, 0, gcmin)
+        accum_mask = (
+            (row_ops > accum_min_ops) & (span <= accum_span_cap)
+            & ~dense_mask & ~direct_mask & (row_ops > 0))
+    else:
+        gcmin = jnp.zeros((m,), jnp.int32)
+        span = jnp.ones((m,), jnp.int32)
+        accum_mask = jnp.zeros((m,), bool)
+    stream_mask = ((row_ops > 0) & ~direct_mask & ~dense_mask
+                   & ~accum_mask)
+    (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
+     hist) = _plan_rows_impl(
+        row_ops, stream_mask, direct_mask, min_q=min_q, m=m,
+        accum_mask=accum_mask, span=span)
+    cmin_sorted = gcmin[rows_sorted]
     # direct rows' exact counts come free from the analysis pass (their C
     # row is a copy of one B row), like the reference's direct method
     # (spECK_HashSpGEMM.cuh:572-589). The O(nnz) A-slot records are built
@@ -293,13 +357,44 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
         hist,
         jnp.stack([n_elig, kw_eff, cw_eff, la_eff, lb_eff]).astype(jnp.int32),
     ])
-    return (rows_sorted, e, q_sorted, el, ops_sorted,
-            nnz_init, r0, kb_s, cb_s, valid, pack)
+    return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
+            cmin_sorted, nnz_init, r0, kb_s, cb_s, valid, pack)
 
 
 # ---------------------------------------------------------------------------
 # Chunk kernel
 # ---------------------------------------------------------------------------
+
+
+def _expand_chunk(e, p0, srec, b_packed, b_indices, b_data, a_data,
+                  a_srcmap, chunk_start, rid_base, sid_base, G: int, W: int,
+                  n_cols: int, f64: bool):
+    """The shared expand stage: decode (rid, sid) for every slot of chunk
+    [chunk_start, chunk_start + G*W) of a product space described by
+    (e, p0, srec), gather the B records, and form the products.
+    Returns (rid, col, val, dead)."""
+    t = chunk_start + jax.lax.broadcasted_iota(
+        jnp.int32, (G, W), 0) * W + jax.lax.broadcasted_iota(
+        jnp.int32, (G, W), 1)
+    rid = _decode(e, rid_base, chunk_start, G, W)
+    sid = _decode(p0, sid_base, chunk_start, G, W)
+    nnzA = srec.shape[0]
+    sid_c = jnp.clip(sid, 0, nnzA - 1)
+    rec = srec[sid_c]
+    u, pend = rec[..., 0], rec[..., 1]
+    dead = (t >= pend) | (sid < 0)
+    bsrc = jnp.where(dead, 0, u + t)
+    if f64:
+        aval = a_data[a_srcmap[sid_c]]
+        col = jnp.where(dead, jnp.int32(n_cols), b_indices[bsrc])
+        val = jnp.where(dead, 0.0, aval * b_data[bsrc])
+    else:
+        aval = jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32)
+        bp = b_packed[bsrc]
+        col = jnp.where(dead, jnp.int32(n_cols), bp[..., 0])
+        bval = jax.lax.bitcast_convert_type(bp[..., 1], jnp.float32)
+        val = jnp.where(dead, 0.0, aval * bval)
+    return rid, col, val, dead
 
 
 def _decode(boundary_pos, base, chunk_start, G: int, W: int):
@@ -405,27 +500,9 @@ def stream_chunk(rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
     stage=True additionally returns the compacted (rid, col, val, counts)
     staged rectangle rows for emission / the levels.
     """
-    t = chunk_start + jax.lax.broadcasted_iota(
-        jnp.int32, (G, W), 0) * W + jax.lax.broadcasted_iota(
-        jnp.int32, (G, W), 1)
-    rid = _decode(e, rid_base, chunk_start, G, W)
-    sid = _decode(p0, sid_base, chunk_start, G, W)
-    nnzA = srec.shape[0]
-    sid_c = jnp.clip(sid, 0, nnzA - 1)
-    rec = srec[sid_c]
-    u, pend = rec[..., 0], rec[..., 1]
-    dead = (t >= pend) | (sid < 0)
-    bsrc = jnp.where(dead, 0, u + t)
-    if f64:
-        aval = a_data[a_srcmap[sid_c]]
-        col = jnp.where(dead, jnp.int32(n_cols), b_indices[bsrc])
-        val = jnp.where(dead, 0.0, aval * b_data[bsrc])
-    else:
-        aval = jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32)
-        bp = b_packed[bsrc]
-        col = jnp.where(dead, jnp.int32(n_cols), bp[..., 0])
-        bval = jax.lax.bitcast_convert_type(bp[..., 1], jnp.float32)
-        val = jnp.where(dead, 0.0, aval * bval)
+    rid, col, val, _ = _expand_chunk(
+        e, p0, srec, b_packed, b_indices, b_data, a_data, a_srcmap,
+        chunk_start, rid_base, sid_base, G, W, n_cols, f64)
 
     rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits)
     last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols,
@@ -474,27 +551,9 @@ def stream_chunk_numeric(rows_sorted, e, p0, srec, b_packed, b_indices,
     591-738). stage_wide additionally returns the compacted rectangle rows
     (chunks that hold wide-row segments feed the merge levels).
     """
-    t = chunk_start + jax.lax.broadcasted_iota(
-        jnp.int32, (G, W), 0) * W + jax.lax.broadcasted_iota(
-        jnp.int32, (G, W), 1)
-    rid = _decode(e, rid_base, chunk_start, G, W)
-    sid = _decode(p0, sid_base, chunk_start, G, W)
-    nnzA = srec.shape[0]
-    sid_c = jnp.clip(sid, 0, nnzA - 1)
-    rec = srec[sid_c]
-    u, pend = rec[..., 0], rec[..., 1]
-    dead = (t >= pend) | (sid < 0)
-    bsrc = jnp.where(dead, 0, u + t)
-    if f64:
-        aval = a_data[a_srcmap[sid_c]]
-        col = jnp.where(dead, jnp.int32(n_cols), b_indices[bsrc])
-        val = jnp.where(dead, 0.0, aval * b_data[bsrc])
-    else:
-        aval = jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32)
-        bp = b_packed[bsrc]
-        col = jnp.where(dead, jnp.int32(n_cols), bp[..., 0])
-        bval = jax.lax.bitcast_convert_type(bp[..., 1], jnp.float32)
-        val = jnp.where(dead, 0.0, aval * bval)
+    rid, col, val, _ = _expand_chunk(
+        e, p0, srec, b_packed, b_indices, b_data, a_data, a_srcmap,
+        chunk_start, rid_base, sid_base, G, W, n_cols, f64)
 
     rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits)
     last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols)
@@ -530,6 +589,74 @@ def stream_chunk_numeric(rows_sorted, e, p0, srec, b_packed, b_indices,
         return c_cols, c_vals, None
     rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s, run_sum)
     return c_cols, c_vals, (rid_c, col_c, val_c, counts)
+
+
+# ---------------------------------------------------------------------------
+# Dense-span accumulator for huge rows with bounded column ranges
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("G", "W", "n_cols", "f64"),
+    donate_argnames=("acc", "pres"),
+)
+def stream_chunk_accum(e2, p02, srec2, b_packed, b_indices, b_data, a_data,
+                       a_srcmap, abase, cmin_s, acc, pres, chunk_start,
+                       rid_base, sid_base, row_lo, row_hi, *,
+                       G: int, W: int, n_cols: int, f64: bool):
+    """One expand + scatter-add pass over accumulator-stream chunk
+    [chunk_start, chunk_start + G*W): products of rows in the active part
+    [row_lo, row_hi) land at acc[abase[rid] + col - cmin[rid]] (abase is
+    PART-local; other rows' products are dropped this pass).
+
+    The analogue of the reference's dense mode for SINGLE huge rows
+    (spGEMMNumericLauncher routes 'single row & dense enough' blocks to
+    the dense-window accumulator, spECK_HashSpGEMM.cuh:1761-1793,
+    1175-1298): no sorting, no hashing — a row whose products dedup into
+    a bounded column span pays one scatter-add per product instead of
+    sort+contract over every slot.
+    """
+    rid, col, val, dead = _expand_chunk(
+        e2, p02, srec2, b_packed, b_indices, b_data, a_data, a_srcmap,
+        chunk_start, rid_base, sid_base, G, W, n_cols, f64)
+    na = abase.shape[0]
+    rid_c = jnp.clip(rid, 0, na - 1)
+    live = (~dead) & (rid >= row_lo) & (rid < row_hi)
+    tgt = abase[rid_c] + (col - cmin_s[rid_c])
+    tgt = jnp.where(live, tgt, acc.shape[0])
+    acc = acc.at[tgt].add(val, mode="drop")
+    pres = pres.at[tgt].max(1, mode="drop")
+    return acc, pres
+
+
+@partial(
+    jax.jit,
+    static_argnames=("R_c", "S_c", "count"),
+    donate_argnames=("nnz_row",),
+)
+def accum_finalize(rows_sorted, acc_slice, pres_slice, cmin_s, rid_of_out,
+                   nnz_row, *, R_c: int, S_c: int, count: bool):
+    """Turn one span class's accumulators into staged compacted rows:
+    presence gives exact counts, columns are cmin + index (ascending by
+    construction — sorted for free, like the reference's dense mode
+    ':1260-1296'). Returns (nnz_row, (rid, col_c, val_c, counts)) in the
+    staged-buffer format stream_emit consumes."""
+    acc = acc_slice.reshape(R_c, S_c)
+    pres = pres_slice.reshape(R_c, S_c)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (R_c, S_c), 1)
+    m = rows_sorted.shape[0]
+    rid_b = jnp.broadcast_to(rid_of_out[:, None], (R_c, S_c))
+    last = (pres > 0) & (rid_b >= 0)
+    cols = jnp.where(last, cmin_s[jnp.clip(rid_b, 0, m - 1)] + idx, 0)
+    counts = jnp.sum(last, axis=1, dtype=jnp.int32)
+    if count:
+        tgt = jnp.where(rid_of_out >= 0,
+                        rows_sorted[jnp.clip(rid_of_out, 0, m - 1)], m)
+        nnz_row = nnz_row.at[tgt].set(counts, mode="drop",
+                                      unique_indices=True)
+    _, col_c, val_c, counts = _compact_rect(last, rid_b, cols, acc)
+    return nnz_row, (rid_of_out, col_c, val_c, counts)
 
 
 # ---------------------------------------------------------------------------

@@ -104,6 +104,16 @@ class SpgemmConfig:
     # (pallas_kernels.stream_contract_runs); default off — measured on
     # v5e the XLA contract fuses into the chunk at ~no standalone cost
     stream_pallas_contract: bool = False
+    # dense-span accumulator for huge rows with bounded output-column
+    # ranges (the reference's dense mode for single big rows,
+    # spGEMMNumericLauncher spECK_HashSpGEMM.cuh:1761-1793): rows with
+    # more than accum_min_ops products whose column span fits
+    # accum_span_cap scatter-add into a dense window instead of sorting
+    # every product. accum_budget bounds live accumulator slots per pass.
+    enable_accum: bool = True
+    accum_min_ops: int = 1 << 14
+    accum_span_cap: int = 1 << 20
+    accum_budget: int = 1 << 26
     # fused count+numeric staging: total staged int32 planes (3 per stream
     # slot: row, col, value) that may stay resident between the counting
     # and numeric phases; beyond this the stream runs the classic

@@ -237,3 +237,76 @@ def test_pallas_contract_matches_xla(rng):
     np.testing.assert_array_equal(C_x.row_offsets, C_p.row_offsets)
     np.testing.assert_array_equal(C_x.col_ids, C_p.col_ids)
     np.testing.assert_allclose(C_x.data, C_p.data, rtol=0, atol=0)
+
+
+def test_accum_path_giant_span(rng):
+    """Huge rows with bounded column spans route to the dense-span
+    accumulator (the reference's dense mode for single big rows,
+    spGEMMNumericLauncher spECK_HashSpGEMM.cuh:1761-1793): oracle-exact,
+    replay-exact, and structurally identical to the accum-disabled run."""
+    m = 500
+    rs = np.random.RandomState(3)
+    heavy = np.arange(100, 160)
+    hr = np.repeat(heavy, 40)
+    hc = (np.tile(np.arange(40), 60) * 3) % 120 + 300
+    lr = np.repeat(np.arange(1, 80), 4)
+    lc = rs.randint(0, 250, lr.shape[0])
+    rows = np.concatenate([np.zeros(60, int), hr, lr])
+    cols = np.concatenate([heavy, hc, lc])
+    vals = rs.standard_normal(rows.shape[0])
+    g = sp.csr_matrix((vals, (rows, cols)), shape=(m, m))
+    g.sum_duplicates()
+    a = HostCSR.from_scipy(g)
+    cfg = dataclasses.replace(
+        _CFG, accum_min_ops=512, accum_span_cap=1 << 10,
+        stream_width=256, product_budget=1 << 12)
+    A = device_put_csr(a)
+    plan = plan_spgemm(A, A, cfg)
+    assert plan.stream.n_accum == 1 and plan.stream.accum
+    C = device_get_csr(plan.execute())
+    ref = oracle_spgemm(a, a)
+    assert compare_csr(ref, C, compare_data=True, rel_tol=2e-3).ok
+    # numeric replay with new values through the accumulator
+    a2 = HostCSR(a.rows, a.cols, a.row_offsets, a.col_ids, a.data * -2.0)
+    C2 = device_get_csr(plan.execute(device_put_csr(a2),
+                                     device_put_csr(a2)))
+    assert compare_csr(oracle_spgemm(a2, a2), C2, compare_data=True,
+                       rel_tol=2e-3).ok
+    # identical structure with the accumulator disabled
+    Cx = device_get_csr(spgemm(A, A, dataclasses.replace(
+        cfg, enable_accum=False)))
+    np.testing.assert_array_equal(C.row_offsets, Cx.row_offsets)
+    np.testing.assert_array_equal(C.col_ids, Cx.col_ids)
+
+
+def test_accum_multi_part_budget(rng):
+    """A tiny accum_budget forces multiple accumulator parts; results
+    stay oracle-exact."""
+    m = 400
+    rs = np.random.RandomState(7)
+    # three hot rows with disjoint bounded spans
+    segs = []
+    for i, base in enumerate((200, 240, 280)):
+        heavy = np.arange(50 + i * 20, 70 + i * 20)
+        segs.append((np.full(20, i), heavy,
+                     rs.standard_normal(20)))
+        hr = np.repeat(heavy, 30)
+        hc = (np.tile(np.arange(30), 20) * 2) % 36 + base
+        segs.append((hr, hc, rs.standard_normal(hr.shape[0])))
+    rows = np.concatenate([s[0] for s in segs])
+    cols = np.concatenate([s[1] for s in segs])
+    vals = np.concatenate([s[2] for s in segs])
+    g = sp.csr_matrix((vals, (rows, cols)), shape=(m, m))
+    g.sum_duplicates()
+    a = HostCSR.from_scipy(g)
+    cfg = dataclasses.replace(
+        _CFG, accum_min_ops=256, accum_span_cap=1 << 9,
+        accum_budget=80,  # forces one part per row
+        stream_width=128, product_budget=1 << 11)
+    A = device_put_csr(a)
+    plan = plan_spgemm(A, A, cfg)
+    assert plan.stream.n_accum == 3
+    assert len(plan.stream.accum["parts"]) >= 2
+    C = device_get_csr(plan.execute())
+    ref = oracle_spgemm(a, a)
+    assert compare_csr(ref, C, compare_data=True, rel_tol=2e-3).ok

@@ -110,7 +110,11 @@ class SpgemmConfig:
     # more than accum_min_ops products whose column span fits
     # accum_span_cap scatter-add into a dense window instead of sorting
     # every product. accum_budget bounds live accumulator slots per pass.
-    enable_accum: bool = True
+    # Default OFF: measured on v5e (5e7-product row, 5000 duplicates per
+    # column bin) the scatter-add serializes under contention — 24.4 s vs
+    # 18.4 s for the sort stream in the same process. Kept as a correct,
+    # tested option for hardware where scatter-add vectorizes.
+    enable_accum: bool = False
     accum_min_ops: int = 1 << 14
     accum_span_cap: int = 1 << 20
     accum_budget: int = 1 << 26

@@ -258,8 +258,9 @@ def test_accum_path_giant_span(rng):
     g.sum_duplicates()
     a = HostCSR.from_scipy(g)
     cfg = dataclasses.replace(
-        _CFG, accum_min_ops=512, accum_span_cap=1 << 10,
-        stream_width=256, product_budget=1 << 12)
+        _CFG, enable_accum=True, accum_min_ops=512,
+        accum_span_cap=1 << 10, stream_width=256,
+        product_budget=1 << 12)
     A = device_put_csr(a)
     plan = plan_spgemm(A, A, cfg)
     assert plan.stream.n_accum == 1 and plan.stream.accum
@@ -300,7 +301,8 @@ def test_accum_multi_part_budget(rng):
     g.sum_duplicates()
     a = HostCSR.from_scipy(g)
     cfg = dataclasses.replace(
-        _CFG, accum_min_ops=256, accum_span_cap=1 << 9,
+        _CFG, enable_accum=True, accum_min_ops=256,
+        accum_span_cap=1 << 9,
         accum_budget=80,  # forces one part per row
         stream_width=128, product_budget=1 << 11)
     A = device_put_csr(a)

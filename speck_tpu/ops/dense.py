@@ -82,9 +82,12 @@ def tile_stats(a_indptr, a_indices, b_indptr, b_indices,
     seg = jnp.zeros((nnz,), jnp.int32).at[a_indptr[1:-1]].add(
         1, mode="drop"
     ).cumsum() if nnz else jnp.zeros((0,), jnp.int32)
-    gcmin = jax.ops.segment_min(b_cmin[a_indices], seg, num_segments=m)
-    gcmax = jax.ops.segment_max(b_cmax[a_indices], seg, num_segments=m)
-    gblen = jax.ops.segment_max(b_len[a_indices], seg, num_segments=m)
+    # ONE record gather at a_indices serves all three per-B-row stats
+    # (three separate gathers measured as a third of tile_stats' cost)
+    brec = jnp.stack([b_cmin, b_cmax, b_len], axis=-1)[a_indices]
+    gcmin = jax.ops.segment_min(brec[..., 0], seg, num_segments=m)
+    gcmax = jax.ops.segment_max(brec[..., 1], seg, num_segments=m)
+    gblen = jax.ops.segment_max(brec[..., 2], seg, num_segments=m)
     no_ops = row_ops <= 0
     gcmin = jnp.where(no_ops, INT_MAX, gcmin)
     gcmax = jnp.where(no_ops, -1, gcmax)
@@ -112,14 +115,27 @@ def tile_stats(a_indptr, a_indices, b_indptr, b_indices,
     return jnp.stack([kmin, kspan, cmin, cspan, amax, bmax])
 
 
-def _gather_rect(indptr, indices, data, rows, valid, width: int):
-    """(R, width) rectangle of a CSR fragment: col ids, values, live mask."""
+def _gather_rect(indptr, indices, data, rows, valid, width: int,
+                 packed=None):
+    """(R, width) rectangle of a CSR fragment: col ids, values, live mask.
+
+    With ``packed`` ((nnz, 2) interleaved col/value-bits records, see
+    esc.pack_csr_arrays), each element costs ONE 8-byte record gather
+    instead of two 4-byte gathers — gathers are index-latency-bound and
+    dominate the dense path (measured 0.122 s for the A side alone on
+    the banded benchmark)."""
     r = jnp.where(valid, rows, 0)
     p0 = indptr[r]
     ln = jnp.where(valid, indptr[r + 1] - p0, 0)
     j = jnp.arange(width, dtype=jnp.int32)[None, :]
     live = j < ln[:, None]
     idx = jnp.where(live, p0[:, None] + j, 0)
+    if packed is not None:
+        rec = packed[idx]
+        cols = jnp.where(live, rec[..., 0], 0)
+        vals = jnp.where(
+            live, jax.lax.bitcast_convert_type(rec[..., 1], jnp.float32), 0)
+        return cols, vals, live
     cols = jnp.where(live, indices[idx], 0)
     vals = jnp.where(live, data[idx], 0) if data is not None else None
     return cols, vals, live
@@ -196,7 +212,8 @@ def _densify_sorted(loc, val, width: int):
     donate_argnames=("nnz_row",),
 )
 def dense_tiles(r0s, kbases, cbases, a_indptr, a_indices, a_data,
-                b_indptr, b_indices, b_data, nnz_row, *,
+                b_indptr, b_indices, b_data, nnz_row, a_packed=None,
+                b_packed=None, *,
                 tile_rows: int, kw: int, cw: int, la: int, lb: int,
                 m: int, k_dim: int, n_cols: int, densify: str = "scatter"):
     """Fused count+numeric for a batch of dense-eligible tiles as ONE flat
@@ -221,7 +238,8 @@ def dense_tiles(r0s, kbases, cbases, a_indptr, a_indices, a_data,
     rows = (r0s[:, None] + t_tr).reshape(-1)            # (K*TR,)
     vrow = rows < m
     acol, aval, alive = _gather_rect(
-        a_indptr, a_indices, a_data, jnp.minimum(rows, m - 1), vrow, la
+        a_indptr, a_indices, a_data, jnp.minimum(rows, m - 1), vrow, la,
+        packed=a_packed,
     )
     kb_row = jnp.repeat(kbases, tile_rows)
     kloc = jnp.where(alive, acol - kb_row[:, None], kw)  # pads sort last
@@ -232,7 +250,8 @@ def dense_tiles(r0s, kbases, cbases, a_indptr, a_indices, a_data,
     ks = (kbases[:, None] + jnp.arange(kw, dtype=jnp.int32)[None, :]).reshape(-1)
     vk = ks < k_dim
     bcol, bval, blive = _gather_rect(
-        b_indptr, b_indices, b_data, jnp.minimum(ks, k_dim - 1), vk, lb
+        b_indptr, b_indices, b_data, jnp.minimum(ks, k_dim - 1), vk, lb,
+        packed=b_packed,
     )
     cb_k = jnp.repeat(cbases, kw)
     cloc = jnp.where(blive, bcol - cb_k[:, None], cw)

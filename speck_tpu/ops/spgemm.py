@@ -276,11 +276,18 @@ class SpgemmPlan:
                     if use_staged and self.dense_staged is not None:
                         counts, cols_c, vals_c = self.dense_staged[bi]
                     else:
+                        f64d = not packable(A.data)
+                        apk = None if f64d else pack_csr_arrays(
+                            A.indices, A.data)
+                        bpk = apk if (B.indices is A.indices
+                                      and B.data is A.data) else (
+                            None if f64d else pack_csr_arrays(
+                                B.indices, B.data))
                         _, (counts, cols_c, vals_c) = dense_tiles(
                             r0s, kbs, cbs,
                             A.indptr, A.indices, A.data,
                             B.indptr, B.indices, B.data,
-                            jnp.zeros((m,), jnp.int32),
+                            jnp.zeros((m,), jnp.int32), apk, bpk,
                             tile_rows=d.tile_rows, kw=d.kw,
                             cw=d.cw, la=d.la, lb=d.lb,
                             m=m, k_dim=A.shape[1], n_cols=n,
@@ -786,12 +793,15 @@ def plan_spgemm(
         nnz_row = nnz_init
         dense_staged: Optional[List[tuple]] = None
         if dense_grp is not None:
+            apk = None if f64 else pack_csr_arrays(A.indices, A.data)
+            bpk = apk if (B.indices is A.indices and B.data is A.data) \
+                else (None if f64 else pack_csr_arrays(B.indices, B.data))
             dense_staged = []
             for r0s, kbs, cbs, _ in dense_grp.batches():
                 nnz_row, st_b = dense_tiles(
                     r0s, kbs, cbs,
                     A.indptr, A.indices, A.data,
-                    B.indptr, B.indices, B.data, nnz_row,
+                    B.indptr, B.indices, B.data, nnz_row, apk, bpk,
                     tile_rows=dense_grp.tile_rows, kw=dense_grp.kw,
                     cw=dense_grp.cw, la=dense_grp.la, lb=dense_grp.lb,
                     m=m, k_dim=A.shape[1], n_cols=n,

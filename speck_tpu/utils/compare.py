@@ -35,7 +35,18 @@ def compare_csr(
     result: HostCSR,
     compare_data: bool = False,
     rel_tol: float = 0.01,
+    abs_tol: Optional[float] = None,
 ) -> CompareResult:
+    """Structure-exact, values-at-tolerance CSR comparison (the
+    reference's Compare.cu:27-58 bar).
+
+    abs_tol floors the value check for near-zero entries: fp32 products
+    canceling toward 0 leave O(eps * |terms|) residue whose RELATIVE
+    error vs an f64 oracle is unbounded (the reason the reference
+    disables value compare outright — "spECK is not bit stable",
+    config.ini:7-9). Default: rel_tol * max|ref| * 1e-4, i.e. entries
+    four orders below the matrix scale only need absolute agreement.
+    """
     if reference.shape != result.shape:
         return CompareResult(False, f"shape mismatch {reference.shape} != {result.shape}")
     ref_off = np.asarray(reference.row_offsets, dtype=np.int64)
@@ -67,7 +78,11 @@ def compare_csr(
         ref_d = np.asarray(reference.data, np.float64)
         res_d = np.asarray(result.data, np.float64)
         denom = np.maximum(np.abs(ref_d), np.abs(res_d))
-        bad = np.abs(ref_d - res_d) > rel_tol * np.maximum(denom, 1e-300)
+        if abs_tol is None:
+            scale = float(np.abs(ref_d).max()) if ref_d.size else 0.0
+            abs_tol = rel_tol * scale * 1e-4
+        bad = (np.abs(ref_d - res_d)
+               > rel_tol * np.maximum(denom, 1e-300) + abs_tol)
         # values that are both tiny are considered equal (reference compares
         # relative difference only, Compare.cu:48-58)
         bad &= denom > 0

@@ -144,7 +144,7 @@ class StreamState:
     el: jax.Array               # (m,) exclusive live-ops prefix
     ops_sorted: jax.Array       # (m,) live products per sorted row
     p0: jax.Array               # (nnz,) A-slot stream starts
-    srec: jax.Array             # (nnz, 3) [u, prodend, valA bits]
+    srec: jax.Array             # (nnz, 2) [u, valA bits]
     src: jax.Array              # (nnz,) sorted-slot -> A nnz index
     sid_bases: jax.Array        # (n_chunks,)
     pack_bits: int
@@ -156,6 +156,9 @@ class StreamState:
     # list of dicts with keys R2, W2, E_pad, entry_excl, row_total,
     # rid_of_out — None means the geometric ladder is in use
     finish: Optional[list] = None
+    # per-row live product end e + ops (dead-slot detection in expand)
+    rowend: Optional[jax.Array] = None
+    rowend2: Optional[jax.Array] = None
     # dense-span accumulator region (huge rows with bounded column
     # ranges, sorted first): its own product space + host part/class plan
     n_accum: int = 0
@@ -201,7 +204,7 @@ class SpgemmPlan:
         else:
             bits = jax.lax.bitcast_convert_type(
                 A.data.astype(jnp.float32), jnp.int32)[ss.src]
-            srec = jnp.concatenate([ss.srec[:, :2], bits[:, None]], axis=1)
+            srec = jnp.stack([ss.srec[:, 0], bits], axis=-1)
             b_packed = pack_csr_arrays(B.indices,
                                        B.data.astype(jnp.float32))
         return srec, b_packed, f64
@@ -321,8 +324,8 @@ class SpgemmPlan:
                     for c in range(lo.n_chunks):
                         has_wide = (c * G < lo.r_wide) and not reuse_levels
                         c_cols, c_vals, stg = stream_chunk_numeric(
-                            ss.rows_sorted, ss.e, ss.p0, srec, b_packed,
-                            B.indices, B.data, A.data, ss.src,
+                            ss.rows_sorted, ss.e, ss.rowend, ss.p0, srec,
+                            b_packed, B.indices, B.data, A.data, ss.src,
                             self.row_offsets, c_cols, c_vals,
                             jnp.int32(c * CP),
                             jnp.int32(int(lo.rid_bases[c]) + ss.n_accum),
@@ -476,7 +479,7 @@ def _run_accum(ss: StreamState, A, B, nnz_row, n_cols: int, count: bool):
     else:
         bits = jax.lax.bitcast_convert_type(
             A.data.astype(jnp.float32), jnp.int32)[ss.src2]
-        srec2 = jnp.concatenate([ss.srec2[:, :2], bits[:, None]], axis=1)
+        srec2 = jnp.stack([ss.srec2[:, 0], bits], axis=-1)
         b_packed = pack_csr_arrays(B.indices, B.data.astype(jnp.float32))
     G, W = ac["G"], ac["W"]
     CP = G * W
@@ -489,8 +492,8 @@ def _run_accum(ss: StreamState, A, B, nnz_row, n_cols: int, count: bool):
         hi_j = jnp.int32(part["row_hi"])
         for c in range(ac["n_chunks2"]):
             acc, pres = stream_chunk_accum(
-                ss.e2, ss.p02, srec2, b_packed, B.indices, B.data,
-                A.data, ss.src2, ss.abase, ss.cmin_s, acc, pres,
+                ss.e2, ss.rowend2, ss.p02, srec2, b_packed, B.indices,
+                B.data, A.data, ss.src2, ss.abase, ss.cmin_s, acc, pres,
                 jnp.int32(c * CP), ss.rid_bases2[c], ss.sid_bases2[c],
                 lo_j, hi_j, G=G, W=W, n_cols=n_cols, f64=f64)
         for R_pad, S, off, rid in part["classes"]:
@@ -775,6 +778,7 @@ def plan_spgemm(
                 else jnp.zeros((0,), jnp.int32)),
             n_accum=n_accum,
         )
+        ss.rowend = jnp.where(q_sorted > 0, e + ops_sorted, -1)
         if n_accum and n_chunks2:
             p02, srec2, src2 = build_srec(
                 A.indptr, A.indices, a32, B.indptr[:-1],
@@ -782,6 +786,7 @@ def plan_spgemm(
                 m=m)
             cks = jnp.arange(max(n_chunks2, 1), dtype=jnp.int32) * CP
             ss.e2, ss.p02, ss.srec2, ss.src2 = e2, p02, srec2, src2
+            ss.rowend2 = jnp.where(q2_sorted > 0, e2 + q2_sorted, -1)
             ss.sid_bases2 = jnp.searchsorted(p02, cks).astype(jnp.int32)
             ss.rid_bases2 = jnp.searchsorted(e2, cks).astype(jnp.int32)
             ss.cmin_s = cmin_sorted
@@ -817,8 +822,9 @@ def plan_spgemm(
             for c in range(layout.n_chunks):
                 has_wide = c * G < layout.r_wide
                 nnz_row, stg = stream_chunk(
-                    rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
-                    b_packed, B.indices, B.data, A.data, src, nnz_row,
+                    rows_sorted, e, ss.rowend, q_sorted, el, ops_sorted,
+                    p0, srec, b_packed, B.indices, B.data, A.data, src,
+                    nnz_row,
                     jnp.int32(c * CP), jnp.int32(int(layout.rid_bases[c]) + ss.n_accum),
                     sid_bases[c],
                     G=G, W=W, n_cols=n, pack_bits=pack_bits,

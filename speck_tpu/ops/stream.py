@@ -129,8 +129,9 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
                         row after the sort packs dead slots to the end)
       ops_sorted (m,)   live product count per sorted row
       p0 (nnz,)         stream start of each sorted-order A-slot
-      srec (nnz, 3)     per-sorted-A-slot record [u, prodend, valA-bits]
-                        with u = b_row_start - p0
+      srec (nnz, 2)     per-sorted-A-slot record [u, valA-bits]
+                        with u = b_row_start - p0 (dead slots detected
+                        via the per-row end table e + ops)
       hist_pack (2*N_QCLASS,) int32: stream q-class histogram | direct
                         copy-length-class histogram
     """
@@ -248,8 +249,10 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     cb_rowbase = cb_excl - jnp.take(cb_excl, row_first)
     p0 = jnp.where(live_s, e[rid_s] + cb_rowbase, jnp.int32(INT_MAX))
     u = jnp.where(live_s, b_start[acol] - p0, 0)
-    prodend = jnp.where(live_s, p0 + blen, 0)
-    srec = jnp.stack([u, prodend, a_data32[src]], axis=-1)
+    # 8-byte records: dead-slot detection uses the per-row end table
+    # (rowend[rid], a cache-resident m-gather) instead of a per-slot
+    # prodend channel -- one fewer third of every srec gather
+    srec = jnp.stack([u, a_data32[src]], axis=-1)
     return p0, srec, src
 
 
@@ -366,30 +369,36 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
 # ---------------------------------------------------------------------------
 
 
-def _expand_chunk(e, p0, srec, b_packed, b_indices, b_data, a_data,
-                  a_srcmap, chunk_start, rid_base, sid_base, G: int, W: int,
-                  n_cols: int, f64: bool):
+def _expand_chunk(e, rowend, p0, srec, b_packed, b_indices, b_data,
+                  a_data, a_srcmap, chunk_start, rid_base, sid_base,
+                  G: int, W: int, n_cols: int, f64: bool):
     """The shared expand stage: decode (rid, sid) for every slot of chunk
     [chunk_start, chunk_start + G*W) of a product space described by
     (e, p0, srec), gather the B records, and form the products.
-    Returns (rid, col, val, dead)."""
+    Returns (rid, col, val, dead).
+
+    rowend (m,): per-sorted-row live product end (e + ops) in this
+    product space -- slots at t >= rowend[rid] are row/chunk padding.
+    Products within a row are tight, so the row-end check is exactly the
+    old per-A-slot prodend check at a third less gather traffic."""
     t = chunk_start + jax.lax.broadcasted_iota(
         jnp.int32, (G, W), 0) * W + jax.lax.broadcasted_iota(
         jnp.int32, (G, W), 1)
     rid = _decode(e, rid_base, chunk_start, G, W)
     sid = _decode(p0, sid_base, chunk_start, G, W)
     nnzA = srec.shape[0]
+    m = rowend.shape[0]
     sid_c = jnp.clip(sid, 0, nnzA - 1)
     rec = srec[sid_c]
-    u, pend = rec[..., 0], rec[..., 1]
-    dead = (t >= pend) | (sid < 0)
+    u = rec[..., 0]
+    dead = (t >= rowend[jnp.clip(rid, 0, m - 1)]) | (sid < 0) | (rid < 0)
     bsrc = jnp.where(dead, 0, u + t)
     if f64:
         aval = a_data[a_srcmap[sid_c]]
         col = jnp.where(dead, jnp.int32(n_cols), b_indices[bsrc])
         val = jnp.where(dead, 0.0, aval * b_data[bsrc])
     else:
-        aval = jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32)
+        aval = jax.lax.bitcast_convert_type(rec[..., 1], jnp.float32)
         bp = b_packed[bsrc]
         col = jnp.where(dead, jnp.int32(n_cols), bp[..., 0])
         bval = jax.lax.bitcast_convert_type(bp[..., 1], jnp.float32)
@@ -482,11 +491,11 @@ def _compact_rect(last, rid_s, col_s, run_sum):
                      "pallas_contract"),
     donate_argnames=("nnz_row",),
 )
-def stream_chunk(rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
-                 b_packed, b_indices, b_data, a_data, a_srcmap, nnz_row,
-                 chunk_start, rid_base, sid_base, *, G: int, W: int,
-                 n_cols: int, pack_bits: int, stage: bool, f64: bool,
-                 pallas_contract: bool = False):
+def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
+                 srec, b_packed, b_indices, b_data, a_data, a_srcmap,
+                 nnz_row, chunk_start, rid_base, sid_base, *, G: int,
+                 W: int, n_cols: int, pack_bits: int, stage: bool,
+                 f64: bool, pallas_contract: bool = False):
     """One fused count(+stage) pass over stream chunk
     [chunk_start, chunk_start + G*W).
 
@@ -501,8 +510,8 @@ def stream_chunk(rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
     staged rectangle rows for emission / the levels.
     """
     rid, col, val, _ = _expand_chunk(
-        e, p0, srec, b_packed, b_indices, b_data, a_data, a_srcmap,
-        chunk_start, rid_base, sid_base, G, W, n_cols, f64)
+        e, rowend, p0, srec, b_packed, b_indices, b_data, a_data,
+        a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64)
 
     rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits)
     last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols,
@@ -539,11 +548,11 @@ def stream_chunk(rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
     static_argnames=("G", "W", "n_cols", "pack_bits", "stage_wide", "f64"),
     donate_argnames=("c_cols", "c_vals"),
 )
-def stream_chunk_numeric(rows_sorted, e, p0, srec, b_packed, b_indices,
-                         b_data, a_data, a_srcmap, row_offsets, c_cols,
-                         c_vals, chunk_start, rid_base, sid_base, n_wide,
-                         *, G: int, W: int, n_cols: int, pack_bits: int,
-                         stage_wide: bool, f64: bool):
+def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
+                         b_indices, b_data, a_data, a_srcmap, row_offsets,
+                         c_cols, c_vals, chunk_start, rid_base, sid_base,
+                         n_wide, *, G: int, W: int, n_cols: int,
+                         pack_bits: int, stage_wide: bool, f64: bool):
     """Two-phase numeric pass over one chunk: same expand/sort/contract as
     stream_chunk, but contained rows' run-last entries scatter STRAIGHT to
     their exact offsets (no staging) — the analogue of the reference's
@@ -552,8 +561,8 @@ def stream_chunk_numeric(rows_sorted, e, p0, srec, b_packed, b_indices,
     (chunks that hold wide-row segments feed the merge levels).
     """
     rid, col, val, _ = _expand_chunk(
-        e, p0, srec, b_packed, b_indices, b_data, a_data, a_srcmap,
-        chunk_start, rid_base, sid_base, G, W, n_cols, f64)
+        e, rowend, p0, srec, b_packed, b_indices, b_data, a_data,
+        a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64)
 
     rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits)
     last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols)
@@ -601,9 +610,9 @@ def stream_chunk_numeric(rows_sorted, e, p0, srec, b_packed, b_indices,
     static_argnames=("G", "W", "n_cols", "f64"),
     donate_argnames=("acc", "pres"),
 )
-def stream_chunk_accum(e2, p02, srec2, b_packed, b_indices, b_data, a_data,
-                       a_srcmap, abase, cmin_s, acc, pres, chunk_start,
-                       rid_base, sid_base, row_lo, row_hi, *,
+def stream_chunk_accum(e2, rowend2, p02, srec2, b_packed, b_indices,
+                       b_data, a_data, a_srcmap, abase, cmin_s, acc, pres,
+                       chunk_start, rid_base, sid_base, row_lo, row_hi, *,
                        G: int, W: int, n_cols: int, f64: bool):
     """One expand + scatter-add pass over accumulator-stream chunk
     [chunk_start, chunk_start + G*W): products of rows in the active part
@@ -618,8 +627,8 @@ def stream_chunk_accum(e2, p02, srec2, b_packed, b_indices, b_data, a_data,
     sort+contract over every slot.
     """
     rid, col, val, dead = _expand_chunk(
-        e2, p02, srec2, b_packed, b_indices, b_data, a_data, a_srcmap,
-        chunk_start, rid_base, sid_base, G, W, n_cols, f64)
+        e2, rowend2, p02, srec2, b_packed, b_indices, b_data, a_data,
+        a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64)
     na = abase.shape[0]
     rid_c = jnp.clip(rid, 0, na - 1)
     live = (~dead) & (rid >= row_lo) & (rid < row_hi)

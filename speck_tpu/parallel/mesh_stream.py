@@ -93,13 +93,14 @@ def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
             row_ops, stream_mask, no_direct, ai, ax, a32, b_start, b_len,
             min_q=cfg.stream_min_q, m=m_loc)
         nnz_row = jnp.zeros((m_loc,), jnp.int32)
+        rowend = jnp.where(q_sorted > 0, e + ops_sorted, -1)
         zero = jnp.int32(0)
         staged = []
         for c in range(n_chunks):
             cs = jnp.int32(c * CP)
             nnz_row, stg = stream_chunk(
-                rows_sorted, e, q_sorted, el, ops_sorted, p0, srec,
-                b_packed, b_packed[:, 0], ad, ad, src, nnz_row, cs,
+                rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
+                srec, b_packed, b_packed[:, 0], ad, ad, src, nnz_row, cs,
                 jnp.searchsorted(e, cs).astype(jnp.int32),
                 jnp.searchsorted(p0, cs).astype(jnp.int32),
                 G=G, W=W, n_cols=n_cols, pack_bits=0, stage=True,

@@ -119,6 +119,28 @@ def main():
     p4 = make_prolongation(65536, 16384)
     bench_pair("config4_rect_AxP_65kx16k", a1, p4, iters=2)
 
+    # ---- giant row: 5e7 products in ONE row (the windowed giant-row /
+    # global-map analogue, spECK_HashSpGEMM.cuh:106-126, 1175-1298) ----
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+
+    mg = 40000
+    rsg = np.random.RandomState(17)
+    NH, HN = 5000, 10000
+    hrow = np.repeat(np.arange(10000, 10000 + NH), HN)
+    hcol = ((np.tile(np.arange(HN), NH)
+             + np.repeat(np.arange(NH) * 37, HN)) % 10000) + 25000
+    lr = np.repeat(np.arange(1, 5000), 16)
+    lc = rsg.randint(1, 5000, lr.shape[0])
+    gm = sp.csr_matrix(
+        (rsg.standard_normal(NH + hrow.shape[0] + lr.shape[0]),
+         (np.concatenate([np.zeros(NH, int), hrow, lr]),
+          np.concatenate([np.arange(10000, 10000 + NH), hcol, lc]))),
+        shape=(mg, mg))
+    gm.sum_duplicates()
+    gh = HostCSR.from_scipy(gm)
+    bench_pair("giant_row_5e7_products_AxA", gh, gh, iters=1, warm=1)
+
     # ---- fp64 path (double instantiation parity, Multiply.cu:1130-31) ----
     jax.config.update("jax_enable_x64", True)
     try:

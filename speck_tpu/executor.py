@@ -54,7 +54,11 @@ class Executor:
     ):
         self.path = path
         self.config = config or Config.get()
-        self.spgemm_cfg = spgemm_cfg or SpgemmConfig()
+        # pipeline knobs from the INI when not given explicitly (the
+        # reference declares tuning keys it never reads; ours are live)
+        from .utils.config import spgemm_config_from_ini
+
+        self.spgemm_cfg = spgemm_cfg or spgemm_config_from_ini(self.config)
         self.dtype = dtype
         self.verbose = verbose
 

@@ -691,11 +691,18 @@ def plan_spgemm(
         layout = plan_layout(s_hist, d_hist, W, cfg.product_budget)
         lplans = plan_levels(layout, F=cfg.stream_level_factor,
                              max_width=cfg.stream_max_width)
+        # accumulator region sorts FIRST: every layout-derived row offset
+        # (stream rid bases, direct class starts) shifts by n_accum
+        n_accum, total_p2, n_chunks2, accum_parts, abase_h = _plan_accum(
+            a_hist, a_psum, layout.G * W, cfg.accum_budget)
 
-        # direct-copy chunk groups per copy-length class
+        # direct-copy chunk groups per copy-length class; the accumulator
+        # region sorts BEFORE the stream region, so every layout-derived
+        # row offset shifts by n_accum
         groups: List[DirectGroup] = []
         max_chunk_rows = 1
         for cap, start, count in layout.direct_classes:
+            start = start + n_accum
             full = max(1, 4 * cfg.product_budget // cap)
             rpc = _bucket_rows(count, full)
             max_chunk_rows = max(max_chunk_rows, rpc)
@@ -744,9 +751,6 @@ def plan_spgemm(
             pack_bits = 0
         G = layout.G
         CP = G * W
-        # accumulator region sorts FIRST: every stream rid base shifts
-        n_accum, total_p2, n_chunks2, accum_parts, abase_h = _plan_accum(
-            a_hist, a_psum, CP, cfg.accum_budget)
         # O(nnz) A-slot records only when stream rows exist (pure dense /
         # direct matrices skip the whole build)
         if layout.total_q > 0:

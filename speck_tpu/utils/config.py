@@ -148,3 +148,38 @@ class SpgemmConfig:
     value_dtype: str = "float32"
     index_dtype: str = "int32"
 
+
+# INI key -> SpgemmConfig field. The reference DECLARES dozens of kernel
+# tuning keys but never reads them (heuristics hard-coded,
+# Config.h:10-59 vs Multiply.cu); here the pipeline knobs are live.
+_INI_TUNING_KEYS = {
+    "ProductBudget": ("product_budget", int),
+    "StreamWidth": ("stream_width", int),
+    "StreamMinQ": ("stream_min_q", int),
+    "StreamMaxWidth": ("stream_max_width", int),
+    "FusedStagingBudget": ("fused_staging_budget", int),
+    "EnableDense": ("enable_dense", bool),
+    "EnableDirect": ("enable_direct", bool),
+    "EnableAccum": ("enable_accum", bool),
+    "AccumMinOps": ("accum_min_ops", int),
+    "AccumSpanCap": ("accum_span_cap", int),
+    "DenseTileRows": ("dense_tile_rows", int),
+    "DenseDensify": ("dense_densify", str),
+    "StreamPallasContract": ("stream_pallas_contract", bool),
+}
+
+
+def spgemm_config_from_ini(ini: "Config") -> SpgemmConfig:
+    """SpgemmConfig with any tuning keys present in the INI applied."""
+    overrides = {}
+    for key, (field, typ) in _INI_TUNING_KEYS.items():
+        if ini.get_string(key, "") == "":
+            continue
+        if typ is bool:
+            overrides[field] = ini.get_bool(key)
+        elif typ is int:
+            overrides[field] = ini.get_int(key)
+        else:
+            overrides[field] = ini.get_string(key)
+    return SpgemmConfig(**overrides)
+

@@ -131,3 +131,58 @@ def test_graft_entry_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_ini_tuning_keys_live(tmp_path):
+    """The reference DECLARES kernel tuning INI keys but never reads them
+    (Config.h:10-59 vs the hard-coded heuristics in Multiply.cu); our
+    pipeline knobs are live through the same INI file."""
+    from speck_tpu.utils.config import Config, spgemm_config_from_ini
+
+    ini = tmp_path / "t.ini"
+    ini.write_text(
+        "ProductBudget=65536\nStreamWidth=1024\nEnableDense=false\n"
+        "DenseDensify=scatter\nEnableAccum=true\n")
+    cfg = spgemm_config_from_ini(Config(str(ini)))
+    assert cfg.product_budget == 65536
+    assert cfg.stream_width == 1024
+    assert cfg.enable_dense is False
+    assert cfg.enable_accum is True
+    assert cfg.dense_densify == "scatter"
+    # keys absent -> defaults
+    assert cfg.stream_min_q == 8
+
+
+def test_fuzz_random_matrices(rng):
+    """Seeded fuzz: random shapes/densities/dup patterns through the full
+    pipeline vs the oracle (structure exact, values at tolerance)."""
+    import scipy.sparse as sp
+    from speck_tpu import (SpgemmConfig, compare_csr, device_get_csr,
+                           device_put_csr, oracle_spgemm, spgemm)
+    from speck_tpu.formats.csr import HostCSR
+
+    for trial in range(8):
+        m = int(rng.integers(3, 120))
+        k = int(rng.integers(3, 120))
+        n = int(rng.integers(3, 120))
+        dens_a = float(rng.uniform(0.01, 0.5))
+        dens_b = float(rng.uniform(0.01, 0.5))
+        a = sp.random(m, k, dens_a, format="csr",
+                      random_state=np.random.RandomState(trial))
+        a.data = rng.standard_normal(a.nnz)
+        b = sp.random(k, n, dens_b, format="csr",
+                      random_state=np.random.RandomState(trial + 100))
+        b.data = rng.standard_normal(b.nnz)
+        ah, bh = HostCSR.from_scipy(a), HostCSR.from_scipy(b)
+        cfg = SpgemmConfig(
+            product_budget=1 << int(rng.integers(9, 14)),
+            stream_width=1 << int(rng.integers(5, 9)),
+            enable_dense=bool(rng.integers(0, 2)),
+            enable_accum=bool(rng.integers(0, 2)),
+            accum_min_ops=32, accum_span_cap=256,
+        )
+        ref = oracle_spgemm(ah, bh)
+        C = device_get_csr(spgemm(device_put_csr(ah), device_put_csr(bh),
+                                  cfg))
+        r = compare_csr(ref, C, compare_data=True, rel_tol=2e-3)
+        assert r.ok, f"trial {trial} cfg {cfg}: {r.message}"

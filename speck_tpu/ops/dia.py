@@ -1,0 +1,188 @@
+"""DIA (diagonal-plane) fast path for globally band-limited SpGEMM.
+
+TPU-native reinterpretation of spECK's dense-accumulator mode
+(/root/reference/include/GPU/spECK_HashSpGEMM.cuh:1175-1298 and the
+dense-method selection in spGEMMNumericLauncher :1761-1793): where the
+reference routes individual rows whose output-column RANGE is bounded to a
+shared-memory dense window, this path routes a whole matrix whose
+DIAGONAL range is bounded to dense diagonal planes.
+
+Identity: write A = sum_d diag(a_d) S^d (S = the shift operator, a_d the
+d-th diagonal stored as a length-m vector indexed by ROW).  Then
+
+    C[i, i+e] = sum_{d1+d2=e} a_{d1}[i] * b_{d2}[i+d1]
+
+i.e. every output diagonal is a short sum of elementwise vector products
+of A-diagonals with row-shifted B-diagonals.  On TPU this is the ideal
+regime: the whole multiply becomes span_A flat fused multiply-adds over
+(span_B, m) planes — NO random gathers, NO sorts, pure VPU/HBM streaming
+— while every general-SpGEMM path pays ~2 random reads per product.
+Structure (symbolic counting) falls out of the same convolution applied to
+0/1 presence planes, exactly like the pattern matmul of the MXU dense path
+(ops/dense.py) and the reference's presence bitmap (`prefix`,
+spECK_HashSpGEMM.cuh:1210-1233).
+
+Eligibility is a host decision on four scalars from the single planning
+readback (ops/stream.py plan_device_stream): the min/max of (col - row)
+over A and over B.  With span_X = dmax_X - dmin_X + 1 the arithmetic cost
+is m * span_A * span_B fused multiply-adds; the planner requires this to
+be within ``dia_waste_cap`` of the true product count, spans within
+``dia_span_cap``, and the plane memory within ``dia_mem_budget``
+(speck_tpu/utils/config.py).  Banded FEM-class matrices (BASELINE config
+1) qualify with zero waste; anything skewed or unstructured falls through
+to the stream/dense/direct routing.
+
+Requires canonical A and B (first/last column of a row = that row's
+column min/max, which makes the band stats exact).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class DiaState:
+    """Host + device state of a DIA-routed plan."""
+
+    span_a: int
+    span_b: int
+    span_c: int
+    dmin_a: int
+    dmin_b: int
+    slot_a: jax.Array            # (nnz_a,) plane slot of each A nonzero
+    slot_b: jax.Array            # (nnz_b,) plane slot of each B nonzero
+    present: jax.Array           # (m, span_c) bool structural presence
+    staged: Optional[tuple] = None   # (cols_s (m, span_c), vals_s) sorted
+
+
+def plane_bytes(m: int, k: int, n_out: int, sa: int, sb: int,
+                itemsize: int = 4) -> int:
+    """Peak working-set estimate of the DIA pipeline (planes + shifted B +
+    output planes + staged compaction), for the planner's memory gate."""
+    sc = sa + sb - 1
+    return itemsize * (
+        2 * sa * m            # A value+hit planes
+        + 2 * sb * k          # B value+hit planes
+        + 2 * sb * (m + sa)   # shifted B planes
+        + 2 * sc * m          # C value+count planes
+        + 3 * sc * m          # staged cols/vals + present
+    )
+
+
+@partial(jax.jit, static_argnames=("dmin", "span", "rows"))
+def dia_slots(indptr, indices, *, dmin: int, span: int, rows: int):
+    """Flat plane slot of every CSR nonzero: slot = (col - row - dmin) *
+    rows + row.  Row ids per nonzero come from a boundary scatter +
+    blocked cumsum (run-length decode, no atomics)."""
+    from .analysis import cumsum1d
+
+    nnz = indices.shape[0]
+    if nnz == 0:
+        return jnp.zeros((0,), jnp.int32)
+    rid = jnp.zeros((nnz,), jnp.int32).at[indptr[1:-1]].add(
+        1, mode="drop")
+    rid = cumsum1d(rid)
+    d = indices - rid - jnp.int32(dmin)
+    # out-of-band entries cannot exist when the band stats are exact
+    # (canonical inputs); clip defensively so a bad input cannot scatter
+    # out of the plane buffer
+    return jnp.clip(d, 0, span - 1) * jnp.int32(rows) + rid
+
+
+@partial(jax.jit, static_argnames=("span", "rows"))
+def dia_planes(slot, data, *, span: int, rows: int):
+    """Value and presence planes from precomputed slots: val_planes[d, i]
+    = sum of entries on diagonal d at row i (duplicates merge by
+    addition, matching product semantics); hit marks structural presence
+    (explicit zeros included, like the reference's index-only compare
+    semantics, source/GPU/Compare.cu:38-47)."""
+    size = span * rows
+    val = jnp.zeros((size,), data.dtype).at[slot].add(
+        data, mode="drop").reshape(span, rows)
+    hit = jnp.zeros((size,), jnp.float32).at[slot].add(
+        1.0, mode="drop").reshape(span, rows)
+    return val, hit
+
+
+@partial(jax.jit, static_argnames=("sa", "sb", "m", "k", "dmin_a",
+                                   "with_hit"))
+def dia_conv(a_val, a_hit, b_val, b_hit, *, sa: int, sb: int, m: int,
+             k: int, dmin_a: int, with_hit: bool):
+    """The diagonal convolution: C[e, i] = sum_{j1} A[j1, i] *
+    B[e - j1, i + dmin_a + j1] as span_a statically-unrolled flat
+    multiply-adds (no scan — nested scan lowers catastrophically on this
+    backend).  Returns (C_val (sc, m), C_cnt (sc, m) or None).
+
+    The B planes are first row-shifted by dmin_a with a static pad+slice
+    (dmin_a is host-known from the planning readback), so every loop
+    iteration is a static slice: BP[:, j1 : j1 + m]."""
+    sc = sa + sb - 1
+    wt = m + sa - 1          # shifted-plane width
+    pad_l = max(0, -dmin_a)
+    pad_r = max(0, (wt + dmin_a) - k)
+    s0 = dmin_a + pad_l      # static, >= 0
+
+    def shift(planes):
+        p = jnp.pad(planes, ((0, 0), (pad_l, pad_r)))
+        return jax.lax.slice(p, (0, s0), (sb, s0 + wt))
+
+    bp_val = shift(b_val)
+    bp_hit = shift(b_hit) if with_hit else None
+    c_val = jnp.zeros((sc, m), a_val.dtype)
+    c_cnt = jnp.zeros((sc, m), jnp.float32) if with_hit else None
+    for j1 in range(sa):
+        bw = jax.lax.slice(bp_val, (0, j1), (sb, j1 + m))
+        seg = a_val[j1][None, :] * bw
+        cur = jax.lax.dynamic_slice(c_val, (j1, 0), (sb, m))
+        c_val = jax.lax.dynamic_update_slice(c_val, cur + seg, (j1, 0))
+        if with_hit:
+            bwh = jax.lax.slice(bp_hit, (0, j1), (sb, j1 + m))
+            segh = a_hit[j1][None, :] * bwh
+            curh = jax.lax.dynamic_slice(c_cnt, (j1, 0), (sb, m))
+            c_cnt = jax.lax.dynamic_update_slice(
+                c_cnt, curh + segh, (j1, 0))
+    return c_val, c_cnt
+
+
+@partial(jax.jit, static_argnames=("sc", "m", "n_cols", "base_c"))
+def dia_count_stage(c_val, c_cnt, *, sc: int, m: int, n_cols: int,
+                    base_c: int):
+    """Counting + staging from the output planes: transpose to row-major,
+    compact each row's present entries to the front by an ascending rank
+    sort (columns come out sorted for free — diagonal index order IS
+    column order within a row).  Returns (nnz_row, present, cols_s,
+    vals_s)."""
+    cvT = c_val.T                      # (m, sc)
+    present = c_cnt.T > 0.5            # exact: fp32 counts of 1.0 adds
+    counts = jnp.sum(present, axis=1, dtype=jnp.int32)
+    e = jnp.arange(sc, dtype=jnp.int32)[None, :]
+    i = jnp.arange(m, dtype=jnp.int32)[:, None]
+    cols_g = jnp.where(present, i + jnp.int32(base_c) + e, n_cols)
+    rank = jnp.cumsum(present, axis=1, dtype=jnp.int32) - 1
+    key = jnp.where(present, rank, sc + e)
+    _, cols_s, vals_s = jax.lax.sort(
+        (key, cols_g, cvT), dimension=1, num_keys=1)
+    return counts, present, cols_s, vals_s
+
+
+@partial(jax.jit, static_argnames=("sc", "m", "n_cols", "base_c"))
+def dia_numeric_stage(c_val, present, *, sc: int, m: int, n_cols: int,
+                      base_c: int):
+    """Numeric re-staging against a KNOWN structure (plan reuse): same
+    rank compaction, presence taken from the stored structural mask so
+    value cancellation cannot change the emitted pattern."""
+    cvT = c_val.T
+    e = jnp.arange(sc, dtype=jnp.int32)[None, :]
+    i = jnp.arange(m, dtype=jnp.int32)[:, None]
+    cols_g = jnp.where(present, i + jnp.int32(base_c) + e, n_cols)
+    rank = jnp.cumsum(present, axis=1, dtype=jnp.int32) - 1
+    key = jnp.where(present, rank, sc + e)
+    _, cols_s, vals_s = jax.lax.sort(
+        (key, cols_g, cvT), dimension=1, num_keys=1)
+    return cols_s, vals_s

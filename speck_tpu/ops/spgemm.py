@@ -48,6 +48,15 @@ from ..utils.timings import Timings, StageTimer
 from .analysis import analyze, cumsum1d
 from .dense import dense_emit, dense_gather_emit, dense_tiles
 from .device_csr import DeviceCSR
+from .dia import (
+    DiaState,
+    dia_conv,
+    dia_count_stage,
+    dia_numeric_stage,
+    dia_planes,
+    dia_slots,
+    plane_bytes,
+)
 from .esc import direct_chunk, pack_csr_arrays, packable
 from .stream import (
     N_QCLASS,
@@ -190,6 +199,7 @@ class SpgemmPlan:
     dense: Optional["DenseGroup"] = None
     dense_staged: Optional[List[tuple]] = None
     max_count: int = 0
+    dia: Optional[DiaState] = None
 
     @property
     def shape(self):
@@ -224,6 +234,8 @@ class SpgemmPlan:
         B = self.B if B is None else B
         m, n = self.shape
         track = timings is not None and timings.measure_all
+        if self.dia is not None:
+            return self._execute_dia(A, B, use_staged, timings, track)
         ssg = self.stream
         gather_emit = (
             use_staged and ssg is not None and ssg.fused
@@ -375,6 +387,45 @@ class SpgemmPlan:
             data=c_vals,
             shape=(m, n),
             nnz=self.nnz,
+        )
+
+    def _execute_dia(self, A, B, use_staged, timings, track):
+        """Numeric phase of a DIA-routed plan (ops/dia.py): staged
+        buffers emit directly; new values rebuild the value planes and
+        re-stage against the stored structural presence mask."""
+        d = self.dia
+        m, n = self.shape
+        k = A.shape[1]
+        base_c = d.dmin_a + d.dmin_b
+        with StageTimer(timings, "spGEMMNumeric", track) as st:
+            if use_staged and d.staged is not None:
+                cols_s, vals_s = d.staged
+            else:
+                av, ah = dia_planes(d.slot_a, A.data,
+                                    span=d.span_a, rows=m)
+                if (B.indices is A.indices and B.data is A.data
+                        and B.shape == A.shape):
+                    bv, bh = av, ah
+                else:
+                    bv, bh = dia_planes(d.slot_b, B.data,
+                                        span=d.span_b, rows=k)
+                c_val, _ = dia_conv(
+                    av, ah, bv, bh, sa=d.span_a, sb=d.span_b, m=m, k=k,
+                    dmin_a=d.dmin_a, with_hit=False)
+                cols_s, vals_s = dia_numeric_stage(
+                    c_val, d.present, sc=d.span_c, m=m, n_cols=n,
+                    base_c=base_c)
+            if self.nnz > 0:
+                c_cols, c_vals = dense_gather_emit(
+                    cols_s, vals_s, self.row_offsets,
+                    tile_rows=1, cw=d.span_c, m=m, nnz=self.nnz)
+            else:
+                c_cols = jnp.zeros((1,), jnp.int32)
+                c_vals = jnp.zeros((1,), A.data.dtype)
+            st.stop(c_cols, c_vals)
+        return DeviceCSR(
+            indptr=self.row_offsets, indices=c_cols, data=c_vals,
+            shape=(m, n), nnz=self.nnz,
         )
 
 
@@ -618,6 +669,51 @@ def _run_wide(ss: StreamState, wide_staged, nnz_row, n_cols: int,
     return nnz_row, bufs
 
 
+def _plan_dia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
+              timings: Optional[Timings], stats, dmin_a: int, dmin_b: int,
+              sa: int, sb: int, track: bool) -> SpgemmPlan:
+    """Complete a DIA-routed plan: fused count+numeric over diagonal
+    planes (ops/dia.py), one offsets/nnz readback — the same TWO-sync
+    protocol as the general path.  (Called from inside plan_spgemm's
+    loadBalanceCounting timer; for DIA runs that stage timer therefore
+    covers planning AND counting — the per-stage split below is still
+    recorded.)"""
+    m, n = A.shape[0], B.shape[1]
+    k = A.shape[1]
+    sc = sa + sb - 1
+    with StageTimer(timings, "spGEMMCounting", track) as st:
+        slot_a = dia_slots(A.indptr, A.indices, dmin=dmin_a, span=sa,
+                           rows=m)
+        if (B.indices is A.indices and B.data is A.data
+                and B.shape == A.shape):
+            slot_b = slot_a
+            av, ah = dia_planes(slot_a, A.data, span=sa, rows=m)
+            bv, bh = av, ah
+        else:
+            slot_b = dia_slots(B.indptr, B.indices, dmin=dmin_b, span=sb,
+                               rows=k)
+            av, ah = dia_planes(slot_a, A.data, span=sa, rows=m)
+            bv, bh = dia_planes(slot_b, B.data, span=sb, rows=k)
+        c_val, c_cnt = dia_conv(av, ah, bv, bh, sa=sa, sb=sb, m=m, k=k,
+                                dmin_a=dmin_a, with_hit=True)
+        counts, present, cols_s, vals_s = dia_count_stage(
+            c_val, c_cnt, sc=sc, m=m, n_cols=n, base_c=dmin_a + dmin_b)
+        st.stop(counts)
+    with StageTimer(timings, "allocC", track):
+        row_offsets, meta = _offsets_from_counts(counts)
+        nnz, max_count = (int(x) for x in np.asarray(meta))  # host sync
+    # staged planes are 2 int32-sized planes per (row, diag) slot
+    staged = ((cols_s, vals_s)
+              if 2 * sc * m <= cfg.fused_staging_budget else None)
+    return SpgemmPlan(
+        A=A, B=B, cfg=cfg, row_offsets=row_offsets, nnz=nnz,
+        sum_products=stats.sum_products, max_count=max_count,
+        dia=DiaState(span_a=sa, span_b=sb, span_c=sc, dmin_a=dmin_a,
+                     dmin_b=dmin_b, slot_a=slot_a, slot_b=slot_b,
+                     present=present, staged=staged),
+    )
+
+
 def plan_spgemm(
     A: DeviceCSR,
     B: DeviceCSR,
@@ -680,7 +776,27 @@ def plan_spgemm(
         a_hist = pack_h[2 * N_QCLASS: 3 * N_QCLASS]
         a_psum = pack_h[3 * N_QCLASS: 4 * N_QCLASS]
         n_elig, kw_e, cw_e, la_e, lb_e = (
-            int(x) for x in pack_h[4 * N_QCLASS:])
+            int(x) for x in pack_h[4 * N_QCLASS: 4 * N_QCLASS + 5])
+        a_dmin, a_dmax, b_dmin, b_dmax, sp_sat = (
+            int(x) for x in pack_h[4 * N_QCLASS + 5:])
+
+        # ---- DIA fast path (ops/dia.py): whole-matrix diagonal-band
+        # routing, decided from the same single readback. When it
+        # applies, the speculative stream/dense planning above is simply
+        # discarded (it is O(m log m) device work, dispatched before the
+        # readback could tell us it was unnecessary).
+        if (cfg.enable_dia and A.canonical and B.canonical
+                and A.nnz > 0 and B.nnz > 0
+                and a_dmin <= a_dmax and b_dmin <= b_dmax):
+            sa = a_dmax - a_dmin + 1
+            sb = b_dmax - b_dmin + 1
+            itemsize = jnp.dtype(A.data.dtype).itemsize
+            if (sa <= cfg.dia_span_cap and sb <= cfg.dia_span_cap
+                    and m * sa * sb <= cfg.dia_waste_cap * max(sp_sat, 1)
+                    and plane_bytes(m, A.shape[1], n, sa, sb, itemsize)
+                    <= cfg.dia_mem_budget):
+                return _plan_dia(A, B, cfg, timings, stats,
+                                 a_dmin, b_dmin, sa, sb, track)
         # adaptive rectangle width: giant rows get wider rectangles (at
         # most ~1024 segments each) so per-rectangle dedup is stronger and
         # the wide finish engages sooner; bounded ladder {8192..65536}

@@ -276,7 +276,15 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     spECK_HashLoadBalancer.cuh:330-331).
 
     pack = [stream q-class hist (32) | direct class hist (32) |
-            n_eligible_tiles | kw_eff | cw_eff | la_eff | lb_eff]
+            accum class hist (32) | accum product sums (32) |
+            n_eligible_tiles | kw_eff | cw_eff | la_eff | lb_eff |
+            a_dmin | a_dmax | b_dmin | b_dmax | sum_products_sat]
+
+    The last five scalars feed the DIA fast-path gate (ops/dia.py): the
+    min/max of (col - row) over A and over B (exact for canonical
+    matrices: a row's first/last column id is its min/max), and the total
+    product count saturated to int32 (only used as a host waste-ratio
+    heuristic, so saturation is benign).
     """
     from .dense import tile_stats
 
@@ -356,9 +364,35 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     # (spECK_HashSpGEMM.cuh:572-589). The O(nnz) A-slot records are built
     # lazily by the caller (build_srec) only when stream rows exist.
     nnz_init = jnp.where(direct_mask, row_ops, 0)
+    # DIA band stats: min/max of (col - row) from each canonical row's
+    # first/last column id — O(m) gathers, no per-nnz work
+    rowi = jnp.arange(m, dtype=jnp.int32)
+    ne_a = a_len > 0
+    if a_indices.shape[0] > 0 and m > 0:
+        a_first = a_indices[a_indptr[:-1]] - rowi
+        a_last = a_indices[jnp.maximum(a_indptr[1:] - 1, 0)] - rowi
+        a_dmin = jnp.min(jnp.where(ne_a, a_first, INT_MAX))
+        a_dmax = jnp.max(jnp.where(ne_a, a_last, -INT_MAX))
+    else:
+        a_dmin, a_dmax = jnp.int32(INT_MAX), jnp.int32(-INT_MAX)
+    kd = b_indptr.shape[0] - 1
+    if b_indices.shape[0] > 0 and kd > 0:
+        rowk = jnp.arange(kd, dtype=jnp.int32)
+        b_lenr = b_indptr[1:] - b_indptr[:-1]
+        ne_b = b_lenr > 0
+        b_first = b_indices[b_indptr[:-1]] - rowk
+        b_last = b_indices[jnp.maximum(b_indptr[1:] - 1, 0)] - rowk
+        b_dmin = jnp.min(jnp.where(ne_b, b_first, INT_MAX))
+        b_dmax = jnp.max(jnp.where(ne_b, b_last, -INT_MAX))
+    else:
+        b_dmin, b_dmax = jnp.int32(INT_MAX), jnp.int32(-INT_MAX)
+    sp_sat = jnp.int32(jnp.clip(
+        jnp.sum(jnp.maximum(row_ops, 0).astype(jnp.float32)),
+        0.0, 2.0 ** 31 - 2))
     pack = jnp.concatenate([
         hist,
         jnp.stack([n_elig, kw_eff, cw_eff, la_eff, lb_eff]).astype(jnp.int32),
+        jnp.stack([a_dmin, a_dmax, b_dmin, b_dmax, sp_sat]).astype(jnp.int32),
     ])
     return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
             cmin_sorted, nnz_init, r0, kb_s, cb_s, valid, pack)

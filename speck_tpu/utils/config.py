@@ -124,6 +124,16 @@ class SpgemmConfig:
     # two-phase path (re-expand for numeric). 2^28 planes = 1 GiB.
     fused_staging_budget: int = 1 << 28
     enable_direct: bool = True    # direct-copy bins for single-A-nnz rows
+    # DIA fast path (ops/dia.py): when every nonzero of A and B lies
+    # within a bounded diagonal band, the whole multiply runs as flat
+    # diagonal-plane multiply-adds (no gathers, no sorts). Gates: both
+    # spans <= dia_span_cap, dense-band work m*span_a*span_b within
+    # dia_waste_cap of the true product count, plane working set within
+    # dia_mem_budget bytes. Requires canonical A and B.
+    enable_dia: bool = True
+    dia_span_cap: int = 512
+    dia_waste_cap: float = 8.0
+    dia_mem_budget: int = 1 << 30
     # dense-window MXU path (ops/dense.py): tiles of ``dense_tile_rows``
     # consecutive rows whose A-column span fits ``dense_kw``, output-column
     # span fits ``dense_cw``, and per-row lengths fit dense_la/dense_lb run
@@ -160,6 +170,10 @@ _INI_TUNING_KEYS = {
     "FusedStagingBudget": ("fused_staging_budget", int),
     "EnableDense": ("enable_dense", bool),
     "EnableDirect": ("enable_direct", bool),
+    "EnableDia": ("enable_dia", bool),
+    "DiaSpanCap": ("dia_span_cap", int),
+    "DiaWasteCap": ("dia_waste_cap", float),
+    "DiaMemBudget": ("dia_mem_budget", int),
     "EnableAccum": ("enable_accum", bool),
     "AccumMinOps": ("accum_min_ops", int),
     "AccumSpanCap": ("accum_span_cap", int),
@@ -179,6 +193,8 @@ def spgemm_config_from_ini(ini: "Config") -> SpgemmConfig:
             overrides[field] = ini.get_bool(key)
         elif typ is int:
             overrides[field] = ini.get_int(key)
+        elif typ is float:
+            overrides[field] = ini.get_float(key)
         else:
             overrides[field] = ini.get_string(key)
     return SpgemmConfig(**overrides)

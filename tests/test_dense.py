@@ -21,10 +21,13 @@ from speck_tpu import (
 )
 from speck_tpu.formats.csr import HostCSR
 
-# tiny tiles so small test matrices exercise the dense path on CPU
+# tiny tiles so small test matrices exercise the dense path on CPU;
+# DIA off — banded fixtures would otherwise route to the diagonal-plane
+# path (ops/dia.py, tested in test_dia.py) before reaching dense tiles
 _DENSE_CFG = SpgemmConfig(
     product_budget=1 << 14,
     dense_tile_rows=16, dense_kw=64, dense_cw=64, dense_la=16, dense_lb=16,
+    enable_dia=False,
 )
 
 

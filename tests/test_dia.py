@@ -1,0 +1,160 @@
+"""DIA (diagonal-plane) fast path: routing gate + oracle parity.
+
+The DIA path (speck_tpu/ops/dia.py) is the whole-matrix analogue of the
+reference's dense-accumulator mode (spECK_HashSpGEMM.cuh:1175-1298): when
+every nonzero of A and B lies in a bounded diagonal band, the multiply
+runs as flat diagonal-plane multiply-adds. These tests pin the host
+routing gate and the end-to-end result against the scipy oracle.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from speck_tpu import (SpgemmConfig, compare_csr, device_get_csr,
+                       device_put_csr, oracle_spgemm)
+from speck_tpu.formats.csr import HostCSR
+from speck_tpu.ops.spgemm import plan_spgemm
+
+
+def _run(a, b, cfg=None, dtype=np.float32, rel=2e-3):
+    ah, bh = HostCSR.from_scipy(a), HostCSR.from_scipy(b)
+    Ad = device_put_csr(ah, dtype)
+    Bd = Ad if b is a else device_put_csr(bh, dtype)
+    plan = plan_spgemm(Ad, Bd, cfg or SpgemmConfig())
+    C = device_get_csr(plan.execute())
+    ref = oracle_spgemm(ah, bh)
+    r = compare_csr(ref, C, compare_data=True, rel_tol=rel)
+    assert r.ok, r.message
+    return plan
+
+
+def _band(n, offs, rs):
+    return sp.diags([rs.standard_normal(n - abs(o)) for o in offs], offs,
+                    shape=(n, n), format="csr")
+
+
+def test_dia_banded_square(rng):
+    rs = np.random.RandomState(0)
+    a = _band(300, range(-3, 4), rs)
+    plan = _run(a, a)
+    assert plan.dia is not None
+    assert plan.dia.span_a == 7 and plan.dia.span_c == 13
+
+
+def test_dia_off_diagonal_band(rng):
+    """dmin far from -dmax: the band need not straddle the diagonal."""
+    rs = np.random.RandomState(1)
+    a = _band(300, [10, 11, 12], rs)
+    plan = _run(a, a)
+    assert plan.dia is not None and plan.dia.dmin_a == 10
+
+
+def test_dia_mixed_operands(rng):
+    rs = np.random.RandomState(2)
+    a = _band(300, range(-2, 3), rs)
+    b = _band(300, range(1, 5), rs)
+    plan = _run(a, b)
+    assert plan.dia is not None
+    assert plan.dia.span_a == 5 and plan.dia.span_b == 4
+
+
+def test_dia_rectangular(rng):
+    rs = np.random.RandomState(3)
+    m, k, n = 200, 260, 240
+    a = sp.diags([rs.standard_normal(min(m, k))] * 6, list(range(6)),
+                 shape=(m, k), format="csr")
+    b = sp.diags([rs.standard_normal(min(k, n))] * 5, list(range(-2, 3)),
+                 shape=(k, n), format="csr")
+    plan = _run(a, b)
+    assert plan.dia is not None
+
+
+def test_dia_explicit_zero_structure(rng):
+    """Structural zeros survive (index-compare semantics,
+    source/GPU/Compare.cu:38-47): a zero VALUE must not drop the entry."""
+    rs = np.random.RandomState(4)
+    a = _band(120, range(-2, 3), rs).tocsr()
+    a.data[7] = 0.0
+    plan = _run(a, a)
+    assert plan.dia is not None
+
+
+def test_dia_numeric_rerun(rng):
+    """Plan reuse: execute() with new values against the stored
+    structure (the symbolic result is data-independent)."""
+    rs = np.random.RandomState(5)
+    a = _band(200, range(-2, 3), rs)
+    ah = HostCSR.from_scipy(a)
+    Ad = device_put_csr(ah, np.float32)
+    plan = plan_spgemm(Ad, Ad, SpgemmConfig())
+    assert plan.dia is not None
+    import dataclasses
+
+    A2 = dataclasses.replace(Ad, data=Ad.data * -3.0)
+    C2 = device_get_csr(plan.execute(A=A2, B=A2))
+    ah2 = HostCSR(ah.rows, ah.cols, ah.row_offsets, ah.col_ids,
+                  ah.data * -3.0)
+    ref2 = oracle_spgemm(ah2, ah2)
+    assert compare_csr(ref2, C2, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_dia_waste_gate_rejects_sparse_band(rng):
+    """A wide span with few populated diagonals fails the waste gate
+    (m*span_a*span_b >> true products) and falls back to the stream."""
+    rs = np.random.RandomState(6)
+    a = _band(400, [0, 200], rs)          # span 201, two diagonals
+    plan = _run(a, a)
+    assert plan.dia is None
+
+
+def test_dia_span_cap_gate(rng):
+    rs = np.random.RandomState(7)
+    a = _band(300, range(-3, 4), rs)
+    plan = _run(a, a, SpgemmConfig(dia_span_cap=4))
+    assert plan.dia is None
+
+
+def test_dia_disabled_falls_back(rng):
+    rs = np.random.RandomState(8)
+    a = _band(300, range(-3, 4), rs)
+    plan = _run(a, a, SpgemmConfig(enable_dia=False))
+    assert plan.dia is None
+
+
+def test_dia_noncanonical_falls_back(rng):
+    """DIA needs canonical inputs (band stats read first/last column per
+    row); unsorted columns must route to the general path and still be
+    correct."""
+    rs = np.random.RandomState(9)
+    a = _band(150, range(-2, 3), rs).tocsr()
+    ah = HostCSR.from_scipy(a)
+    # reverse each row's column order -> non-canonical
+    for i in range(ah.rows):
+        s, e = ah.row_offsets[i], ah.row_offsets[i + 1]
+        ah.col_ids[s:e] = ah.col_ids[s:e][::-1].copy()
+        ah.data[s:e] = ah.data[s:e][::-1].copy()
+    Ad = device_put_csr(ah, np.float32)
+    assert not Ad.canonical
+    plan = plan_spgemm(Ad, Ad, SpgemmConfig())
+    assert plan.dia is None
+    C = device_get_csr(plan.execute())
+    ref = oracle_spgemm(ah, ah)
+    assert compare_csr(ref, C, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_dia_fp64(rng):
+    import jax
+
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("x64 disabled in this session")
+    rs = np.random.RandomState(10)
+    a = _band(200, range(-2, 3), rs)
+    plan = _run(a, a, dtype=np.float64, rel=1e-12)
+    assert plan.dia is not None
+
+
+def test_dia_identity(rng):
+    a = sp.eye(64, format="csr")
+    plan = _run(a, a)
+    assert plan.dia is not None

@@ -79,9 +79,10 @@ def tile_stats(a_indptr, a_indices, b_indptr, b_indices,
     # over A's nonzeros (the readOperations rowColMinMax analogue,
     # common.cuh:303-319,380-392)
     nnz = a_indices.shape[0]
-    seg = jnp.zeros((nnz,), jnp.int32).at[a_indptr[1:-1]].add(
-        1, mode="drop"
-    ).cumsum() if nnz else jnp.zeros((0,), jnp.int32)
+    # blocked cumsum: a plain 1-D cumsum over nnz lowers to a lane-serial
+    # scan (the pathology analysis.cumsum1d exists to avoid)
+    seg = cumsum1d(jnp.zeros((nnz,), jnp.int32).at[a_indptr[1:-1]].add(
+        1, mode="drop")) if nnz else jnp.zeros((0,), jnp.int32)
     # ONE record gather at a_indices serves all three per-B-row stats
     # (three separate gathers measured as a third of tile_stats' cost)
     brec = jnp.stack([b_cmin, b_cmax, b_len], axis=-1)[a_indices]

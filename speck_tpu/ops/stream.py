@@ -338,8 +338,10 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
         b_cmax = jnp.where(
             b_ne, b_indices[jnp.maximum(b_indptr[1:] - 1, 0)], -1)
         nnz = a_indices.shape[0]
-        seg = (jnp.zeros((nnz,), jnp.int32).at[a_indptr[1:-1]].add(
-            1, mode="drop").cumsum() if nnz
+        # blocked cumsum (analysis.cumsum1d): plain 1-D cumsum over nnz
+        # is lane-serial on TPU
+        seg = (cumsum1d(jnp.zeros((nnz,), jnp.int32).at[
+            a_indptr[1:-1]].add(1, mode="drop")) if nnz
             else jnp.zeros((0,), jnp.int32))
         gcmin = jax.ops.segment_min(b_cmin[a_indices], seg, num_segments=m)
         gcmax = jax.ops.segment_max(b_cmax[a_indices], seg, num_segments=m)

@@ -60,6 +60,7 @@ from .dia import (
 from .esc import direct_chunk, pack_csr_arrays, packable
 from .stream import (
     N_QCLASS,
+    N_WSEG_PACK,
     LevelPlan,
     StreamLayout,
     accum_finalize,
@@ -155,7 +156,8 @@ class StreamState:
     p0: jax.Array               # (nnz,) A-slot stream starts
     srec: jax.Array             # (nnz, 2) [u, valA bits]
     src: jax.Array              # (nnz,) sorted-slot -> A nnz index
-    sid_bases: jax.Array        # (n_chunks,)
+    sid_bases: jax.Array        # (n_chunks,) A-slots with p0 < chunk start
+    rid_bases: jax.Array        # (n_chunks,) rows with e < chunk start
     pack_bits: int
     fused: bool
     staged: Optional[list] = None       # per-chunk (rid, col, val, counts)
@@ -340,8 +342,7 @@ class SpgemmPlan:
                             b_packed, B.indices, B.data, A.data, ss.src,
                             self.row_offsets, c_cols, c_vals,
                             jnp.int32(c * CP),
-                            jnp.int32(int(lo.rid_bases[c]) + ss.n_accum),
-                            ss.sid_bases[c], nwj,
+                            ss.rid_bases[c], ss.sid_bases[c], nwj,
                             G=G, W=W, n_cols=n, pack_bits=ss.pack_bits,
                             stage_wide=has_wide, f64=f64)
                         if stg is not None:
@@ -768,7 +769,7 @@ def plan_spgemm(
             la_max=cfg.dense_la, lb_max=cfg.dense_lb,
             max_tiles=max_tiles, m=m, use_accum=use_accum,
             accum_min_ops=cfg.accum_min_ops,
-            accum_span_cap=cfg.accum_span_cap,
+            accum_span_cap=cfg.accum_span_cap, w0=cfg.stream_width,
         )
         pack_h = np.asarray(pack)  # the ONE planning host sync
         s_hist = pack_h[:N_QCLASS]
@@ -778,7 +779,12 @@ def plan_spgemm(
         n_elig, kw_e, cw_e, la_e, lb_e = (
             int(x) for x in pack_h[4 * N_QCLASS: 4 * N_QCLASS + 5])
         a_dmin, a_dmax, b_dmin, b_dmax, sp_sat = (
-            int(x) for x in pack_h[4 * N_QCLASS + 5:])
+            int(x) for x in pack_h[4 * N_QCLASS + 5: 4 * N_QCLASS + 10])
+        # tight-layout tail (stream.py _plan_rows_impl): the rectangle
+        # width (adaptive ladder computed on device), exact stream total,
+        # and the wide rows' exact segment counts
+        tight_h = pack_h[4 * N_QCLASS + 10:]
+        W, total_q, n_wide_t, r_wide_t = (int(x) for x in tight_h[:4])
 
         # ---- DIA fast path (ops/dia.py): whole-matrix diagonal-band
         # routing, decided from the same single readback. When it
@@ -797,14 +803,18 @@ def plan_spgemm(
                     <= cfg.dia_mem_budget):
                 return _plan_dia(A, B, cfg, timings, stats,
                                  a_dmin, b_dmin, sa, sb, track)
-        # adaptive rectangle width: giant rows get wider rectangles (at
-        # most ~1024 segments each) so per-rectangle dedup is stronger and
-        # the wide finish engages sooner; bounded ladder {8192..65536}
-        W = cfg.stream_width
-        nz = np.nonzero(s_hist)[0]
-        if nz.size:
-            W = min(max(W, 1 << max(int(nz.max()) - 10, 0)), 65536)
-        layout = plan_layout(s_hist, d_hist, W, cfg.product_budget)
+        # wide-row exact segment counts: from the pack when they fit its
+        # N_WSEG_PACK window, else ONE extra fetch of the wide rows' ops
+        n_accum_h = int(a_hist.sum())
+        if n_wide_t <= N_WSEG_PACK:
+            wide_segs = tight_h[4: 4 + n_wide_t].astype(np.int64)
+        else:
+            wide_ops = np.asarray(
+                ops_sorted[n_accum_h: n_accum_h + n_wide_t], np.int64)
+            wide_segs = -(-wide_ops // W)
+        layout = plan_layout(
+            s_hist, d_hist, W, cfg.product_budget, total_q=total_q,
+            n_wide=n_wide_t, r_wide=r_wide_t, wide_segs=wide_segs)
         lplans = plan_levels(layout, F=cfg.stream_level_factor,
                              max_width=cfg.stream_max_width)
         # accumulator region sorts FIRST: every layout-derived row offset
@@ -874,14 +884,18 @@ def plan_spgemm(
                 A.indptr, A.indices, a32, B.indptr[:-1],
                 B.indptr[1:] - B.indptr[:-1], rows_sorted, e, q_sorted,
                 m=m)
-            sid_bases = jnp.searchsorted(
-                p0, jnp.arange(max(layout.n_chunks, 1),
-                               dtype=jnp.int32) * CP).astype(jnp.int32)
+            cks = jnp.arange(max(layout.n_chunks, 1),
+                             dtype=jnp.int32) * CP
+            sid_bases = jnp.searchsorted(p0, cks).astype(jnp.int32)
+            # rows with e < chunk start (accum rows' -1 sentinels are
+            # counted, matching the decode convention)
+            rid_bases = jnp.searchsorted(e, cks).astype(jnp.int32)
         else:
             p0 = jnp.zeros((1,), jnp.int32)
             srec = jnp.zeros((1, 3), jnp.int32)
             src = jnp.zeros((1,), jnp.int32)
             sid_bases = jnp.zeros((1,), jnp.int32)
+            rid_bases = jnp.zeros((1,), jnp.int32)
         # fused staging: 3 int32 planes per stream slot + the dense tiles
         staging = 3 * layout.total_q + (
             dense_grp.staging_slots if dense_grp else 0)
@@ -890,7 +904,8 @@ def plan_spgemm(
             layout=layout, lplans=lplans, rows_sorted=rows_sorted,
             rows_padded=rows_padded, e=e, q_sorted=q_sorted, el=el,
             ops_sorted=ops_sorted, p0=p0, srec=srec, src=src,
-            sid_bases=sid_bases, pack_bits=pack_bits, fused=fused,
+            sid_bases=sid_bases, rid_bases=rid_bases,
+            pack_bits=pack_bits, fused=fused,
             wide_rid_in=(jnp.asarray(
                 n_accum + np.repeat(np.arange(layout.n_wide),
                                     layout.wide_segs),
@@ -945,8 +960,7 @@ def plan_spgemm(
                     rows_sorted, e, ss.rowend, q_sorted, el, ops_sorted,
                     p0, srec, b_packed, B.indices, B.data, A.data, src,
                     nnz_row,
-                    jnp.int32(c * CP), jnp.int32(int(layout.rid_bases[c]) + ss.n_accum),
-                    sid_bases[c],
+                    jnp.int32(c * CP), rid_bases[c], sid_bases[c],
                     G=G, W=W, n_cols=n, pack_bits=pack_bits,
                     stage=fused or has_wide, f64=f64,
                     pallas_contract=cfg.stream_pallas_contract)

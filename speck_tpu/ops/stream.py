@@ -78,6 +78,11 @@ INT_MAX = jnp.iinfo(jnp.int32).max
 # power-of-two class ladder: q class k has q = 1 << k
 N_QCLASS = 32
 
+# tight layout: wide-row segment counts shipped in the planning pack
+# (exact ceil(ops/W) per wide row); beyond this many wide rows the host
+# falls back to ONE extra fetch of the wide rows' ops
+N_WSEG_PACK = 512
+
 
 def _pow2ceil(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
@@ -136,24 +141,46 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
                         copy-length-class histogram
     """
     (rows_sorted, e, q_sorted, el, ops_sorted, _e2, _q2,
-     hist_pack) = _plan_rows_impl(
+     hist_pack, _tp) = _plan_rows_impl(
         row_ops, stream_mask, direct_mask, min_q=min_q, m=m)
     p0, srec, src = build_srec(a_indptr, a_indices, a_data32, b_start,
                                b_len, rows_sorted, e, q_sorted, m=m)
     return rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, hist_pack
 
 
-@partial(jax.jit, static_argnames=("min_q", "m"))
+@partial(jax.jit, static_argnames=("min_q", "m", "tight", "w0"))
 def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
-                    m: int, accum_mask=None, span=None):
-    """Row-level half of stream planning: sort, aligned offsets, live
+                    m: int, accum_mask=None, span=None,
+                    tight: bool = False, w0: int = 8192):
+    """Row-level half of stream planning: sort, stream offsets, live
     prefixes, class histograms — everything O(m).
+
+    Two layouts:
+
+    - pow2 (``tight=False``, the SPMD mesh path): q = pow2ceil(ops),
+      descending sort, aligned cumsum — fill ops/q in (0.5, 1].
+    - tight (``tight=True``, the single-chip path): near-perfect packing.
+      The rectangle width W is chosen HERE (the adaptive ladder
+      min(max(w0, 2^(maxclass-10)), 65536) moved on-device; the host reads
+      it back in the pack). Wide rows (ops > W) get exact
+      ceil(ops/W)-segment W-multiple allocations; contained rows are
+      placed back-to-back at e = cumsum(max(ops, min_q)); the few rows
+      that would straddle a W boundary (at most one per boundary) are
+      relocated to a pow2-aligned region appended past the stream end.
+      A second stable sort by final e restores the ascending-e order every
+      consumer (decode, counting, gather emit) requires. Fill ~0.95+ vs
+      ~0.72 pow2 — every per-slot cost (sorts, gathers, decodes) shrinks
+      proportionally.
 
     With ``accum_mask``/``span``, eligible huge rows form a FOURTH region
     sorted first (grouped by span class descending): they get their own
     tightly packed product space (e2 — no quantization; the accumulator
     does not sort, so no alignment is needed) and sentinel e = -1 in the
     main stream (counted by rid bases, never decoded into chunks).
+
+    Returns (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
+    hist_pack, tight_pack) where tight_pack (4 + N_WSEG_PACK int32) =
+    [W, total_q, n_wide, r_wide, wide_segs...] (zeros when tight=False).
     """
     ops = jnp.maximum(row_ops, 0)
     # exact integer ceil(log2): count powers of two below ops (float log2
@@ -172,7 +199,8 @@ def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
     sc = jnp.where(accum_mask, sc, 0)
 
     # sort key: region (0 accum / 1 stream / 2 direct / 3 rest), then
-    # descending class (span class for accum, q class otherwise)
+    # descending class (span class for accum, q class otherwise); tight
+    # adds a -ops key so stream rows are exactly descending by ops
     region = jnp.where(accum_mask, 0,
                        jnp.where(stream_mask, 1,
                                  jnp.where(direct_mask, 2, 3)))
@@ -182,8 +210,12 @@ def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
                                            N_QCLASS - 1 - dc, 0)))
     key = region * (2 * N_QCLASS) + subkey
     row_ids = jnp.arange(m, dtype=jnp.int32)
-    _, rows_sorted = jax.lax.sort((key, row_ids), dimension=0, num_keys=1,
-                                  is_stable=True)
+    if tight:
+        _, _, rows_sorted = jax.lax.sort(
+            (key, -ops, row_ids), dimension=0, num_keys=2, is_stable=True)
+    else:
+        _, rows_sorted = jax.lax.sort(
+            (key, row_ids), dimension=0, num_keys=1, is_stable=True)
 
     cls = jnp.arange(N_QCLASS, dtype=jnp.int32)
     s_hist = jnp.sum((qc[None, :] == cls[:, None]) & stream_mask[None, :],
@@ -195,6 +227,12 @@ def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
     a_psum = jnp.sum(
         jnp.where((sc[None, :] == cls[:, None]) & accum_mask[None, :],
                   ops[None, :], 0), axis=1, dtype=jnp.int32)
+    hist_pack = jnp.concatenate([s_hist, d_hist, a_hist, a_psum])
+
+    if tight:
+        return _tight_layout(rows_sorted, ops, qc, stream_mask,
+                             accum_mask, s_hist, hist_pack,
+                             min_q=min_q, m=m, w0=w0)
 
     # aligned stream offsets over sorted order (pow2 q, descending => each
     # e is q-aligned; see module docstring)
@@ -212,9 +250,97 @@ def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
     # accum rows are first, so the natural cumsum is globally ascending
     q2_sorted = jnp.where(accum_mask[rows_sorted], ops[rows_sorted], 0)
     e2 = cumsum1d(q2_sorted) - q2_sorted
-    hist_pack = jnp.concatenate([s_hist, d_hist, a_hist, a_psum])
+    tight_pack = jnp.zeros((4 + N_WSEG_PACK,), jnp.int32)
     return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
-            hist_pack)
+            hist_pack, tight_pack)
+
+
+def _tight_layout(rows1, ops, qc, stream_mask, accum_mask, s_hist,
+                  hist_pack, *, min_q: int, m: int, w0: int):
+    """Tight stream placement (see _plan_rows_impl): exact wide segments,
+    back-to-back contained rows, straddler relocation, final e-sort."""
+    # adaptive rectangle width, decided on device from the q-class
+    # histogram (host reads W back from tight_pack[0] — the single source
+    # of truth for the ladder)
+    cls = jnp.arange(N_QCLASS, dtype=jnp.int32)
+    maxcls = jnp.max(jnp.where(s_hist > 0, cls, -1))
+    W = jnp.minimum(
+        jnp.maximum(jnp.int32(w0),
+                    jnp.int32(1) << jnp.clip(maxcls - 10, 0, 16)),
+        jnp.int32(65536))
+
+    ops1 = ops[rows1]
+    stream1 = stream_mask[rows1]
+    accum1 = accum_mask[rows1]
+    wide1 = stream1 & (ops1 > W)
+    segs1 = jnp.where(wide1, (ops1 + W - 1) // W, 0)
+    q1 = jnp.where(wide1, segs1 * W,
+                   jnp.where(stream1, jnp.maximum(ops1, min_q), 0))
+    # round 0: wide rows (W-aligned by construction) + contained rows
+    # back-to-back. A contained row whose allocation [e, e+q) crosses a W
+    # boundary relocates to the next round's region (its slot becomes a
+    # hole, dead by the rowend check); each round's straddler fraction is
+    # ~avg_row/W, so three tight rounds leave ~(avg/W)^3 of the rows for
+    # the final pow2-aligned tail.
+    c = cumsum1d(q1)
+    e_try = c - q1
+    strad = stream1 & ~wide1 & ((e_try // W) != ((e_try + q1 - 1) // W))
+    e_f1 = jnp.where(stream1 & ~strad, e_try, 0)
+    total_q = c[-1]
+    base = ((total_q + W - 1) // W) * W
+    pend = strad
+    for _ in range(2):
+        alloc = jnp.where(pend, q1, 0)
+        c = cumsum1d(alloc)
+        e_try = base + c - alloc
+        strad = pend & ((e_try // W) != ((e_try + q1 - 1) // W))
+        e_f1 = jnp.where(pend & ~strad, e_try, e_f1)
+        placed = c[-1] > 0
+        total_q = jnp.where(placed, base + c[-1], total_q)
+        base = jnp.where(placed, ((base + c[-1] + W - 1) // W) * W, base)
+        pend = strad
+    # final tail: pow2 allocations from a W-aligned base (descending pow2
+    # from an aligned base => every start is self-aligned, no straddling)
+    qs2 = jnp.where(pend, jnp.int32(1) << qc[rows1], 0)
+    c2 = cumsum1d(qs2)
+    e_f1 = jnp.where(pend, base + c2 - qs2, e_f1)
+    total_q = jnp.where(c2[-1] > 0, base + c2[-1], total_q)
+    q_f1 = jnp.where(pend, qs2, q1)
+    e_f1 = jnp.where(stream1, e_f1,
+                     jnp.where(accum1, jnp.int32(-1), total_q))
+    # accumulator product space (sort-1 order == final order for the
+    # accum prefix; non-accum rows all carry the constant total)
+    q2_1 = jnp.where(accum1, ops1, 0)
+    e2_1 = cumsum1d(q2_1) - q2_1
+
+    # restore ascending-e order (stable: equal keys — the accum -1s and
+    # the direct/rest total_q tail — keep their region ordering)
+    idx1 = jnp.arange(m, dtype=jnp.int32)
+    _, pi = jax.lax.sort((e_f1, idx1), dimension=0, num_keys=1,
+                         is_stable=True)
+    rows_sorted = rows1[pi]
+    e = e_f1[pi]
+    q_sorted = q_f1[pi]
+    ops_sorted = jnp.where(stream1, ops1, 0)[pi]
+    el = cumsum1d(ops_sorted) - ops_sorted
+    e2 = e2_1[pi]
+    q2_sorted = q2_1[pi]
+
+    # pack: W, totals, and the wide rows' exact segment counts (final
+    # positions [n_accum, n_accum + n_wide); K-capped, host falls back to
+    # one extra fetch past the cap)
+    n_wide = jnp.sum(wide1, dtype=jnp.int32)
+    r_wide = jnp.sum(segs1, dtype=jnp.int32)
+    n_accum = jnp.sum(accum1, dtype=jnp.int32)
+    ops_pad = jnp.concatenate(
+        [ops_sorted, jnp.zeros((N_WSEG_PACK,), jnp.int32)])
+    wwin = jax.lax.dynamic_slice(ops_pad, (n_accum,), (N_WSEG_PACK,))
+    k_idx = jnp.arange(N_WSEG_PACK, dtype=jnp.int32)
+    wsegs = jnp.where(k_idx < n_wide, (wwin + W - 1) // W, 0)
+    tight_pack = jnp.concatenate(
+        [jnp.stack([W, total_q, n_wide, r_wide]), wsegs])
+    return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
+            hist_pack, tight_pack)
 
 
 @partial(jax.jit, static_argnames=("m",))
@@ -260,7 +386,8 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     jax.jit,
     static_argnames=("min_q", "direct_ok", "use_dense", "tile_rows",
                      "kw_max", "cw_max", "la_max", "lb_max", "max_tiles",
-                     "m", "use_accum", "accum_min_ops", "accum_span_cap"),
+                     "m", "use_accum", "accum_min_ops", "accum_span_cap",
+                     "w0"),
 )
 def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
                        row_ops, a_len, *, min_q: int, direct_ok: bool,
@@ -268,23 +395,26 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
                        cw_max: int, la_max: int, lb_max: int,
                        max_tiles: int, m: int, use_accum: bool = False,
                        accum_min_ops: int = 1 << 14,
-                       accum_span_cap: int = 1 << 20):
+                       accum_span_cap: int = 1 << 20, w0: int = 8192):
     """Single-dispatch planning: dense-tile eligibility (ops/dense.py),
-    direct/stream masks, the stream layout sort, and the A-slot records --
-    ONE packed int32 readback serves every host decision (the analogue of
-    the reference's planning D2H points, Multiply.cu:249-252 and
-    spECK_HashLoadBalancer.cuh:330-331).
+    direct/stream masks, the tight stream layout sort, and the A-slot
+    records -- ONE packed int32 readback serves every host decision (the
+    analogue of the reference's planning D2H points, Multiply.cu:249-252
+    and spECK_HashLoadBalancer.cuh:330-331).
 
     pack = [stream q-class hist (32) | direct class hist (32) |
             accum class hist (32) | accum product sums (32) |
             n_eligible_tiles | kw_eff | cw_eff | la_eff | lb_eff |
-            a_dmin | a_dmax | b_dmin | b_dmax | sum_products_sat]
+            a_dmin | a_dmax | b_dmin | b_dmax | sum_products_sat |
+            W | total_q | n_wide | r_wide | wide_segs (N_WSEG_PACK)]
 
-    The last five scalars feed the DIA fast-path gate (ops/dia.py): the
-    min/max of (col - row) over A and over B (exact for canonical
-    matrices: a row's first/last column id is its min/max), and the total
-    product count saturated to int32 (only used as a host waste-ratio
-    heuristic, so saturation is benign).
+    The a/b_dmin/dmax + sp_sat scalars feed the DIA fast-path gate
+    (ops/dia.py): the min/max of (col - row) over A and over B (exact for
+    canonical matrices: a row's first/last column id is its min/max), and
+    the total product count saturated to int32 (only used as a host
+    waste-ratio heuristic, so saturation is benign). The tight-layout
+    tail (see _plan_rows_impl) carries the device-chosen rectangle width
+    and the exact stream totals.
     """
     from .dense import tile_stats
 
@@ -357,9 +487,9 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     stream_mask = ((row_ops > 0) & ~direct_mask & ~dense_mask
                    & ~accum_mask)
     (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
-     hist) = _plan_rows_impl(
+     hist, tight_pack) = _plan_rows_impl(
         row_ops, stream_mask, direct_mask, min_q=min_q, m=m,
-        accum_mask=accum_mask, span=span)
+        accum_mask=accum_mask, span=span, tight=True, w0=w0)
     cmin_sorted = gcmin[rows_sorted]
     # direct rows' exact counts come free from the analysis pass (their C
     # row is a copy of one B row), like the reference's direct method
@@ -395,6 +525,7 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
         hist,
         jnp.stack([n_elig, kw_eff, cw_eff, la_eff, lb_eff]).astype(jnp.int32),
         jnp.stack([a_dmin, a_dmax, b_dmin, b_dmax, sp_sat]).astype(jnp.int32),
+        tight_pack,
     ])
     return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
             cmin_sorted, nnz_init, r0, kb_s, cb_s, valid, pack)
@@ -932,41 +1063,55 @@ def stream_gather_emit(rows_sorted, e, row_offsets, cols_flat,
 
 @dataclasses.dataclass(frozen=True)
 class StreamLayout:
-    """Everything the host derives from the q-class histogram: chunk
-    schedule, wide-row segment table, merge-level plans."""
+    """Everything the host derives from the planning readback: chunk
+    schedule, wide-row segment table, merge-level plans. Per-chunk row/
+    A-slot bases live on device (searchsorted over the e / p0 arrays)."""
 
     W: int
     G: int                    # rect rows per chunk
     n_chunks: int
-    total_q: int              # padded stream length (sum of q)
+    total_q: int              # stream length (sum of allocations)
     n_wide: int               # wide rows (q > W), first in sorted order
     r_wide: int               # rect rows owned by wide rows
-    wide_segs: np.ndarray     # (n_wide,) segments (q/W) per wide row
-    rid_bases: np.ndarray     # (n_chunks,) rows with e < chunk start
+    wide_segs: np.ndarray     # (n_wide,) segments per wide row
     n_stream_rows: int
     n_direct_rows: int
     direct_classes: List[Tuple[int, int, int]]  # (cap, start, count)
 
 
 def plan_layout(hist: np.ndarray, d_hist: np.ndarray, W: int,
-                product_budget: int) -> StreamLayout:
-    """Derive the full stream layout from the class histograms (the ONE
-    planning readback; the analogue of spECK's blockStarts D2H,
-    spECK_HashLoadBalancer.cuh:330-331)."""
+                product_budget: int, *, total_q: Optional[int] = None,
+                n_wide: Optional[int] = None, r_wide: Optional[int] = None,
+                wide_segs: Optional[np.ndarray] = None) -> StreamLayout:
+    """Derive the full stream layout from the planning readback (the
+    analogue of spECK's blockStarts D2H,
+    spECK_HashLoadBalancer.cuh:330-331).
+
+    With the tight-layout keywords (from the device pack) the exact
+    totals are used; without them (pow2 mode, e.g. the SPMD mesh path and
+    unit tests) they are derived from the class histogram. The int32
+    ceiling guard always uses the pow2 class bound — an upper bound on
+    the tight total — so the ceiling semantics match either mode."""
     qs = 1 << np.arange(N_QCLASS, dtype=np.int64)
-    total_q = int((hist.astype(np.int64) * qs).sum())
-    if total_q >= 2**31:
+    bound_q = int((hist.astype(np.int64) * qs).sum()) + W
+    if bound_q >= 2**31:
         raise ValueError(
-            f"stream of {total_q} quantized products exceeds the 2^31 "
+            f"stream of ~{bound_q} quantized products exceeds the 2^31 "
             "int32 ceiling; row-block the multiply")
     n_stream_rows = int(hist.sum())
-    wide_classes = [k for k in range(N_QCLASS) if (1 << k) > W and hist[k]]
-    n_wide = int(sum(hist[k] for k in wide_classes))
-    wide_segs = np.concatenate([
-        np.full(int(hist[k]), (1 << k) // W, np.int64)
-        for k in sorted(wide_classes, reverse=True)
-    ]) if n_wide else np.zeros(0, np.int64)
-    r_wide = int(wide_segs.sum())
+    if total_q is None:
+        # pow2 layout: totals straight from the class histogram
+        total_q = bound_q - W
+        wide_classes = [k for k in range(N_QCLASS)
+                        if (1 << k) > W and hist[k]]
+        n_wide = int(sum(hist[k] for k in wide_classes))
+        wide_segs = np.concatenate([
+            np.full(int(hist[k]), (1 << k) // W, np.int64)
+            for k in sorted(wide_classes, reverse=True)
+        ]) if n_wide else np.zeros(0, np.int64)
+        r_wide = int(wide_segs.sum())
+    else:
+        wide_segs = np.asarray(wide_segs, np.int64)
 
     G = max(1, product_budget // W)
     # bounded pow4 ladder on G so tiny matrices compile small shapes
@@ -974,23 +1119,6 @@ def plan_layout(hist: np.ndarray, d_hist: np.ndarray, W: int,
     while G > 1 and G // 4 >= need:
         G //= 4
     n_chunks = -(-total_q // (G * W)) if total_q else 0
-
-    # rows whose e < c*G*W, per chunk, straight from the class layout:
-    # descending classes => row j (sorted) has e = prefix of q
-    counts_desc = hist[::-1].astype(np.int64)
-    qs_desc = qs[::-1]
-    cls_off = np.concatenate([[0], np.cumsum(counts_desc * qs_desc)])
-    rid_bases = np.zeros(n_chunks, np.int64)
-    for c in range(n_chunks):
-        s = c * G * W
-        k = int(np.searchsorted(cls_off, s, side="right")) - 1
-        k = min(k, N_QCLASS - 1)
-        rows_before = counts_desc[:k].sum()
-        if qs_desc[k] > 0 and counts_desc[k] > 0:
-            # rows of class k with e < s: ceil((s - class_start) / q)
-            rows_before += min(-(-(s - cls_off[k]) // qs_desc[k]),
-                               counts_desc[k])
-        rid_bases[c] = rows_before
 
     n_direct = int(d_hist.sum())
     direct_classes = []
@@ -1002,7 +1130,7 @@ def plan_layout(hist: np.ndarray, d_hist: np.ndarray, W: int,
             start += cnt
     return StreamLayout(
         W=W, G=G, n_chunks=n_chunks, total_q=total_q, n_wide=n_wide,
-        r_wide=r_wide, wide_segs=wide_segs, rid_bases=rid_bases,
+        r_wide=r_wide, wide_segs=wide_segs,
         n_stream_rows=n_stream_rows, n_direct_rows=n_direct,
         direct_classes=direct_classes,
     )

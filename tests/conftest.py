@@ -19,6 +19,17 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound compile-cache growth across the suite: the XLA:CPU compiler
+    has been observed to segfault late in a full run (backend_compile on
+    the ~119th test) once ~a hundred tests' executables accumulate;
+    per-module clearing keeps the process footprint flat. Recompiles
+    within a module are unaffected."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture()
 def rng(request):
     # per-test deterministic stream: order-independent, reproducible

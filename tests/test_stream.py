@@ -144,6 +144,35 @@ def _assert_tight_invariants(ops, W0, min_q=8):
     return total_q
 
 
+def test_tight_total_host_matches_device(rng):
+    """tight_total_host (the SPMD mesh's static-shape sizing) must equal
+    the device layout's total exactly — same rounds, same roundups."""
+    import jax.numpy as jnp
+    from speck_tpu.ops.stream import _plan_rows_impl, tight_total_host
+
+    for trial in range(12):
+        m = int(rng.integers(1, 600))
+        W0 = 1 << int(rng.integers(5, 12))
+        regime = trial % 4
+        if regime == 0:
+            ops = rng.integers(0, 20, m)
+        elif regime == 1:
+            ops = rng.integers(W0 // 2, W0 + W0 // 2, m)
+        elif regime == 2:
+            ops = ((rng.pareto(1.5, m) + 1) * 5).astype(np.int64)
+        else:
+            ops = rng.integers(0, 30, m)
+            ops[rng.integers(0, m, 3)] = int(rng.integers(W0, W0 * 9))
+        ops = np.minimum(ops.astype(np.int64), 2 ** 30)
+        out = _plan_rows_impl(
+            jnp.asarray(ops, jnp.int32), jnp.asarray(ops > 0),
+            jnp.asarray(np.zeros(m, bool)), min_q=8, m=m, tight=True,
+            w_fixed=W0)
+        dev_total = int(np.asarray(out[8])[1])
+        host_total = tight_total_host(ops, W0, 8)
+        assert dev_total == host_total, (trial, W0, dev_total, host_total)
+
+
 def test_tight_layout_fuzz(rng):
     """Placement invariants across regimes: tiny rows, rows ~W
     (degenerate for fill, still correct), heavy tails, few huge rows."""
@@ -337,6 +366,36 @@ def test_pallas_contract_matches_xla(rng):
     np.testing.assert_array_equal(C_x.row_offsets, C_p.row_offsets)
     np.testing.assert_array_equal(C_x.col_ids, C_p.col_ids)
     np.testing.assert_allclose(C_x.data, C_p.data, rtol=0, atol=0)
+
+
+def test_bitonic_sort_matches_xla(rng):
+    """stream_bitonic_sort routes the chunk sorts through the
+    reshape/select bitonic network; structure must be identical and
+    values fp-equal up to duplicate-summation order."""
+    a = random_host_csr(rng, 160, 160, 0.08)
+    cfg_x = dataclasses.replace(_CFG, stream_width=256,
+                                product_budget=1 << 12)
+    cfg_b = dataclasses.replace(cfg_x, stream_bitonic_sort=True)
+    A = device_put_csr(a)
+    C_x = device_get_csr(spgemm(A, A, cfg_x))
+    C_b = device_get_csr(spgemm(A, A, cfg_b))
+    np.testing.assert_array_equal(C_x.row_offsets, C_b.row_offsets)
+    np.testing.assert_array_equal(C_x.col_ids, C_b.col_ids)
+    np.testing.assert_allclose(C_x.data, C_b.data, rtol=1e-5, atol=1e-7)
+    ref = oracle_spgemm(a, a)
+    assert compare_csr(ref, C_b, compare_data=True, rel_tol=2e-3).ok
+    # wide rows + two-phase numeric through the bitonic path
+    import scipy.sparse as sp
+    lil = a.to_scipy().tolil()
+    lil[0, :] = rng.standard_normal(160)
+    aw = HostCSR.from_scipy(lil.tocsr())
+    cfg_bw = dataclasses.replace(cfg_b, stream_width=64,
+                                 product_budget=1 << 10,
+                                 fused_staging_budget=0)
+    refw = oracle_spgemm(aw, aw)
+    Cw = device_get_csr(spgemm(device_put_csr(aw), device_put_csr(aw),
+                               cfg_bw))
+    assert compare_csr(refw, Cw, compare_data=True, rel_tol=2e-3).ok
 
 
 def test_accum_path_giant_span(rng):

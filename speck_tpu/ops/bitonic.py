@@ -44,14 +44,10 @@ def _is_pow2(n: int) -> bool:
     return n > 0 and (n & (n - 1)) == 0
 
 
-def bitonic_sort_pairs(key: jax.Array, vals: Sequence[jax.Array],
-                       ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
-    """Sort each row of ``key`` (R, W) ascending, permuting every array
-    in ``vals`` identically. W must be a power of two."""
+def _network(key, vals):
+    """The compare-exchange stages on in-register/VMEM arrays (shared by
+    the jnp form and the Pallas kernel body)."""
     R, W = key.shape
-    if not _is_pow2(W):
-        raise ValueError(f"bitonic width {W} is not a power of two")
-    vals = tuple(vals)
     k = 2
     while k <= W:
         j = k // 2
@@ -59,10 +55,8 @@ def bitonic_sort_pairs(key: jax.Array, vals: Sequence[jax.Array],
             nb = W // (2 * j)
             ksh = key.reshape(R, nb, 2, j)
             lo_k, hi_k = ksh[:, :, 0, :], ksh[:, :, 1, :]
-            # ascending iff the 2j-block starts in an even k-block
             bstart = jnp.arange(nb, dtype=jnp.int32) * (2 * j)
             asc = ((bstart & k) == 0)[None, :, None]
-            # swap needed when (lo > hi) for ascending, (lo < hi) else
             sw = jnp.where(asc, lo_k > hi_k, lo_k < hi_k)
             new_lo = jnp.where(sw, hi_k, lo_k)
             new_hi = jnp.where(sw, lo_k, hi_k)
@@ -79,3 +73,66 @@ def bitonic_sort_pairs(key: jax.Array, vals: Sequence[jax.Array],
             j //= 2
         k *= 2
     return key, vals
+
+
+def bitonic_sort_pairs(key: jax.Array, vals: Sequence[jax.Array],
+                       ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """Sort each row of ``key`` (R, W) ascending, permuting every array
+    in ``vals`` identically. W must be a power of two. Pure jnp — every
+    stage is an XLA map over HBM."""
+    R, W = key.shape
+    if not _is_pow2(W):
+        raise ValueError(f"bitonic width {W} is not a power of two")
+    return _network(key, tuple(vals))
+
+
+def pallas_supported(R: int, W: int) -> bool:
+    """VMEM budget gate for the Pallas kernel: one (RB, W) block of
+    key + vals in and out must fit comfortably."""
+    return _is_pow2(W) and 128 <= W <= 65536 and R % _pallas_rb(W) == 0
+
+
+def _pallas_rb(W: int) -> int:
+    # ~2 MiB of VMEM for a 4-array working set at W=8192
+    return max(1, min(8, (1 << 16) // W * 8))
+
+
+def bitonic_sort_pairs_pallas(
+        key: jax.Array, vals: Sequence[jax.Array],
+        interpret: bool | None = None,
+) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """The same network as ONE Pallas kernel per (RB, W) block: a single
+    HBM read + write instead of ~log2(W)^2/2 map stages. Falls back to
+    the jnp form when the shape is unsupported."""
+    from jax.experimental import pallas as pl
+
+    R, W = key.shape
+    vals = tuple(vals)
+    if not pallas_supported(R, W):
+        return bitonic_sort_pairs(key, vals)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    RB = _pallas_rb(W)
+    n_vals = len(vals)
+
+    def kernel(*refs):
+        in_refs, out_refs = refs[: 1 + n_vals], refs[1 + n_vals:]
+        k = in_refs[0][...]
+        vs = tuple(r[...] for r in in_refs[1:])
+        k, vs = _network(k, vs)
+        out_refs[0][...] = k
+        for r, v in zip(out_refs[1:], vs):
+            r[...] = v
+
+    spec = pl.BlockSpec((RB, W), lambda i: (i, 0))
+    out_shape = [jax.ShapeDtypeStruct((R, W), key.dtype)] + [
+        jax.ShapeDtypeStruct((R, W), v.dtype) for v in vals]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(R // RB,),
+        in_specs=[spec] * (1 + n_vals),
+        out_specs=[spec] * (1 + n_vals),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(key, *vals)
+    return outs[0], tuple(outs[1:])

@@ -639,32 +639,40 @@ def _decode(boundary_pos, base, chunk_start, G: int, W: int):
     return base + _cumsum_rect(marks.reshape(G, W)) - 1
 
 
-def _sort_cols(col, val, bitonic: bool):
+def _bitonic_call(key, vals, sort_impl: str):
+    """Dispatch to the jnp bitonic network or the Pallas VMEM kernel."""
+    if sort_impl == "bitonic_pallas":
+        from .bitonic import bitonic_sort_pairs_pallas
+        return bitonic_sort_pairs_pallas(key, vals)
+    from .bitonic import bitonic_sort_pairs
+    return bitonic_sort_pairs(key, vals)
+
+
+def _sort_cols(col, val, sort_impl: str):
     """Single-key (col, val) row sort, optionally via the bitonic
     network (width must be pow2 for bitonic — all level/finish widths
     are)."""
-    if bitonic and (col.shape[1] & (col.shape[1] - 1)) == 0:
-        from .bitonic import bitonic_sort_pairs
-        col_s, (val_s,) = bitonic_sort_pairs(col, [val])
+    if sort_impl != "xla" and (col.shape[1] & (col.shape[1] - 1)) == 0:
+        col_s, (val_s,) = _bitonic_call(col, [val], sort_impl)
         return col_s, val_s
     return jax.lax.sort((col, val), dimension=1, num_keys=1)
 
 
 def _sort_rect(rid, col, val, n_cols: int, pack_bits: int,
-               bitonic: bool = False):
+               sort_impl: str = "xla"):
     """Sort each rectangle row by (rid, col) with ALL dead slots
     (col >= n_cols) last -- live entries pack to the rectangle-row front
     in row order (the invariant the O(m) counting and the gather emit
     depend on). pack_bits > 0: single-key sort on
-    rid_local << pack_bits | col. ``bitonic`` routes the single-key sort
-    through the reshape/select network (ops/bitonic.py)."""
+    rid_local << pack_bits | col. ``sort_impl`` routes the single-key
+    sort through the bitonic network or its Pallas VMEM kernel
+    (ops/bitonic.py)."""
     if pack_bits > 0:
         rid0 = rid[:, :1]
         keyk = ((rid - rid0) << pack_bits) | col
         keyk = jnp.where(col >= n_cols, INT_MAX, keyk)
-        if bitonic:
-            from .bitonic import bitonic_sort_pairs
-            keyk, (val_s,) = bitonic_sort_pairs(keyk, [val])
+        if sort_impl != "xla":
+            keyk, (val_s,) = _bitonic_call(keyk, [val], sort_impl)
         else:
             keyk, val_s = jax.lax.sort((keyk, val), dimension=1,
                                        num_keys=1)
@@ -711,17 +719,16 @@ def _contract_rect(rid_s, col_s, val_s, n_cols: int,
     return last, v
 
 
-def _compact_rect(last, rid_s, col_s, run_sum, bitonic: bool = False):
+def _compact_rect(last, rid_s, col_s, run_sum, sort_impl: str = "xla"):
     """Rank-sort run-last entries to the rectangle-row front (order kept).
     Returns (rid_c, col_c, val_c, counts)."""
     G, W = col_s.shape
     t = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
     rank = jnp.cumsum(last.astype(jnp.int32), axis=1) - 1
     key = jnp.where(last, rank, W + t)
-    if bitonic:
-        from .bitonic import bitonic_sort_pairs
-        _, (rid_c, col_c, val_c) = bitonic_sort_pairs(
-            key, [rid_s, col_s, run_sum])
+    if sort_impl != "xla":
+        _, (rid_c, col_c, val_c) = _bitonic_call(
+            key, [rid_s, col_s, run_sum], sort_impl)
     else:
         _, rid_c, col_c, val_c = jax.lax.sort(
             (key, rid_s, col_s, run_sum), dimension=1, num_keys=1)
@@ -732,7 +739,7 @@ def _compact_rect(last, rid_s, col_s, run_sum, bitonic: bool = False):
 @partial(
     jax.jit,
     static_argnames=("G", "W", "n_cols", "pack_bits", "stage", "f64",
-                     "pallas_contract", "bitonic"),
+                     "pallas_contract", "sort_impl"),
     donate_argnames=("nnz_row",),
 )
 def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
@@ -740,7 +747,7 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
                  nnz_row, chunk_start, rid_base, sid_base, *, G: int,
                  W: int, n_cols: int, pack_bits: int, stage: bool,
                  f64: bool, pallas_contract: bool = False,
-                 bitonic: bool = False):
+                 sort_impl: str = "xla"):
     """One fused count(+stage) pass over stream chunk
     [chunk_start, chunk_start + G*W).
 
@@ -759,7 +766,7 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
         a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64)
 
     rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits,
-                                     bitonic=bitonic)
+                                     sort_impl=sort_impl)
     last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols,
                                    use_pallas=pallas_contract)
 
@@ -786,14 +793,15 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
     if not stage:
         return nnz_row, None
     rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s,
-                                                run_sum, bitonic=bitonic)
+                                                run_sum,
+                                                sort_impl=sort_impl)
     return nnz_row, (rid_c, col_c, val_c, counts)
 
 
 @partial(
     jax.jit,
     static_argnames=("G", "W", "n_cols", "pack_bits", "stage_wide", "f64",
-                     "bitonic"),
+                     "sort_impl"),
     donate_argnames=("c_cols", "c_vals"),
 )
 def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
@@ -801,7 +809,7 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
                          c_cols, c_vals, chunk_start, rid_base, sid_base,
                          n_wide, *, G: int, W: int, n_cols: int,
                          pack_bits: int, stage_wide: bool, f64: bool,
-                         bitonic: bool = False):
+                         sort_impl: str = "xla"):
     """Two-phase numeric pass over one chunk: same expand/sort/contract as
     stream_chunk, but contained rows' run-last entries scatter STRAIGHT to
     their exact offsets (no staging) — the analogue of the reference's
@@ -814,7 +822,7 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
         a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64)
 
     rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits,
-                                     bitonic=bitonic)
+                                     sort_impl=sort_impl)
     last, run_sum = _contract_rect(rid_s, col_s, val_s, n_cols)
 
     # rank among the row's run-lasts via segmented exclusive count
@@ -847,7 +855,8 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
     if not stage_wide:
         return c_cols, c_vals, None
     rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s,
-                                                run_sum, bitonic=bitonic)
+                                                run_sum,
+                                                sort_impl=sort_impl)
     return c_cols, c_vals, (rid_c, col_c, val_c, counts)
 
 
@@ -926,12 +935,12 @@ def accum_finalize(rows_sorted, acc_slice, pres_slice, cmin_s, rid_of_out,
 
 @partial(
     jax.jit,
-    static_argnames=("F", "W_in", "n_cols", "count", "bitonic"),
+    static_argnames=("F", "W_in", "n_cols", "count", "sort_impl"),
     donate_argnames=("nnz_row",),
 )
 def stream_level(rows_sorted, rid_in, col_in, val_in, counts_in, in_map,
                  final_mask, nnz_row, *, F: int, W_in: int, n_cols: int,
-                 count: bool = True, bitonic: bool = False):
+                 count: bool = True, sort_impl: str = "xla"):
     """One merge level: each output rectangle row re-sorts F input segments
     (width W_in each, compacted prefixes of counts_in) of ONE wide row and
     contracts them. Rows whose segments all fit here (final_mask) get
@@ -952,7 +961,7 @@ def stream_level(rows_sorted, rid_in, col_in, val_in, counts_in, in_map,
     rid_out = jnp.max(jnp.where(okrow, rid_in[src], -1).reshape(R_out, F),
                       axis=1)
 
-    col_s, val_s = _sort_cols(col, val, bitonic)
+    col_s, val_s = _sort_cols(col, val, sort_impl)
     rid_b = jnp.broadcast_to(rid_out[:, None], (R_out, W_out))
     last, run_sum = _contract_rect(rid_b, col_s, val_s, n_cols)
 
@@ -1033,13 +1042,13 @@ def wide_entry_totals(wcnt, wide_rid, *, n_wide: int):
 @partial(
     jax.jit,
     static_argnames=("R2", "W2", "W0", "E_pad", "n_cols", "count",
-                     "bitonic"),
+                     "sort_impl"),
     donate_argnames=("nnz_row",),
 )
 def stream_wide_finish(rows_sorted, wcol_flat, wval_flat, wcnt,
                        entry_excl, row_total, rid_of_out, nnz_row, *,
                        R2: int, W2: int, W0: int, E_pad: int, n_cols: int,
-                       count: bool, bitonic: bool = False):
+                       count: bool, sort_impl: str = "xla"):
     """Adaptive wide-row finish: gather each wide row's level-0 staged
     entries (compacted, deduplicated per rectangle row) into ONE (R2, W2)
     rectangle sized by the TRUE entry totals, then a single sort+contract
@@ -1076,7 +1085,7 @@ def stream_wide_finish(rows_sorted, wcol_flat, wval_flat, wcnt,
     col = jnp.where(dead, jnp.int32(n_cols), wcol_flat[src])
     val = jnp.where(dead, 0.0, wval_flat[src])
 
-    col_s, val_s = _sort_cols(col, val, bitonic)
+    col_s, val_s = _sort_cols(col, val, sort_impl)
     rid_b = jnp.broadcast_to(rid_of_out[:, None], (R2, W2))
     last, run_sum = _contract_rect(rid_b, col_s, val_s, n_cols)
     counts = jnp.sum(last, axis=1, dtype=jnp.int32)

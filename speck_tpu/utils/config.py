@@ -104,13 +104,14 @@ class SpgemmConfig:
     # (pallas_kernels.stream_contract_runs); default off — measured on
     # v5e the XLA contract fuses into the chunk at ~no standalone cost
     stream_pallas_contract: bool = False
-    # route the per-rectangle-row chunk sorts through the bitonic
-    # compare-exchange network (ops/bitonic.py) instead of lax.sort —
-    # log2(W)(log2(W)+1)/2 bandwidth-bound select stages vs XLA's
-    # variadic sort lowering (measured ~16x below bandwidth at these
-    # widths). A/B on hardware; applies to the pack_bits>0 single-key
-    # path only
-    stream_bitonic_sort: bool = False
+    # chunk-sort implementation: "xla" (lax.sort), "bitonic" (the
+    # reshape/select compare-exchange network, ops/bitonic.py —
+    # log2(W)(log2(W)+1)/2 bandwidth-bound map stages vs XLA's variadic
+    # sort lowering, measured ~16x below bandwidth at these widths), or
+    # "bitonic_pallas" (the same network as ONE VMEM-resident Pallas
+    # kernel: a single HBM round trip). A/B on hardware; applies to the
+    # single-key sort paths only
+    stream_sort_impl: str = "xla"
     # dense-span accumulator for huge rows with bounded output-column
     # ranges (the reference's dense mode for single big rows,
     # spGEMMNumericLauncher spECK_HashSpGEMM.cuh:1761-1793): rows with
@@ -187,7 +188,7 @@ _INI_TUNING_KEYS = {
     "DenseTileRows": ("dense_tile_rows", int),
     "DenseDensify": ("dense_densify", str),
     "StreamPallasContract": ("stream_pallas_contract", bool),
-    "StreamBitonicSort": ("stream_bitonic_sort", bool),
+    "StreamSortImpl": ("stream_sort_impl", str),
 }
 
 

@@ -369,27 +369,29 @@ def test_pallas_contract_matches_xla(rng):
 
 
 def test_bitonic_sort_matches_xla(rng):
-    """stream_bitonic_sort routes the chunk sorts through the
-    reshape/select bitonic network; structure must be identical and
+    """stream_sort_impl routes the chunk sorts through the bitonic
+    network (jnp or Pallas-VMEM); structure must be identical and
     values fp-equal up to duplicate-summation order."""
     a = random_host_csr(rng, 160, 160, 0.08)
     cfg_x = dataclasses.replace(_CFG, stream_width=256,
                                 product_budget=1 << 12)
-    cfg_b = dataclasses.replace(cfg_x, stream_bitonic_sort=True)
     A = device_put_csr(a)
     C_x = device_get_csr(spgemm(A, A, cfg_x))
-    C_b = device_get_csr(spgemm(A, A, cfg_b))
-    np.testing.assert_array_equal(C_x.row_offsets, C_b.row_offsets)
-    np.testing.assert_array_equal(C_x.col_ids, C_b.col_ids)
-    np.testing.assert_allclose(C_x.data, C_b.data, rtol=1e-5, atol=1e-7)
     ref = oracle_spgemm(a, a)
-    assert compare_csr(ref, C_b, compare_data=True, rel_tol=2e-3).ok
+    for impl in ("bitonic", "bitonic_pallas"):
+        cfg_b = dataclasses.replace(cfg_x, stream_sort_impl=impl)
+        C_b = device_get_csr(spgemm(A, A, cfg_b))
+        np.testing.assert_array_equal(C_x.row_offsets, C_b.row_offsets)
+        np.testing.assert_array_equal(C_x.col_ids, C_b.col_ids)
+        np.testing.assert_allclose(C_x.data, C_b.data, rtol=1e-5,
+                                   atol=1e-7)
+        assert compare_csr(ref, C_b, compare_data=True, rel_tol=2e-3).ok
     # wide rows + two-phase numeric through the bitonic path
-    import scipy.sparse as sp
     lil = a.to_scipy().tolil()
     lil[0, :] = rng.standard_normal(160)
     aw = HostCSR.from_scipy(lil.tocsr())
-    cfg_bw = dataclasses.replace(cfg_b, stream_width=64,
+    cfg_bw = dataclasses.replace(cfg_x, stream_sort_impl="bitonic",
+                                 stream_width=64,
                                  product_budget=1 << 10,
                                  fused_staging_budget=0)
     refw = oracle_spgemm(aw, aw)

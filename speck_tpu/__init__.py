@@ -26,11 +26,29 @@ from .utils.oracle import oracle_spgemm
 
 __version__ = "0.1.0"
 
+
+def spgemm_scipy(a, b, dtype=None, cfg=None):
+    """One-call convenience: scipy.sparse in, scipy.sparse csr out.
+
+    Runs the full device pipeline (analysis -> routing -> count ->
+    numeric) and returns ``(a @ b)`` as a ``scipy.sparse.csr_matrix``
+    with sorted, deduplicated rows. ``dtype`` defaults to float32 (the
+    TPU-fast path); pass numpy.float64 with jax_enable_x64 for the
+    double path."""
+    import numpy as _np
+
+    dtype = dtype or _np.float32
+    ah = HostCSR.from_scipy(a.tocsr())
+    bh = HostCSR.from_scipy(b.tocsr())
+    A = device_put_csr(ah, dtype)
+    B = device_put_csr(bh, dtype)
+    return device_get_csr(spgemm(A, B, cfg)).to_scipy()
+
 __all__ = [
     "HostCSR", "HostCOO", "coo_to_csr", "csr_transpose",
     "load_mtx", "load_hicsr", "store_hicsr", "DataLoader", "load_matrix",
     "DeviceCSR", "device_put_csr", "device_get_csr",
-    "spgemm", "SpgemmPlan", "plan_spgemm", "transpose",
+    "spgemm", "spgemm_scipy", "SpgemmPlan", "plan_spgemm", "transpose",
     "Config", "SpgemmConfig", "Timings", "compare_csr", "oracle_spgemm",
     "DeviceInfo", "device_info",
 ]

@@ -279,3 +279,23 @@ def test_rap_galerkin_chain(rng):
     # sanity against scipy's full chain structure-wise
     full = (R @ A @ P).tocsr()
     assert RAP.shape == full.shape
+
+
+def test_spgemm_scipy_convenience(rng):
+    """spgemm_scipy: scipy in, scipy out, structure + values match the
+    host product."""
+    import scipy.sparse as sp
+    import speck_tpu as st
+
+    a = sp.random(200, 150, 0.06, format="csr",
+                  random_state=np.random.RandomState(31))
+    a.data = rng.standard_normal(a.nnz)
+    b = sp.random(150, 180, 0.06, format="csr",
+                  random_state=np.random.RandomState(32))
+    b.data = rng.standard_normal(b.nnz)
+    c = st.spgemm_scipy(a, b)
+    ref = (a @ b).tocsr()
+    ref.sort_indices()
+    np.testing.assert_array_equal(c.indptr, ref.indptr)
+    np.testing.assert_array_equal(c.indices, ref.indices)
+    np.testing.assert_allclose(c.data, ref.data, rtol=1e-4, atol=1e-6)

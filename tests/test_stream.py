@@ -368,6 +368,32 @@ def test_pallas_contract_matches_xla(rng):
     np.testing.assert_allclose(C_x.data, C_p.data, rtol=0, atol=0)
 
 
+def test_unpacked_two_key_sort_path(rng):
+    """pack_bits == 0 (key packing would overflow int32: wide W x big n,
+    e.g. a 262k-col matrix whose giant row bumps W to 65536) falls back
+    to the 2-key lax.sort — exercise it with the tight layout."""
+    import scipy.sparse as sp
+    from speck_tpu.ops.spgemm import plan_spgemm
+
+    m, k, n = 150, 400, 131072
+    a = sp.random(m, k, 0.05, format="csr",
+                  random_state=np.random.RandomState(41))
+    a.data = rng.standard_normal(a.nnz)
+    b = sp.random(k, n, 0.002, format="csr",
+                  random_state=np.random.RandomState(42))
+    b.data = rng.standard_normal(b.nnz)
+    ah, bh = HostCSR.from_scipy(a), HostCSR.from_scipy(b)
+    cfg = dataclasses.replace(_CFG, stream_width=65536,
+                              product_budget=1 << 17)
+    A, B = device_put_csr(ah), device_put_csr(bh)
+    plan = plan_spgemm(A, B, cfg)
+    assert plan.stream is not None and plan.stream.pack_bits == 0, \
+        plan.stream.pack_bits if plan.stream else None
+    C = device_get_csr(plan.execute())
+    ref = oracle_spgemm(ah, bh)
+    assert compare_csr(ref, C, compare_data=True, rel_tol=2e-3).ok
+
+
 def test_bitonic_sort_matches_xla(rng):
     """stream_sort_impl routes the chunk sorts through the bitonic
     network (jnp or Pallas-VMEM); structure must be identical and

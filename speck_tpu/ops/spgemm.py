@@ -773,6 +773,7 @@ def plan_spgemm(
             max_tiles=max_tiles, m=m, use_accum=use_accum,
             accum_min_ops=cfg.accum_min_ops,
             accum_span_cap=cfg.accum_span_cap, w0=cfg.stream_width,
+            w_cap=cfg.stream_width_cap,
         )
         pack_h = np.asarray(pack)  # the ONE planning host sync
         s_hist = pack_h[:N_QCLASS]

@@ -155,11 +155,12 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
 
 
 @partial(jax.jit,
-         static_argnames=("min_q", "m", "tight", "w0", "w_fixed"))
+         static_argnames=("min_q", "m", "tight", "w0", "w_cap",
+                          "w_fixed"))
 def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
                     m: int, accum_mask=None, span=None,
                     tight: bool = False, w0: int = 8192,
-                    w_fixed: Optional[int] = None):
+                    w_cap: int = 65536, w_fixed: Optional[int] = None):
     """Row-level half of stream planning: sort, stream offsets, live
     prefixes, class histograms — everything O(m).
 
@@ -240,7 +241,8 @@ def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
     if tight:
         return _tight_layout(rows_sorted, ops, qc, stream_mask,
                              accum_mask, s_hist, hist_pack,
-                             min_q=min_q, m=m, w0=w0, w_fixed=w_fixed)
+                             min_q=min_q, m=m, w0=w0, w_cap=w_cap,
+                             w_fixed=w_fixed)
 
     # aligned stream offsets over sorted order (pow2 q, descending => each
     # e is q-aligned; see module docstring)
@@ -265,7 +267,7 @@ def _plan_rows_impl(row_ops, stream_mask, direct_mask, *, min_q: int,
 
 def _tight_layout(rows1, ops, qc, stream_mask, accum_mask, s_hist,
                   hist_pack, *, min_q: int, m: int, w0: int,
-                  w_fixed: Optional[int] = None):
+                  w_cap: int = 65536, w_fixed: Optional[int] = None):
     """Tight stream placement (see _plan_rows_impl): exact wide segments,
     back-to-back contained rows, straddler relocation, final e-sort.
     ``tight_total_host`` is the exact numpy twin of this placement's
@@ -282,7 +284,7 @@ def _tight_layout(rows1, ops, qc, stream_mask, accum_mask, s_hist,
         W = jnp.minimum(
             jnp.maximum(jnp.int32(w0),
                         jnp.int32(1) << jnp.clip(maxcls - 10, 0, 16)),
-            jnp.int32(65536))
+            jnp.int32(max(w0, w_cap)))
 
     ops1 = ops[rows1]
     stream1 = stream_mask[rows1]
@@ -441,7 +443,7 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     static_argnames=("min_q", "direct_ok", "use_dense", "tile_rows",
                      "kw_max", "cw_max", "la_max", "lb_max", "max_tiles",
                      "m", "use_accum", "accum_min_ops", "accum_span_cap",
-                     "w0"),
+                     "w0", "w_cap"),
 )
 def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
                        row_ops, a_len, *, min_q: int, direct_ok: bool,
@@ -449,7 +451,8 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
                        cw_max: int, la_max: int, lb_max: int,
                        max_tiles: int, m: int, use_accum: bool = False,
                        accum_min_ops: int = 1 << 14,
-                       accum_span_cap: int = 1 << 20, w0: int = 8192):
+                       accum_span_cap: int = 1 << 20, w0: int = 8192,
+                       w_cap: int = 65536):
     """Single-dispatch planning: dense-tile eligibility (ops/dense.py),
     direct/stream masks, the tight stream layout sort, and the A-slot
     records -- ONE packed int32 readback serves every host decision (the
@@ -543,7 +546,8 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
      hist, tight_pack) = _plan_rows_impl(
         row_ops, stream_mask, direct_mask, min_q=min_q, m=m,
-        accum_mask=accum_mask, span=span, tight=True, w0=w0)
+        accum_mask=accum_mask, span=span, tight=True, w0=w0,
+        w_cap=w_cap)
     cmin_sorted = gcmin[rows_sorted]
     # direct rows' exact counts come free from the analysis pass (their C
     # row is a copy of one B row), like the reference's direct method

@@ -97,6 +97,9 @@ class SpgemmConfig:
     # finished by merge levels growing the width by stream_level_factor
     # per level (capped at stream_max_width slots per sort row)
     stream_width: int = 8192
+    # ceiling of the adaptive rectangle-width ladder (giant rows raise W
+    # toward this so per-rectangle dedup is stronger)
+    stream_width_cap: int = 65536
     stream_min_q: int = 8        # smallest per-row product quantum (pow2)
     stream_level_factor: int = 4
     stream_max_width: int = 1 << 24
@@ -173,6 +176,7 @@ class SpgemmConfig:
 _INI_TUNING_KEYS = {
     "ProductBudget": ("product_budget", int),
     "StreamWidth": ("stream_width", int),
+    "StreamWidthCap": ("stream_width_cap", int),
     "StreamMinQ": ("stream_min_q", int),
     "StreamMaxWidth": ("stream_max_width", int),
     "FusedStagingBudget": ("fused_staging_budget", int),

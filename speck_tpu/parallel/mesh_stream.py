@@ -169,8 +169,17 @@ def mesh_stream_spgemm(
     n_chunks = max(1, -(-max(total_qs + [1]) // CP))
     out_cap = _pow2ceil(max(total_qs + [1]))
     body = _make_shard_body(cfg, m_loc, W, G, n_chunks, out_cap, n_cols)
-    put = lambda x: jax.device_put(
-        jnp.asarray(x), NamedSharding(mesh, P(ROW_AXIS)))
+
+    def put(x):
+        # make_array_from_callback works identically under one controller
+        # and under multi-process (jax.distributed): every process holds
+        # the same full host array and each only materializes the shards
+        # its local devices own (addressable-shard assembly).
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, P(ROW_AXIS))
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+
     stats = None
 
     if exchange == "allgather":
@@ -301,13 +310,26 @@ def mesh_stream_spgemm(
     return nnz_row, cols, vals, meta
 
 
+def _fetch_global(x) -> np.ndarray:
+    """Fetch a possibly non-fully-addressable sharded array to host.
+    Under multi-process (jax.distributed) every process gets the full
+    logical array via an all-gather over hosts; single-controller this
+    is a plain device fetch."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def mesh_stream_to_host_csr(nnz_row, cols, vals, meta) -> HostCSR:
-    """Assemble the padded per-shard outputs into one HostCSR."""
+    """Assemble the padded per-shard outputs into one HostCSR (every
+    process gets the full matrix; see _fetch_global)."""
     m, n = meta["shape"]
     m_loc, out_cap = meta["m_loc"], meta["out_cap"]
-    nnz_row = np.asarray(nnz_row).reshape(-1, m_loc)
-    cols = np.asarray(cols).reshape(-1, out_cap)
-    vals = np.asarray(vals).reshape(-1, out_cap)
+    nnz_row = _fetch_global(nnz_row).reshape(-1, m_loc)
+    cols = _fetch_global(cols).reshape(-1, out_cap)
+    vals = _fetch_global(vals).reshape(-1, out_cap)
     parts_c, parts_v, counts = [], [], []
     for d, (r0, r1) in enumerate(meta["ranges"]):
         cnt = nnz_row[d][: r1 - r0]

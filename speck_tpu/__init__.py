@@ -16,7 +16,8 @@ from .formats.mtx import load_mtx
 from .formats.hicsr import load_hicsr, store_hicsr
 from .formats.loader import DataLoader, load_matrix
 from .ops.device_csr import DeviceCSR, device_put_csr, device_get_csr
-from .ops.spgemm import spgemm, SpgemmPlan, plan_spgemm
+from .ops.spgemm import (ProductOverflow, spgemm, SpgemmPlan,
+                         plan_spgemm)
 from .ops.transpose import transpose
 from .utils.config import Config, SpgemmConfig
 from .utils.timings import Timings
@@ -48,7 +49,8 @@ __all__ = [
     "HostCSR", "HostCOO", "coo_to_csr", "csr_transpose",
     "load_mtx", "load_hicsr", "store_hicsr", "DataLoader", "load_matrix",
     "DeviceCSR", "device_put_csr", "device_get_csr",
-    "spgemm", "spgemm_scipy", "SpgemmPlan", "plan_spgemm", "transpose",
+    "spgemm", "spgemm_scipy", "SpgemmPlan", "plan_spgemm",
+    "ProductOverflow", "transpose",
     "Config", "SpgemmConfig", "Timings", "compare_csr", "oracle_spgemm",
     "DeviceInfo", "device_info",
 ]

@@ -79,6 +79,13 @@ from .stream import (
 )
 
 
+class ProductOverflow(ValueError):
+    """Total intermediate products exceed one plan's int32 stream budget
+    (SpgemmConfig.block_products). ``spgemm`` catches this and re-runs as
+    row blocks; direct ``plan_spgemm`` callers must block rows themselves
+    or shard (parallel/mesh_stream.py)."""
+
+
 def _pow2(n: int) -> int:
     return 1 << (n - 1).bit_length() if n > 1 else 1
 
@@ -807,6 +814,16 @@ def plan_spgemm(
                     <= cfg.dia_mem_budget):
                 return _plan_dia(A, B, cfg, timings, stats,
                                  a_dmin, b_dmin, sa, sb, track)
+        # int32 stream-position ceiling: beyond this the tight layout's
+        # cumsums wrap and the plan would be garbage. spgemm() catches
+        # and re-runs as row blocks (the reference's analogue is its hard
+        # 2^27 dimension limit, Multiply.cu:57-66; we lift it by
+        # auto-blocking instead of refusing).
+        if sp_sat >= cfg.block_products:
+            raise ProductOverflow(
+                f"~{sp_sat:.3g} intermediate products exceed one plan's "
+                f"budget ({cfg.block_products}); use spgemm() (auto row "
+                "blocking) or shard over a mesh")
         # wide-row exact segment counts: from the pack when they fit its
         # N_WSEG_PACK window, else ONE extra fetch of the wide rows' ops
         n_accum_h = int(a_hist.sum())
@@ -1011,9 +1028,78 @@ def spgemm(
 
     track_complete = timings is not None and timings.measure_complete
     t0 = time.perf_counter()
-    plan = plan_spgemm(A, B, cfg, timings)
-    C = plan.execute(timings=timings)
+    try:
+        plan = plan_spgemm(A, B, cfg, timings)
+        C = plan.execute(timings=timings)
+    except ProductOverflow:
+        C = _spgemm_blocked(A, B, cfg or SpgemmConfig(), timings)
     if track_complete:
         jax.block_until_ready(C.data)
         timings.add("complete", (time.perf_counter() - t0) * 1e3)
     return C
+
+
+def _spgemm_blocked(
+    A: DeviceCSR,
+    B: DeviceCSR,
+    cfg: SpgemmConfig,
+    timings: Optional[Timings] = None,
+) -> DeviceCSR:
+    """C = A @ B as a sequence of row-block multiplies when the total
+    product count exceeds one plan's int32 stream budget.
+
+    Rows are split greedily so each block carries at most
+    ``block_products // 2`` products (half the trigger, so a block never
+    re-triggers), each block runs the normal plan/execute, and the block
+    results concatenate into one CSR. Two extra host fetches pay for the
+    split (per-row ops and A's row offsets) — this path only runs on
+    multi-billion-product calls where they are noise."""
+    m, n = A.shape[0], B.shape[1]
+    budget = max(1, cfg.block_products // 2)
+    row_ops = np.maximum(
+        np.asarray(analyze(A, B).row_ops, np.int64), 0)
+    widest = int(row_ops.max(initial=0))
+    if widest > budget:
+        raise ProductOverflow(
+            f"a single row has {widest} products, above the per-block "
+            f"budget ({budget}); shard over a mesh or raise "
+            "BlockProducts")
+    indptr_h = np.asarray(A.indptr, np.int64)
+    cum = np.cumsum(row_ops)
+    blocks = []
+    r0 = 0
+    while r0 < m:
+        base = int(cum[r0 - 1]) if r0 else 0
+        r1 = int(np.searchsorted(cum, base + budget, side="right"))
+        r1 = min(m, max(r1, r0 + 1))
+        blocks.append((r0, r1))
+        r0 = r1
+    ip_parts, c_parts, v_parts = [], [], []
+    off = 0
+    for r0, r1 in blocks:
+        s, t = int(indptr_h[r0]), int(indptr_h[r1])
+        A_blk = DeviceCSR(
+            indptr=A.indptr[r0: r1 + 1] - jnp.int32(s),
+            indices=A.indices[s:t], data=A.data[s:t],
+            shape=(r1 - r0, A.shape[1]), nnz=t - s,
+            canonical=A.canonical,
+        )
+        plan = plan_spgemm(A_blk, B, cfg, timings)
+        Cb = plan.execute(timings=timings)
+        if off + Cb.nnz >= 2 ** 31:
+            raise ProductOverflow(
+                f"nnz(C) exceeds the int32 output ceiling at row {r1}")
+        ip_parts.append(Cb.indptr[:-1] + jnp.int32(off))
+        c_parts.append(Cb.indices[: Cb.nnz])
+        v_parts.append(Cb.data[: Cb.nnz])
+        off += Cb.nnz
+    indptr = jnp.concatenate(
+        ip_parts + [jnp.full((1,), off, jnp.int32)])
+    return DeviceCSR(
+        indptr=indptr,
+        indices=jnp.concatenate(c_parts) if c_parts else
+        jnp.zeros((0,), jnp.int32),
+        data=jnp.concatenate(v_parts) if v_parts else
+        jnp.zeros((0,), A.data.dtype),
+        shape=(m, n), nnz=off, canonical=True,
+    )

@@ -100,6 +100,13 @@ class SpgemmConfig:
     # ceiling of the adaptive rectangle-width ladder (giant rows raise W
     # toward this so per-rectangle dedup is stronger)
     stream_width_cap: int = 65536
+    # product-count ceiling for one planning pass: stream positions are
+    # int32, so a single plan handles < 2^31 quantized slots. Calls whose
+    # total products reach this are split into row blocks automatically
+    # by spgemm() (each block re-planned under block_products // 2);
+    # plan_spgemm alone raises ProductOverflow. The 2x headroom absorbs
+    # quantization padding (tight fill ~0.96) and the f32 totals estimate.
+    block_products: int = 1 << 30
     stream_min_q: int = 8        # smallest per-row product quantum (pow2)
     stream_level_factor: int = 4
     stream_max_width: int = 1 << 24
@@ -177,6 +184,7 @@ _INI_TUNING_KEYS = {
     "ProductBudget": ("product_budget", int),
     "StreamWidth": ("stream_width", int),
     "StreamWidthCap": ("stream_width_cap", int),
+    "BlockProducts": ("block_products", int),
     "StreamMinQ": ("stream_min_q", int),
     "StreamMaxWidth": ("stream_max_width", int),
     "FusedStagingBudget": ("fused_staging_budget", int),

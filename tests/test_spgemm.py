@@ -299,3 +299,34 @@ def test_spgemm_scipy_convenience(rng):
     np.testing.assert_array_equal(c.indptr, ref.indptr)
     np.testing.assert_array_equal(c.indices, ref.indices)
     np.testing.assert_allclose(c.data, ref.data, rtol=1e-4, atol=1e-6)
+
+
+def test_auto_row_blocking_overflow(rng):
+    """Calls whose product total exceeds block_products split into row
+    blocks transparently inside spgemm(); plan_spgemm alone raises
+    ProductOverflow (the int32 stream-position ceiling, which replaces
+    the reference's hard 2^27 dimension limit, Multiply.cu:57-66)."""
+    from speck_tpu import ProductOverflow
+
+    a = random_host_csr(rng, 300, 300, 0.03)
+    ref = oracle_spgemm(a, a)
+    A = device_put_csr(a)
+    # ~19k products; a tiny budget forces several blocks
+    cfg = SpgemmConfig(product_budget=1 << 14, block_products=3000)
+    with pytest.raises(ProductOverflow):
+        plan_spgemm(A, A, cfg)
+    C = device_get_csr(spgemm(A, A, cfg))
+    r = compare_csr(ref, C, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+
+
+def test_auto_row_blocking_single_wide_row(rng):
+    """A single row wider than the per-block budget cannot be split by
+    rows: the blocked path reports it instead of looping."""
+    from speck_tpu import ProductOverflow
+
+    a = random_host_csr(rng, 64, 64, 0.1)
+    A = device_put_csr(a)
+    cfg = SpgemmConfig(product_budget=1 << 14, block_products=16)
+    with pytest.raises(ProductOverflow):
+        spgemm(A, A, cfg)

@@ -122,7 +122,16 @@ def coo_to_csr(coo: HostCOO) -> HostCSR:
     """Sort-based COO->CSR conversion, duplicates kept.
 
     Mirrors convert(CSR&, const COO&) /root/reference/source/CSR.cpp:173-212
-    (std::sort by (row, col), then counting row offsets)."""
+    (std::sort by (row, col), then counting row offsets). The hot path is
+    the native C++ counting-sort converter (O(nnz) by row + threaded
+    within-row column sorts); numpy lexsort is the fallback."""
+    from ..native import coo_to_csr_native
+
+    native = coo_to_csr_native(coo.row_ids, coo.col_ids, coo.data, coo.rows)
+    if native is not None:
+        offsets, cols, vals = native
+        return HostCSR(rows=coo.rows, cols=coo.cols, row_offsets=offsets,
+                       col_ids=cols, data=vals)
     order = np.lexsort((coo.col_ids, coo.row_ids))
     row_ids = coo.row_ids[order]
     counts = np.bincount(row_ids, minlength=coo.rows).astype(np.uint32)

@@ -131,16 +131,15 @@ def store_mtx(path: str, coo: HostCOO, field: str = "real") -> None:
     The body is formatted by the native C++ writer when available
     (%.17g round-trips float64 exactly); numpy fallback otherwise — a
     per-nonzero python write loop is unusable at 1e8 nnz."""
-    from ..native import mtx_format_native
+    from ..native import mtx_write_native
 
-    body = mtx_format_native(coo.row_ids, coo.col_ids,
-                             np.asarray(coo.data, np.float64), field)
     with open(path, "wb") as fh:
         fh.write(
             f"%%MatrixMarket matrix coordinate {field} general\n".encode())
         fh.write(f"{coo.rows} {coo.cols} {coo.nnz}\n".encode())
-        if body is not None:
-            fh.write(body)
+        if mtx_write_native(fh, coo.row_ids, coo.col_ids,
+                            np.asarray(coo.data, np.float64), field):
+            pass
         elif field == "pattern":
             np.savetxt(
                 fh,

@@ -80,33 +80,92 @@ def get_lib():
                 ctypes.c_char_p,                  # out buffer
                 ctypes.c_longlong,                # out capacity
             ]
+        if hasattr(lib, "speck_coo_to_csr"):
+            lib.speck_coo_to_csr.restype = ctypes.c_longlong
+            lib.speck_coo_to_csr.argtypes = [
+                ctypes.POINTER(ctypes.c_uint),    # row ids
+                ctypes.POINTER(ctypes.c_uint),    # col ids
+                ctypes.c_char_p,                  # vals (opaque bytes)
+                ctypes.c_longlong,                # nnz
+                ctypes.c_longlong,                # rows
+                ctypes.c_int,                     # value itemsize
+                ctypes.POINTER(ctypes.c_uint),    # out row offsets
+                ctypes.POINTER(ctypes.c_uint),    # out col ids
+                ctypes.c_char_p,                  # out vals
+            ]
         _lib = lib
         return _lib
 
 
-def mtx_format_native(row_ids, col_ids, data, field: str):
-    """Format a COO body as MatrixMarket text via the native writer;
-    returns bytes or None (fallback to numpy formatting)."""
+def coo_to_csr_native(row_ids, col_ids, data, m: int):
+    """Counting-sort COO->CSR via the native converter; returns
+    (row_offsets, cols, vals) or None (caller falls back to numpy
+    lexsort). O(nnz) by row + threaded within-row column sorts, vs the
+    fallback's O(nnz log nnz) global lexsort."""
     lib = get_lib()
-    if lib is None or not hasattr(lib, "speck_mtx_format"):
+    if lib is None or not hasattr(lib, "speck_coo_to_csr"):
         return None
     n = int(row_ids.shape[0])
+    if n >= 2**32 - 1 or m >= 2**32 - 1:
+        return None
     r = np.ascontiguousarray(row_ids, np.uint32)
     c = np.ascontiguousarray(col_ids, np.uint32)
-    d = np.ascontiguousarray(data, np.float64)
-    ncol = 2 if field == "pattern" else 3
-    cap = n * 64 + 64
-    buf = ctypes.create_string_buffer(cap)
-    wrote = lib.speck_mtx_format(
+    d = np.ascontiguousarray(data)
+    if d.dtype.itemsize not in (4, 8) or d.dtype.hasobject:
+        return None
+    offsets = np.empty(m + 1, np.uint32)
+    cols = np.empty(n, np.uint32)
+    vals = np.empty(n, d.dtype)
+    rc = lib.speck_coo_to_csr(
         r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
         c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
-        d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        n, ncol, buf, cap)
-    if wrote < 0:
-        return None
-    # string_at copies only the written bytes (.raw would materialize the
-    # whole 64-bytes-per-nnz over-allocation first)
-    return ctypes.string_at(buf, int(wrote))
+        d.ctypes.data_as(ctypes.c_char_p),
+        n, m, int(d.dtype.itemsize),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+        vals.ctypes.data_as(ctypes.c_char_p),
+    )
+    if rc != 0:
+        raise ValueError(
+            f"row index out of bounds in COO->CSR convert (rows={m})")
+    return offsets, cols, vals
+
+
+def mtx_write_native(fh, row_ids, col_ids, data, field: str,
+                     chunk: int = 1 << 20) -> bool:
+    """Write a COO body as MatrixMarket text to ``fh`` via the native
+    formatter, ``chunk`` entries at a time through ONE reused buffer —
+    peak transient memory is ~64 bytes * chunk (~64 MB), not 64 bytes
+    per nonzero (~6 GB at the 1e8-nnz scale this path exists for).
+    Returns False when the native library is unavailable (caller falls
+    back to numpy formatting)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "speck_mtx_format"):
+        return False
+    n = int(row_ids.shape[0])
+    ncol = 2 if field == "pattern" else 3
+    cap = min(n, chunk) * 64 + 64
+    buf = ctypes.create_string_buffer(cap)
+    start = fh.tell()
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        r = np.ascontiguousarray(row_ids[lo:hi], np.uint32)
+        c = np.ascontiguousarray(col_ids[lo:hi], np.uint32)
+        d = np.ascontiguousarray(data[lo:hi], np.float64)
+        wrote = lib.speck_mtx_format(
+            r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            hi - lo, ncol, buf, cap)
+        if wrote < 0:
+            # leave no partial body behind the fallback formatter
+            fh.seek(start)
+            fh.truncate()
+            return False
+        # string_at copies only the written bytes (.raw would materialize
+        # the whole over-allocation first)
+        fh.write(ctypes.string_at(buf, int(wrote)))
+    return True
 
 
 def mtx_parse_native(path: str, dtype):

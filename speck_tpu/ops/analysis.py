@@ -43,11 +43,17 @@ class AnalysisResult:
     work: jax.Array          # (m,) int32  max(row_ops, a_len)
     sum_products: jax.Array  # () float    total intermediate products
     max_work: jax.Array      # () int32
+    # float32 per-row product counts: exact until ~2^24, then within
+    # ~1e-7 relative — the overflow detector for rows whose int32
+    # row_ops would wrap (>= 2^31 products in ONE row), and the split
+    # key for the auto row-blocking path (ops/spgemm._spgemm_blocked)
+    row_ops_f: jax.Array     # (m,) float32
 
 
 jax.tree_util.register_dataclass(
     AnalysisResult,
-    data_fields=["row_ops", "a_len", "work", "sum_products", "max_work"],
+    data_fields=["row_ops", "a_len", "work", "sum_products", "max_work",
+                 "row_ops_f"],
     meta_fields=[],
 )
 
@@ -61,7 +67,14 @@ def _analyze_impl(a_indptr, a_indices, b_indptr, m: int) -> AnalysisResult:
     # int32 wraparound in cse is benign for the per-row differences.
     cse = jnp.concatenate([jnp.zeros((1,), jnp.int32), cumsum1d(blen)])
     row_ops = cse[a_indptr[1:]] - cse[a_indptr[:-1]]
-    sum_products = jnp.sum(row_ops, dtype=jnp.result_type(float))
+    # f32 twin: immune to int32 wrap for giant rows (used for overflow
+    # detection and row-block splitting; f32 cumsum rounding is ~1e-7
+    # relative, harmless for thresholds)
+    csef = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32),
+         cumsum1d(blen.astype(jnp.float32))])
+    row_ops_f = csef[a_indptr[1:]] - csef[a_indptr[:-1]]
+    sum_products = jnp.sum(row_ops_f, dtype=jnp.result_type(float))
     work = jnp.maximum(row_ops, a_len)
     max_work = jnp.max(work) if m > 0 else jnp.int32(0)
     return AnalysisResult(
@@ -70,6 +83,7 @@ def _analyze_impl(a_indptr, a_indices, b_indptr, m: int) -> AnalysisResult:
         work=work,
         sum_products=sum_products,
         max_work=max_work,
+        row_ops_f=row_ops_f,
     )
 
 

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.config import SpgemmConfig
+from ..utils.config import ProductOverflow, SpgemmConfig
 from ..utils.timings import Timings, StageTimer
 from .analysis import analyze, cumsum1d
 from .dense import dense_emit, dense_gather_emit, dense_tiles
@@ -77,13 +77,6 @@ from .stream import (
     stream_wide_finish,
     wide_entry_totals,
 )
-
-
-class ProductOverflow(ValueError):
-    """Total intermediate products exceed one plan's int32 stream budget
-    (SpgemmConfig.block_products). ``spgemm`` catches this and re-runs as
-    row blocks; direct ``plan_spgemm`` callers must block rows themselves
-    or shard (parallel/mesh_stream.py)."""
 
 
 def _pow2(n: int) -> int:
@@ -190,6 +183,10 @@ class StreamState:
     abase: Optional[jax.Array] = None    # (m,) accumulator slot base
     accum: Optional[dict] = None         # host plan: n_chunks2, parts
     accum_bufs: Optional[list] = None    # staged finalize outputs
+    # lazy cache of the concatenated staged buffers (cols, vals), so
+    # repeated execute() calls on a fused plan don't re-copy O(total_q)
+    # slots per call (AMG-style plan reuse)
+    staged_flat: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -254,11 +251,16 @@ class SpgemmPlan:
         if gather_emit:
             # contained stream rows by GATHER over the concatenated staged
             # buffers (~nnz(C) traffic instead of all G*W staged slots);
-            # dense/direct/wide rows overwrite their regions below
-            cols_flat = jnp.concatenate(
-                [stg[1].reshape(-1) for stg in ssg.staged])
-            vals_flat = jnp.concatenate(
-                [stg[2].reshape(-1) for stg in ssg.staged])
+            # dense/direct/wide rows overwrite their regions below.
+            # Concatenate once per plan, not per execute().
+            if ssg.staged_flat is None:
+                ssg.staged_flat = (
+                    jnp.concatenate(
+                        [stg[1].reshape(-1) for stg in ssg.staged]),
+                    jnp.concatenate(
+                        [stg[2].reshape(-1) for stg in ssg.staged]),
+                )
+            cols_flat, vals_flat = ssg.staged_flat
             c_cols, c_vals = stream_gather_emit(
                 ssg.rows_sorted, ssg.e, self.row_offsets,
                 cols_flat, vals_flat, W=ssg.layout.W, nnz=self.nnz)
@@ -477,7 +479,7 @@ def _plan_accum(a_hist: np.ndarray, a_psum: np.ndarray, CP: int,
     n_accum = int(a_hist.sum())
     total_p2 = int(a_psum.sum())
     if total_p2 >= 2 ** 31:
-        raise ValueError(
+        raise ProductOverflow(
             f"accumulator region of {total_p2} products exceeds the 2^31 "
             "int32 ceiling; row-block the multiply")
     n_chunks2 = -(-total_p2 // CP) if total_p2 else 0
@@ -772,7 +774,7 @@ def plan_spgemm(
          cmin_sorted, nnz_init, t_r0, t_kb, t_cb, t_valid,
          pack) = plan_device_stream(
             A.indptr, A.indices, a32, B.indptr, B.indices,
-            stats.row_ops, stats.a_len,
+            stats.row_ops, stats.row_ops_f, stats.a_len,
             min_q=cfg.stream_min_q, direct_ok=direct_ok,
             use_dense=use_dense and max_tiles > 0, tile_rows=tr,
             kw_max=cfg.dense_kw, cw_max=cfg.dense_cw,
@@ -789,12 +791,12 @@ def plan_spgemm(
         a_psum = pack_h[3 * N_QCLASS: 4 * N_QCLASS]
         n_elig, kw_e, cw_e, la_e, lb_e = (
             int(x) for x in pack_h[4 * N_QCLASS: 4 * N_QCLASS + 5])
-        a_dmin, a_dmax, b_dmin, b_dmax, sp_sat = (
-            int(x) for x in pack_h[4 * N_QCLASS + 5: 4 * N_QCLASS + 10])
+        a_dmin, a_dmax, b_dmin, b_dmax, sp_sat, mxrow_sat = (
+            int(x) for x in pack_h[4 * N_QCLASS + 5: 4 * N_QCLASS + 11])
         # tight-layout tail (stream.py _plan_rows_impl): the rectangle
         # width (adaptive ladder computed on device), exact stream total,
         # and the wide rows' exact segment counts
-        tight_h = pack_h[4 * N_QCLASS + 10:]
+        tight_h = pack_h[4 * N_QCLASS + 11:]
         W, total_q, n_wide_t, r_wide_t = (int(x) for x in tight_h[:4])
 
         # ---- DIA fast path (ops/dia.py): whole-matrix diagonal-band
@@ -818,7 +820,15 @@ def plan_spgemm(
         # cumsums wrap and the plan would be garbage. spgemm() catches
         # and re-runs as row blocks (the reference's analogue is its hard
         # 2^27 dimension limit, Multiply.cu:57-66; we lift it by
-        # auto-blocking instead of refusing).
+        # auto-blocking instead of refusing). A row with >= 2^30 products
+        # can also wrap its own int32 row_ops (the analysis pass is only
+        # per-row exact below 2^31, analysis.py); both totals come from
+        # the wrap-immune f32 twin in the pack.
+        if mxrow_sat >= 1 << 30:
+            raise ProductOverflow(
+                f"a single row has ~{mxrow_sat} intermediate products, "
+                "near the int32 per-row ceiling; shard over a mesh "
+                "(parallel/mesh_stream.py)")
         if sp_sat >= cfg.block_products:
             raise ProductOverflow(
                 f"~{sp_sat:.3g} intermediate products exceed one plan's "
@@ -1056,8 +1066,12 @@ def _spgemm_blocked(
     multi-billion-product calls where they are noise."""
     m, n = A.shape[0], B.shape[1]
     budget = max(1, cfg.block_products // 2)
+    # split on the wrap-immune f32 per-row counts (the int32 row_ops
+    # wrap for rows past 2^31 products; f32 rounding of ~1e-7 relative
+    # is harmless for budget math)
     row_ops = np.maximum(
-        np.asarray(analyze(A, B).row_ops, np.int64), 0)
+        np.asarray(analyze(A, B).row_ops_f, np.float64), 0.0
+    ).astype(np.int64)
     widest = int(row_ops.max(initial=0))
     if widest > budget:
         raise ProductOverflow(

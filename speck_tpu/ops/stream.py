@@ -75,6 +75,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.config import ProductOverflow
 from .analysis import cumsum1d
 
 INT_MAX = jnp.iinfo(jnp.int32).max
@@ -446,7 +447,8 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
                      "w0", "w_cap"),
 )
 def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
-                       row_ops, a_len, *, min_q: int, direct_ok: bool,
+                       row_ops, row_ops_f, a_len, *, min_q: int,
+                       direct_ok: bool,
                        use_dense: bool, tile_rows: int, kw_max: int,
                        cw_max: int, la_max: int, lb_max: int,
                        max_tiles: int, m: int, use_accum: bool = False,
@@ -463,6 +465,7 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
             accum class hist (32) | accum product sums (32) |
             n_eligible_tiles | kw_eff | cw_eff | la_eff | lb_eff |
             a_dmin | a_dmax | b_dmin | b_dmax | sum_products_sat |
+            max_row_products_sat |
             W | total_q | n_wide | r_wide | wide_segs (N_WSEG_PACK)]
 
     The a/b_dmin/dmax + sp_sat scalars feed the DIA fast-path gate
@@ -576,13 +579,19 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
         b_dmax = jnp.max(jnp.where(ne_b, b_last, -INT_MAX))
     else:
         b_dmin, b_dmax = jnp.int32(INT_MAX), jnp.int32(-INT_MAX)
+    # totals from the f32 twin: immune to the int32 per-row wrap, so the
+    # host can detect rows whose row_ops would be garbage (mxrow_sat)
+    # and the true product total (sp_sat), both saturated to int32
     sp_sat = jnp.int32(jnp.clip(
-        jnp.sum(jnp.maximum(row_ops, 0).astype(jnp.float32)),
+        jnp.sum(jnp.maximum(row_ops_f, 0.0)), 0.0, 2.0 ** 31 - 2))
+    mxrow_sat = jnp.int32(jnp.clip(
+        jnp.max(jnp.maximum(row_ops_f, 0.0), initial=0.0),
         0.0, 2.0 ** 31 - 2))
     pack = jnp.concatenate([
         hist,
         jnp.stack([n_elig, kw_eff, cw_eff, la_eff, lb_eff]).astype(jnp.int32),
-        jnp.stack([a_dmin, a_dmax, b_dmin, b_dmax, sp_sat]).astype(jnp.int32),
+        jnp.stack([a_dmin, a_dmax, b_dmin, b_dmax, sp_sat,
+                   mxrow_sat]).astype(jnp.int32),
         tight_pack,
     ])
     return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
@@ -1191,15 +1200,18 @@ def plan_layout(hist: np.ndarray, d_hist: np.ndarray, W: int,
     ceiling guard always uses the pow2 class bound — an upper bound on
     the tight total — so the ceiling semantics match either mode."""
     qs = 1 << np.arange(N_QCLASS, dtype=np.int64)
-    bound_q = int((hist.astype(np.int64) * qs).sum()) + W
-    if bound_q >= 2**31:
-        raise ValueError(
-            f"stream of ~{bound_q} quantized products exceeds the 2^31 "
+    class_sum = int((hist.astype(np.int64) * qs).sum())
+    # the tight layout's relocation rounds and pow2 tail can round bases
+    # up past the pow2 class bound by a few W; 4W of margin keeps the
+    # guard an upper bound on the device's actual tight total
+    if class_sum + 4 * W >= 2**31:
+        raise ProductOverflow(
+            f"stream of ~{class_sum} quantized products exceeds the 2^31 "
             "int32 ceiling; row-block the multiply")
     n_stream_rows = int(hist.sum())
     if total_q is None:
         # pow2 layout: totals straight from the class histogram
-        total_q = bound_q - W
+        total_q = class_sum
         wide_classes = [k for k in range(N_QCLASS)
                         if (1 << k) > W and hist[k]]
         n_wide = int(sum(hist[k] for k in wide_classes))

@@ -21,6 +21,13 @@ import dataclasses
 from typing import Optional
 
 
+class ProductOverflow(ValueError):
+    """Total intermediate products (or the quantized stream they pack
+    into) exceed one plan's int32 budget. ``spgemm`` catches this and
+    re-runs as row blocks; direct ``plan_spgemm`` callers must block
+    rows themselves or shard (parallel/mesh_stream.py)."""
+
+
 class Config:
     """INI config with defaults; section-less files accepted."""
 
@@ -172,9 +179,16 @@ class SpgemmConfig:
     # on v5e (banded 65k A·A): sort 0.72 s vs scatter 0.98 s complete —
     # scatters lose even at one index per input nonzero
     dense_densify: str = "sort"
-    sentinel_shift_check: bool = True
-    value_dtype: str = "float32"
-    index_dtype: str = "int32"
+
+    def __post_init__(self):
+        # the stream layout assumes power-of-two quanta and widths
+        # (q-class ladder, bitonic networks, packed sort keys); these
+        # are INI-settable, so normalize instead of corrupting layouts
+        for f in ("stream_min_q", "stream_width", "stream_width_cap"):
+            v = getattr(self, f)
+            if v < 1 or v & (v - 1):
+                object.__setattr__(
+                    self, f, 1 << max(int(v) - 1, 0).bit_length())
 
 
 # INI key -> SpgemmConfig field. The reference DECLARES dozens of kernel

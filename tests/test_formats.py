@@ -269,3 +269,71 @@ def test_device_info():
     info = device_info()
     assert info.num_devices >= 1
     assert isinstance(info.summary(), str)
+
+
+def test_native_coo_to_csr_matches_lexsort(rng):
+    """The native counting-sort converter (speck_native.cpp
+    speck_coo_to_csr) must be element-identical to the numpy lexsort
+    fallback: stable within (row, col) so duplicates keep file order."""
+    from speck_tpu.native import coo_to_csr_native
+
+    m, n, nnz = 50, 40, 600
+    rows = rng.integers(0, m, nnz).astype(np.uint32)
+    cols = rng.integers(0, n, nnz).astype(np.uint32)  # duplicates likely
+    for dtype in (np.float64, np.float32):
+        vals = rng.standard_normal(nnz).astype(dtype)
+        native = coo_to_csr_native(rows, cols, vals, m)
+        if native is None:
+            pytest.skip("native library unavailable")
+        # fallback: the numpy path coo_to_csr would take
+        order = np.lexsort((cols, rows))
+        counts = np.bincount(rows, minlength=m)
+        exp_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint32)
+        offsets, c_out, v_out = native
+        np.testing.assert_array_equal(offsets, exp_off)
+        np.testing.assert_array_equal(c_out, cols[order])
+        np.testing.assert_array_equal(v_out, vals[order])
+        assert v_out.dtype == dtype
+
+
+def test_native_coo_to_csr_rejects_bad_row():
+    from speck_tpu.native import coo_to_csr_native
+
+    rows = np.array([0, 5], np.uint32)   # row 5 out of bounds for m=3
+    cols = np.array([0, 1], np.uint32)
+    vals = np.ones(2, np.float64)
+    try:
+        got = coo_to_csr_native(rows, cols, vals, 3)
+    except ValueError:
+        return
+    if got is None:
+        pytest.skip("native library unavailable")
+    raise AssertionError("out-of-bounds row id must raise")
+
+
+def test_native_mtx_writer_chunked(tmp_path, rng):
+    """mtx_write_native streams the body through one reused buffer; a
+    chunk smaller than nnz must produce the identical file."""
+    from speck_tpu.native import mtx_write_native
+
+    nnz = 37
+    rows = rng.integers(0, 9, nnz).astype(np.uint32)
+    cols = rng.integers(0, 7, nnz).astype(np.uint32)
+    vals = rng.standard_normal(nnz)
+    p1, p2 = str(tmp_path / "one.mtx"), str(tmp_path / "many.mtx")
+    with open(p1, "wb") as fh:
+        ok1 = mtx_write_native(fh, rows, cols, vals, "real")
+    with open(p2, "wb") as fh:
+        ok2 = mtx_write_native(fh, rows, cols, vals, "real", chunk=8)
+    if not (ok1 and ok2):
+        pytest.skip("native library unavailable")
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    # and the body round-trips exactly (%.17g)
+    h = HostCOO(9, 7, rows, cols, vals)
+    p3 = str(tmp_path / "full.mtx")
+    store_mtx(p3, h)
+    back = load_mtx(p3, use_native=False)
+    order = np.lexsort((back.col_ids, back.row_ids))
+    oin = np.lexsort((cols, rows))
+    np.testing.assert_array_equal(back.row_ids[order], rows[oin])
+    np.testing.assert_array_equal(back.data[order], vals[oin])

@@ -86,10 +86,38 @@ def bench_pair(name, a, b, dtype=np.float32, iters=3, warm=1):
     return mean_s, C, sum_products
 
 
+def _wait_for_device(max_tries=5):
+    """Probe the device in a SUBPROCESS with a hard timeout before the
+    main process touches the backend. Two observed tunnel failure modes:
+    backend init raises UNAVAILABLE (retryable), and — worse — init
+    succeeds but the first D2H fetch blocks forever (not interruptible
+    from Python once entered). A hung probe child can be killed; a hung
+    main process cannot, so the probe goes first."""
+    import subprocess
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax.numpy as jnp;"
+                 "print(int(jnp.sum(jnp.arange(8))))"],
+                timeout=900, capture_output=True, text=True)
+            if r.returncode == 0 and r.stdout.strip().endswith("28"):
+                return
+            msg = (r.stderr or "").strip().splitlines()
+            print(f"# device probe failed (attempt {i + 1}): "
+                  f"{msg[-1] if msg else r.returncode}", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# device probe hung >900 s (attempt {i + 1}); "
+                  "tunnel unavailable", flush=True)
+        time.sleep(300)   # killed-client cooldown before the next probe
+    print("# proceeding without a successful probe", flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    _wait_for_device()
     # warm the device->host channel: the first fetch in a process costs
     # ~99 s through the axon tunnel, later fetches ~27 ms. A failed
     # backend init poisons the process, so retry via re-exec: the TPU

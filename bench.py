@@ -48,6 +48,30 @@ def make_powerlaw(m=131072, avg=12, alpha=2.2, seed=5):
     return HostCSR.from_scipy(mat)
 
 
+def make_mixed(n=65536, half_band=16, n_out=1024, out_nnz=64, seed=13):
+    """Banded matrix with a clustered block of outlier rows holding
+    far-flung random columns: breaks the whole-matrix DIA gate (span ~n),
+    so the banded bulk routes through the dense MXU tiles and the outlier
+    region through the product stream — the heterogeneous-routing
+    workload (the reference's per-block method auto-select,
+    spECK_HashSpGEMM.cuh:1761-1793, exercised across paths)."""
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+
+    rs = np.random.RandomState(seed)
+    offs = list(range(-half_band, half_band + 1))
+    band = sp.diags(
+        [rs.standard_normal(n - abs(o)) for o in offs], offs,
+        shape=(n, n), format="csr")
+    out_rows = np.repeat(np.arange(n_out), out_nnz)
+    extra = sp.csr_matrix(
+        (rs.standard_normal(out_rows.shape[0]),
+         (out_rows, rs.randint(0, n, out_rows.shape[0]))), shape=(n, n))
+    mat = (band + extra).tocsr()
+    mat.sum_duplicates()
+    return HostCSR.from_scipy(mat)
+
+
 def make_prolongation(m, mc, seed=11):
     import scipy.sparse as sp
     from speck_tpu.formats.csr import HostCSR
@@ -147,6 +171,11 @@ def main():
         scipy_s = min(scipy_s, time.perf_counter() - t0)
     mean_s, C1, sum_products = bench_pair("config1_banded_65k_AxA", a1, a1)
     assert C1.nnz == C_ref.nnz, f"nnz mismatch: {C1.nnz} vs {C_ref.nnz}"
+
+    # ---- config 1b: banded + clustered outlier rows (dense MXU tiles
+    # for the banded bulk, stream for the outliers; DIA gate rejected) ----
+    a1b = make_mixed()
+    bench_pair("config1b_mixed_banded_outliers_AxA", a1b, a1b, iters=2)
 
     # ---- config 2: skewed power-law A·A ----
     a2 = make_powerlaw(131072)

@@ -230,3 +230,43 @@ def test_pure_dense_gather_emit_multibatch(rng, monkeypatch):
     assert calls["n"] == 1, "gather emit not taken"
     assert compare_csr(oracle_spgemm(a, a), C, compare_data=True,
                        rel_tol=2e-4).ok
+
+
+def test_outlier_locality_controls_tile_eligibility(rng):
+    """Tile eligibility gates on the REFERENCED B rows (bmax), so outlier
+    rows poison exactly the tiles whose k-range touches them: clustered
+    outliers leave distant tiles dense-eligible; the same outliers
+    scattered everywhere push every tile to the stream (bench.py
+    make_mixed relies on the clustered form)."""
+    n, hb = 1024, 3
+
+    def build(out_rows):
+        a = _banded(n, hb, rng).to_scipy().tolil()
+        for r in out_rows:
+            cols = rng.integers(0, n, 16)
+            a[r, cols] = rng.standard_normal(len(cols))
+        return HostCSR.from_scipy(a.tocsr())
+
+    cfg = dataclasses.replace(
+        _DENSE_CFG, dense_tile_rows=64, dense_kw=128, dense_cw=128,
+        dense_la=16, dense_lb=16)
+
+    clustered = build(range(0, 32))
+    A = device_put_csr(clustered, np.float64)
+    plan = plan_spgemm(A, A, cfg)
+    assert plan.dense is not None
+    n_real = int(np.sum(np.asarray(plan.dense.valids) > 0))
+    assert n_real >= 12, f"distant tiles should stay eligible, got {n_real}"
+    C = device_get_csr(plan.execute())
+    assert compare_csr(oracle_spgemm(clustered, clustered), C,
+                       compare_data=True, rel_tol=1e-2).ok
+
+    scattered = build(range(0, n, 64))   # one outlier inside every tile
+    A2 = device_put_csr(scattered, np.float64)
+    plan2 = plan_spgemm(A2, A2, cfg)
+    n_real2 = (int(np.sum(np.asarray(plan2.dense.valids) > 0))
+               if plan2.dense is not None else 0)
+    assert n_real2 == 0, f"every tile is poisoned, got {n_real2}"
+    C2 = device_get_csr(plan2.execute())
+    assert compare_csr(oracle_spgemm(scattered, scattered), C2,
+                       compare_data=True, rel_tol=1e-2).ok

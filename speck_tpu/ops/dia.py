@@ -150,39 +150,53 @@ def dia_conv(a_val, a_hit, b_val, b_hit, *, sa: int, sb: int, m: int,
     return c_val, c_cnt
 
 
-@partial(jax.jit, static_argnames=("sc", "m", "n_cols", "base_c"))
-def dia_count_stage(c_val, c_cnt, *, sc: int, m: int, n_cols: int,
-                    base_c: int):
-    """Counting + staging from the output planes: transpose to row-major,
-    compact each row's present entries to the front by an ascending rank
-    sort (columns come out sorted for free — diagonal index order IS
-    column order within a row).  Returns (nnz_row, present, cols_s,
-    vals_s)."""
-    cvT = c_val.T                      # (m, sc)
-    present = c_cnt.T > 0.5            # exact: fp32 counts of 1.0 adds
-    counts = jnp.sum(present, axis=1, dtype=jnp.int32)
+def _rank_compact(cvT, present, *, sc: int, m: int, n_cols: int,
+                  base_c: int, impl: str):
+    """Compact each row's present entries to the front, in diagonal
+    order (= ascending column order within a row, so output is sorted
+    for free).  impl="sort": one rank sort; impl="scatter": two flat
+    scatters to i*sc + rank — dense in-order per-row write prefixes,
+    the same A/B as the stream's _compact_rect (ops/stream.py)."""
     e = jnp.arange(sc, dtype=jnp.int32)[None, :]
     i = jnp.arange(m, dtype=jnp.int32)[:, None]
     cols_g = jnp.where(present, i + jnp.int32(base_c) + e, n_cols)
     rank = jnp.cumsum(present, axis=1, dtype=jnp.int32) - 1
-    key = jnp.where(present, rank, sc + e)
-    _, cols_s, vals_s = jax.lax.sort(
-        (key, cols_g, cvT), dimension=1, num_keys=1)
-    return counts, present, cols_s, vals_s
-
-
-@partial(jax.jit, static_argnames=("sc", "m", "n_cols", "base_c"))
-def dia_numeric_stage(c_val, present, *, sc: int, m: int, n_cols: int,
-                      base_c: int):
-    """Numeric re-staging against a KNOWN structure (plan reuse): same
-    rank compaction, presence taken from the stored structural mask so
-    value cancellation cannot change the emitted pattern."""
-    cvT = c_val.T
-    e = jnp.arange(sc, dtype=jnp.int32)[None, :]
-    i = jnp.arange(m, dtype=jnp.int32)[:, None]
-    cols_g = jnp.where(present, i + jnp.int32(base_c) + e, n_cols)
-    rank = jnp.cumsum(present, axis=1, dtype=jnp.int32) - 1
+    if impl == "scatter":
+        flat = jnp.where(present, i * sc + rank, m * sc).reshape(-1)
+        cols_s = jnp.full((m * sc,), n_cols, jnp.int32).at[flat].set(
+            cols_g.reshape(-1), mode="drop",
+            unique_indices=True).reshape(m, sc)
+        vals_s = jnp.zeros((m * sc,), cvT.dtype).at[flat].set(
+            cvT.reshape(-1), mode="drop",
+            unique_indices=True).reshape(m, sc)
+        return cols_s, vals_s
     key = jnp.where(present, rank, sc + e)
     _, cols_s, vals_s = jax.lax.sort(
         (key, cols_g, cvT), dimension=1, num_keys=1)
     return cols_s, vals_s
+
+
+@partial(jax.jit, static_argnames=("sc", "m", "n_cols", "base_c", "impl"))
+def dia_count_stage(c_val, c_cnt, *, sc: int, m: int, n_cols: int,
+                    base_c: int, impl: str = "sort"):
+    """Counting + staging from the output planes: transpose to row-major,
+    compact each row's present entries to the front (columns come out
+    sorted for free — diagonal index order IS column order within a
+    row).  Returns (nnz_row, present, cols_s, vals_s)."""
+    cvT = c_val.T                      # (m, sc)
+    present = c_cnt.T > 0.5            # exact: fp32 counts of 1.0 adds
+    counts = jnp.sum(present, axis=1, dtype=jnp.int32)
+    cols_s, vals_s = _rank_compact(cvT, present, sc=sc, m=m,
+                                   n_cols=n_cols, base_c=base_c,
+                                   impl=impl)
+    return counts, present, cols_s, vals_s
+
+
+@partial(jax.jit, static_argnames=("sc", "m", "n_cols", "base_c", "impl"))
+def dia_numeric_stage(c_val, present, *, sc: int, m: int, n_cols: int,
+                      base_c: int, impl: str = "sort"):
+    """Numeric re-staging against a KNOWN structure (plan reuse): same
+    rank compaction, presence taken from the stored structural mask so
+    value cancellation cannot change the emitted pattern."""
+    return _rank_compact(c_val.T, present, sc=sc, m=m, n_cols=n_cols,
+                         base_c=base_c, impl=impl)

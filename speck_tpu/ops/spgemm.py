@@ -354,7 +354,8 @@ class SpgemmPlan:
                             ss.rid_bases[c], ss.sid_bases[c], nwj,
                             G=G, W=W, n_cols=n, pack_bits=ss.pack_bits,
                             stage_wide=has_wide, f64=f64,
-                            sort_impl=self.cfg.stream_sort_impl)
+                            sort_impl=self.cfg.stream_sort_impl,
+                            compact_impl=self.cfg.stream_compact_impl)
                         if stg is not None:
                             wide_staged.append(stg)
                     if reuse_levels:
@@ -363,7 +364,8 @@ class SpgemmPlan:
                         level_bufs = _run_wide(
                             ss, wide_staged, None, n, count=False,
                             max_width=self.cfg.stream_max_width,
-                            sort_impl=self.cfg.stream_sort_impl)[1]
+                            sort_impl=self.cfg.stream_sort_impl,
+                            compact_impl=self.cfg.stream_compact_impl)[1]
                 for rid_out, col_c, val_c, fcnt in level_bufs:
                     rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
                     c_cols, c_vals = stream_emit(
@@ -426,7 +428,7 @@ class SpgemmPlan:
                     dmin_a=d.dmin_a, with_hit=False)
                 cols_s, vals_s = dia_numeric_stage(
                     c_val, d.present, sc=d.span_c, m=m, n_cols=n,
-                    base_c=base_c)
+                    base_c=base_c, impl=self.cfg.stream_compact_impl)
             if self.nnz > 0:
                 c_cols, c_vals = dense_gather_emit(
                     cols_s, vals_s, self.row_offsets,
@@ -596,7 +598,8 @@ def _finish_classes(totals: np.ndarray, rid_live: np.ndarray):
 
 
 def _run_wide(ss: StreamState, wide_staged, nnz_row, n_cols: int,
-              count: bool, max_width: int, sort_impl: str = "xla"):
+              count: bool, max_width: int, sort_impl: str = "xla",
+              compact_impl: str = "sort"):
     """Finish the wide rows with the hybrid ladder->finish strategy: run
     geometric merge levels only until the remaining rows' DEDUPLICATED
     entry totals fit ``max_width`` (checked with a small per-level
@@ -652,7 +655,8 @@ def _run_wide(ss: StreamState, wide_staged, nnz_row, n_cols: int,
                         f["entry_excl"], f["row_total"], f["rid_of_out"],
                         nnz_row, R2=f["R2"], W2=f["W2"],
                         W0=ss.finish["W_in"], E_pad=f["E_pad"],
-                        n_cols=n_cols, count=count, sort_impl=sort_impl)
+                        n_cols=n_cols, count=count, sort_impl=sort_impl,
+                        compact_impl=compact_impl)
                     bufs.append(buf)
             break
         if li >= len(ss.lplans):
@@ -662,7 +666,7 @@ def _run_wide(ss: StreamState, wide_staged, nnz_row, n_cols: int,
             ss.rows_sorted, rid_in, wcol, wval, wcnt,
             jnp.asarray(lp.in_map), jnp.asarray(lp.final_mask), nnz_row,
             F=lp.F, W_in=lp.W_in, n_cols=n_cols, count=count,
-            sort_impl=sort_impl)
+            sort_impl=sort_impl, compact_impl=compact_impl)
         if lp.final_mask.any():
             # keep a level's buffer only if some row finalizes (= emits)
             # there; pass-through levels would otherwise pin O(stream)
@@ -710,7 +714,8 @@ def _plan_dia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
         c_val, c_cnt = dia_conv(av, ah, bv, bh, sa=sa, sb=sb, m=m, k=k,
                                 dmin_a=dmin_a, with_hit=True)
         counts, present, cols_s, vals_s = dia_count_stage(
-            c_val, c_cnt, sc=sc, m=m, n_cols=n, base_c=dmin_a + dmin_b)
+            c_val, c_cnt, sc=sc, m=m, n_cols=n, base_c=dmin_a + dmin_b,
+            impl=cfg.stream_compact_impl)
         st.stop(counts)
     with StageTimer(timings, "allocC", track):
         row_offsets, meta = _offsets_from_counts(counts)
@@ -995,13 +1000,15 @@ def plan_spgemm(
                     G=G, W=W, n_cols=n, pack_bits=pack_bits,
                     stage=fused or has_wide, f64=f64,
                     pallas_contract=cfg.stream_pallas_contract,
-                    sort_impl=cfg.stream_sort_impl)
+                    sort_impl=cfg.stream_sort_impl,
+                    compact_impl=cfg.stream_compact_impl)
                 staged.append(stg)
             nw_chunks = -(-layout.r_wide // G) if layout.r_wide else 0
             nnz_row, level_bufs = _run_wide(
                 ss, staged[:nw_chunks], nnz_row, n, count=True,
                 max_width=cfg.stream_max_width,
-                sort_impl=cfg.stream_sort_impl)
+                sort_impl=cfg.stream_sort_impl,
+                compact_impl=cfg.stream_compact_impl)
             ss.staged = staged if fused else None
             ss.level_bufs = level_bufs
         if ss.accum:

@@ -732,12 +732,36 @@ def _contract_rect(rid_s, col_s, val_s, n_cols: int,
     return last, v
 
 
-def _compact_rect(last, rid_s, col_s, run_sum, sort_impl: str = "xla"):
-    """Rank-sort run-last entries to the rectangle-row front (order kept).
-    Returns (rid_c, col_c, val_c, counts)."""
+def _compact_rect(last, rid_s, col_s, run_sum, sort_impl: str = "xla",
+                  compact_impl: str = "sort"):
+    """Move run-last entries to the rectangle-row front (order kept).
+    Returns (rid_c, col_c, val_c, counts).
+
+    compact_impl="sort": one rank sort (key = rank among run-lasts, dead
+    slots pushed past W). compact_impl="scatter": three flat scatters to
+    g*W + rank — the write targets are the dense per-row prefixes, in
+    order, so this is the sequential-write pattern where XLA scatter has
+    a chance (unlike the per-nonzero densify scatters that measured 1.4x
+    WORSE than sorts, PARITY.md "negative results"); dead slots become
+    (INT_MAX, INT_MAX, 0) fills, satisfying every consumer's col >=
+    n_cols dead test. Both forms are element-identical on the live
+    prefix of each rectangle row."""
     G, W = col_s.shape
-    t = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
     rank = jnp.cumsum(last.astype(jnp.int32), axis=1) - 1
+    counts = jnp.sum(last, axis=1, dtype=jnp.int32)
+    if compact_impl == "scatter":
+        g = jax.lax.broadcasted_iota(jnp.int32, (G, W), 0)
+        flat = jnp.where(last, g * W + rank, G * W).reshape(-1)
+
+        def sc(x, fill):
+            return jnp.full((G * W,), fill, x.dtype).at[flat].set(
+                x.reshape(-1), mode="drop",
+                unique_indices=True).reshape(G, W)
+
+        return (sc(rid_s, jnp.int32(INT_MAX)),
+                sc(col_s, jnp.int32(INT_MAX)),
+                sc(run_sum, jnp.zeros((), run_sum.dtype)), counts)
+    t = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
     key = jnp.where(last, rank, W + t)
     if sort_impl != "xla":
         _, (rid_c, col_c, val_c) = _bitonic_call(
@@ -745,14 +769,13 @@ def _compact_rect(last, rid_s, col_s, run_sum, sort_impl: str = "xla"):
     else:
         _, rid_c, col_c, val_c = jax.lax.sort(
             (key, rid_s, col_s, run_sum), dimension=1, num_keys=1)
-    counts = jnp.sum(last, axis=1, dtype=jnp.int32)
     return rid_c, col_c, val_c, counts
 
 
 @partial(
     jax.jit,
     static_argnames=("G", "W", "n_cols", "pack_bits", "stage", "f64",
-                     "pallas_contract", "sort_impl"),
+                     "pallas_contract", "sort_impl", "compact_impl"),
     donate_argnames=("nnz_row",),
 )
 def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
@@ -760,7 +783,7 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
                  nnz_row, chunk_start, rid_base, sid_base, *, G: int,
                  W: int, n_cols: int, pack_bits: int, stage: bool,
                  f64: bool, pallas_contract: bool = False,
-                 sort_impl: str = "xla"):
+                 sort_impl: str = "xla", compact_impl: str = "sort"):
     """One fused count(+stage) pass over stream chunk
     [chunk_start, chunk_start + G*W).
 
@@ -807,14 +830,15 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
         return nnz_row, None
     rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s,
                                                 run_sum,
-                                                sort_impl=sort_impl)
+                                                sort_impl=sort_impl,
+                                                compact_impl=compact_impl)
     return nnz_row, (rid_c, col_c, val_c, counts)
 
 
 @partial(
     jax.jit,
     static_argnames=("G", "W", "n_cols", "pack_bits", "stage_wide", "f64",
-                     "sort_impl"),
+                     "sort_impl", "compact_impl"),
     donate_argnames=("c_cols", "c_vals"),
 )
 def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
@@ -822,7 +846,7 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
                          c_cols, c_vals, chunk_start, rid_base, sid_base,
                          n_wide, *, G: int, W: int, n_cols: int,
                          pack_bits: int, stage_wide: bool, f64: bool,
-                         sort_impl: str = "xla"):
+                         sort_impl: str = "xla", compact_impl: str = "sort"):
     """Two-phase numeric pass over one chunk: same expand/sort/contract as
     stream_chunk, but contained rows' run-last entries scatter STRAIGHT to
     their exact offsets (no staging) — the analogue of the reference's
@@ -869,7 +893,8 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
         return c_cols, c_vals, None
     rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s,
                                                 run_sum,
-                                                sort_impl=sort_impl)
+                                                sort_impl=sort_impl,
+                                                compact_impl=compact_impl)
     return c_cols, c_vals, (rid_c, col_c, val_c, counts)
 
 
@@ -948,12 +973,14 @@ def accum_finalize(rows_sorted, acc_slice, pres_slice, cmin_s, rid_of_out,
 
 @partial(
     jax.jit,
-    static_argnames=("F", "W_in", "n_cols", "count", "sort_impl"),
+    static_argnames=("F", "W_in", "n_cols", "count", "sort_impl",
+                     "compact_impl"),
     donate_argnames=("nnz_row",),
 )
 def stream_level(rows_sorted, rid_in, col_in, val_in, counts_in, in_map,
                  final_mask, nnz_row, *, F: int, W_in: int, n_cols: int,
-                 count: bool = True, sort_impl: str = "xla"):
+                 count: bool = True, sort_impl: str = "xla",
+                 compact_impl: str = "sort"):
     """One merge level: each output rectangle row re-sorts F input segments
     (width W_in each, compacted prefixes of counts_in) of ONE wide row and
     contracts them. Rows whose segments all fit here (final_mask) get
@@ -985,7 +1012,8 @@ def stream_level(rows_sorted, rid_in, col_in, val_in, counts_in, in_map,
             rows_sorted[jnp.clip(rid_b, 0, m - 1)], m)
         nnz_row = nnz_row.at[cnt_target].add(1, mode="drop")
 
-    _, col_c, val_c, counts = _compact_rect(last, rid_b, col_s, run_sum)
+    _, col_c, val_c, counts = _compact_rect(last, rid_b, col_s, run_sum,
+                                            compact_impl=compact_impl)
     return nnz_row, (rid_out, col_c, val_c, counts)
 
 
@@ -1055,13 +1083,14 @@ def wide_entry_totals(wcnt, wide_rid, *, n_wide: int):
 @partial(
     jax.jit,
     static_argnames=("R2", "W2", "W0", "E_pad", "n_cols", "count",
-                     "sort_impl"),
+                     "sort_impl", "compact_impl"),
     donate_argnames=("nnz_row",),
 )
 def stream_wide_finish(rows_sorted, wcol_flat, wval_flat, wcnt,
                        entry_excl, row_total, rid_of_out, nnz_row, *,
                        R2: int, W2: int, W0: int, E_pad: int, n_cols: int,
-                       count: bool, sort_impl: str = "xla"):
+                       count: bool, sort_impl: str = "xla",
+                       compact_impl: str = "sort"):
     """Adaptive wide-row finish: gather each wide row's level-0 staged
     entries (compacted, deduplicated per rectangle row) into ONE (R2, W2)
     rectangle sized by the TRUE entry totals, then a single sort+contract
@@ -1108,7 +1137,8 @@ def stream_wide_finish(rows_sorted, wcol_flat, wval_flat, wcnt,
                         rows_sorted[jnp.clip(rid_of_out, 0, m - 1)], m)
         nnz_row = nnz_row.at[tgt].set(counts, mode="drop",
                                       unique_indices=True)
-    _, col_c, val_c, counts = _compact_rect(last, rid_b, col_s, run_sum)
+    _, col_c, val_c, counts = _compact_rect(last, rid_b, col_s, run_sum,
+                                            compact_impl=compact_impl)
     return nnz_row, (rid_of_out, col_c, val_c, counts)
 
 

@@ -129,6 +129,11 @@ class SpgemmConfig:
     # kernel: a single HBM round trip). A/B on hardware; applies to the
     # single-key sort paths only
     stream_sort_impl: str = "xla"
+    # staged-buffer compaction: "sort" (one rank sort moves run-lasts to
+    # the rectangle-row front) or "scatter" (three flat scatters to
+    # g*W + rank; write targets are dense in-order per-row prefixes —
+    # the one scatter pattern with a chance on TPU). A/B on hardware
+    stream_compact_impl: str = "sort"
     # dense-span accumulator for huge rows with bounded output-column
     # ranges (the reference's dense mode for single big rows,
     # spGEMMNumericLauncher spECK_HashSpGEMM.cuh:1761-1793): rows with
@@ -215,6 +220,7 @@ _INI_TUNING_KEYS = {
     "DenseDensify": ("dense_densify", str),
     "StreamPallasContract": ("stream_pallas_contract", bool),
     "StreamSortImpl": ("stream_sort_impl", str),
+    "StreamCompactImpl": ("stream_compact_impl", str),
 }
 
 

@@ -158,3 +158,32 @@ def test_dia_identity(rng):
     a = sp.eye(64, format="csr")
     plan = _run(a, a)
     assert plan.dia is not None
+
+
+def test_dia_scatter_compact_matches_sort(rng):
+    """stream_compact_impl="scatter" routes the DIA staging compaction
+    through flat scatters; results must be element-identical to the
+    rank-sort form, including on numeric-only replays."""
+    rs = np.random.RandomState(11)
+    a = _band(300, range(-2, 3), rs)
+    ah = HostCSR.from_scipy(a)
+    A = device_put_csr(ah, np.float32)
+    plans, outs = [], []
+    for impl in ("sort", "scatter"):
+        cfg = SpgemmConfig(stream_compact_impl=impl)
+        plan = plan_spgemm(A, A, cfg)
+        assert plan.dia is not None
+        plans.append(plan)
+        outs.append(device_get_csr(plan.execute()))
+    np.testing.assert_array_equal(outs[0].row_offsets, outs[1].row_offsets)
+    np.testing.assert_array_equal(outs[0].col_ids, outs[1].col_ids)
+    np.testing.assert_array_equal(outs[0].data, outs[1].data)
+    # numeric replay with new values (forces dia_numeric_stage)
+    a2 = a.copy(); a2.data = rs.standard_normal(a2.nnz)
+    A2 = device_put_csr(HostCSR.from_scipy(a2), np.float32)
+    r0 = device_get_csr(plans[0].execute(A2, A2))
+    r1 = device_get_csr(plans[1].execute(A2, A2))
+    np.testing.assert_array_equal(r0.col_ids, r1.col_ids)
+    np.testing.assert_array_equal(r0.data, r1.data)
+    ref = oracle_spgemm(HostCSR.from_scipy(a2), HostCSR.from_scipy(a2))
+    assert compare_csr(ref, r1, compare_data=True, rel_tol=2e-3).ok

@@ -499,3 +499,38 @@ def test_accum_multi_part_budget(rng):
     C = device_get_csr(plan.execute())
     ref = oracle_spgemm(a, a)
     assert compare_csr(ref, C, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_scatter_compact_matches_sort(rng):
+    """stream_compact_impl="scatter" compacts staged buffers with flat
+    scatters instead of a rank sort; results must be element-identical
+    (the compaction is a deterministic permutation, not a reduction) on
+    fused, two-phase, and wide-row paths."""
+    a = random_host_csr(rng, 160, 160, 0.08)
+    cfg_x = dataclasses.replace(_CFG, stream_width=256,
+                                product_budget=1 << 12)
+    A = device_put_csr(a)
+    C_x = device_get_csr(spgemm(A, A, cfg_x))
+    cfg_s = dataclasses.replace(cfg_x, stream_compact_impl="scatter")
+    C_s = device_get_csr(spgemm(A, A, cfg_s))
+    np.testing.assert_array_equal(C_x.row_offsets, C_s.row_offsets)
+    np.testing.assert_array_equal(C_x.col_ids, C_s.col_ids)
+    np.testing.assert_array_equal(C_x.data, C_s.data)
+
+    # wide rows through the level ladder + finish, fused and two-phase
+    lil = a.to_scipy().tolil()
+    lil[0, :] = rng.standard_normal(160)
+    lil[7, :] = rng.standard_normal(160)
+    aw = HostCSR.from_scipy(lil.tocsr())
+    refw = oracle_spgemm(aw, aw)
+    Aw = device_put_csr(aw)
+    for staging in (1 << 30, 0):
+        cfg_w = dataclasses.replace(
+            cfg_x, stream_width=64, product_budget=1 << 10,
+            fused_staging_budget=staging)
+        cfg_ws = dataclasses.replace(cfg_w, stream_compact_impl="scatter")
+        C_w = device_get_csr(spgemm(Aw, Aw, cfg_w))
+        C_ws = device_get_csr(spgemm(Aw, Aw, cfg_ws))
+        np.testing.assert_array_equal(C_w.col_ids, C_ws.col_ids)
+        np.testing.assert_array_equal(C_w.data, C_ws.data)
+        assert compare_csr(refw, C_ws, compare_data=True, rel_tol=2e-3).ok

@@ -65,6 +65,7 @@ from .stream import (
     StreamLayout,
     accum_finalize,
     build_srec,
+    compact_staged,
     plan_device_stream,
     plan_layout,
     plan_levels,
@@ -796,12 +797,13 @@ def plan_spgemm(
         a_psum = pack_h[3 * N_QCLASS: 4 * N_QCLASS]
         n_elig, kw_e, cw_e, la_e, lb_e = (
             int(x) for x in pack_h[4 * N_QCLASS: 4 * N_QCLASS + 5])
-        a_dmin, a_dmax, b_dmin, b_dmax, sp_sat, mxrow_sat = (
-            int(x) for x in pack_h[4 * N_QCLASS + 5: 4 * N_QCLASS + 11])
+        (a_dmin, a_dmax, b_dmin, b_dmax, sp_sat, mxrow_sat,
+         sp_exact) = (
+            int(x) for x in pack_h[4 * N_QCLASS + 5: 4 * N_QCLASS + 12])
         # tight-layout tail (stream.py _plan_rows_impl): the rectangle
         # width (adaptive ladder computed on device), exact stream total,
         # and the wide rows' exact segment counts
-        tight_h = pack_h[4 * N_QCLASS + 11:]
+        tight_h = pack_h[4 * N_QCLASS + 12:]
         W, total_q, n_wide_t, r_wide_t = (int(x) for x in tight_h[:4])
 
         # ---- DIA fast path (ops/dia.py): whole-matrix diagonal-band
@@ -968,6 +970,7 @@ def plan_spgemm(
     with StageTimer(timings, "spGEMMCounting", track) as st:
         nnz_row = nnz_init
         dense_staged: Optional[List[tuple]] = None
+        raw_chunks: List[int] = []
         if dense_grp is not None:
             apk = None if f64 else pack_csr_arrays(A.indices, A.data)
             bpk = apk if (B.indices is A.indices and B.data is A.data) \
@@ -992,6 +995,14 @@ def plan_spgemm(
             staged = []
             for c in range(layout.n_chunks):
                 has_wide = c * G < layout.r_wide
+                # fused contained-only chunks stage RAW (sorted,
+                # uncompacted): when the plan turns out duplicate-free
+                # the compact pass never runs (see below); wide chunks
+                # compact here because the merge levels consume them
+                # before the nnz readback
+                stage_raw = fused and not has_wide
+                if stage_raw:
+                    raw_chunks.append(c)
                 nnz_row, stg = stream_chunk(
                     rows_sorted, e, ss.rowend, q_sorted, el, ops_sorted,
                     p0, srec, b_packed, B.indices, B.data, A.data, src,
@@ -1001,7 +1012,8 @@ def plan_spgemm(
                     stage=fused or has_wide, f64=f64,
                     pallas_contract=cfg.stream_pallas_contract,
                     sort_impl=cfg.stream_sort_impl,
-                    compact_impl=cfg.stream_compact_impl)
+                    compact_impl=cfg.stream_compact_impl,
+                    stage_raw=stage_raw)
                 staged.append(stg)
             nw_chunks = -(-layout.r_wide // G) if layout.r_wide else 0
             nnz_row, level_bufs = _run_wide(
@@ -1021,6 +1033,18 @@ def plan_spgemm(
         row_offsets, meta = _offsets_from_counts(nnz_row)
         nnz, max_count = (int(x) for x in np.asarray(meta))  # ONE host sync
         # (Multiply.cu:572-575); max_count trims dense emit widths
+
+        # no-duplicate fast path: nnz(C) == exact product total means
+        # every live staged slot is a run-last, so the RAW chunks are
+        # already element-identical to their compacted form. Otherwise
+        # compact them now (device work rides the same sync window).
+        if ss is not None and ss.staged is not None and raw_chunks \
+                and nnz != sp_exact:
+            for c in raw_chunks:
+                rid_r, col_r, val_r, counts_r = ss.staged[c]
+                ss.staged[c] = compact_staged(
+                    rid_r, col_r, val_r, counts_r, n_cols=n,
+                    compact_impl=cfg.stream_compact_impl)
 
     return SpgemmPlan(
         A=A, B=B, cfg=cfg,

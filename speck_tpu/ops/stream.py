@@ -465,7 +465,7 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
             accum class hist (32) | accum product sums (32) |
             n_eligible_tiles | kw_eff | cw_eff | la_eff | lb_eff |
             a_dmin | a_dmax | b_dmin | b_dmax | sum_products_sat |
-            max_row_products_sat |
+            max_row_products_sat | sum_products_exact |
             W | total_q | n_wide | r_wide | wide_segs (N_WSEG_PACK)]
 
     The a/b_dmin/dmax + sp_sat scalars feed the DIA fast-path gate
@@ -587,11 +587,18 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     mxrow_sat = jnp.int32(jnp.clip(
         jnp.max(jnp.maximum(row_ops_f, 0.0), initial=0.0),
         0.0, 2.0 ** 31 - 2))
+    # EXACT integer product total: when the plan proceeds at all (sp_sat
+    # below the 2^31 guard) the true total is < 2^31, so an int32 sum of
+    # the nonnegative per-row counts never wraps and is exact — the host
+    # tests nnz(C) == sp_exact for the no-duplicate fast path that skips
+    # staged-buffer compaction. (Rejected plans may wrap here; the value
+    # is never read on those paths.)
+    sp_exact = jnp.sum(jnp.maximum(row_ops, 0))
     pack = jnp.concatenate([
         hist,
         jnp.stack([n_elig, kw_eff, cw_eff, la_eff, lb_eff]).astype(jnp.int32),
         jnp.stack([a_dmin, a_dmax, b_dmin, b_dmax, sp_sat,
-                   mxrow_sat]).astype(jnp.int32),
+                   mxrow_sat, sp_exact]).astype(jnp.int32),
         tight_pack,
     ])
     return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
@@ -772,10 +779,32 @@ def _compact_rect(last, rid_s, col_s, run_sum, sort_impl: str = "xla",
     return rid_c, col_c, val_c, counts
 
 
+@partial(jax.jit, static_argnames=("n_cols", "compact_impl"),
+         donate_argnames=("rid_s", "col_s", "val_s"))
+def compact_staged(rid_s, col_s, val_s, counts, *, n_cols: int,
+                   compact_impl: str = "sort"):
+    """Compact a RAW staged chunk (sorted planes from
+    stream_chunk(stage_raw=True)) after the fact: run-last flags are
+    recomputed from neighbor changes and the partial run sums at those
+    positions are already the full sums. Runs only when the no-duplicate
+    fast path's nnz(C) == products test failed."""
+    G, W = col_s.shape
+    changed = jnp.concatenate(
+        [jnp.ones((G, 1), bool),
+         (col_s[:, 1:] != col_s[:, :-1]) | (rid_s[:, 1:] != rid_s[:, :-1])],
+        axis=1)
+    nxt_change = jnp.concatenate([changed[:, 1:], jnp.ones((G, 1), bool)],
+                                 axis=1)
+    last = nxt_change & (col_s < n_cols)
+    return _compact_rect(last, rid_s, col_s, val_s,
+                         compact_impl=compact_impl)
+
+
 @partial(
     jax.jit,
     static_argnames=("G", "W", "n_cols", "pack_bits", "stage", "f64",
-                     "pallas_contract", "sort_impl", "compact_impl"),
+                     "pallas_contract", "sort_impl", "compact_impl",
+                     "stage_raw"),
     donate_argnames=("nnz_row",),
 )
 def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
@@ -783,7 +812,8 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
                  nnz_row, chunk_start, rid_base, sid_base, *, G: int,
                  W: int, n_cols: int, pack_bits: int, stage: bool,
                  f64: bool, pallas_contract: bool = False,
-                 sort_impl: str = "xla", compact_impl: str = "sort"):
+                 sort_impl: str = "xla", compact_impl: str = "sort",
+                 stage_raw: bool = False):
     """One fused count(+stage) pass over stream chunk
     [chunk_start, chunk_start + G*W).
 
@@ -828,6 +858,15 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
 
     if not stage:
         return nnz_row, None
+    if stage_raw:
+        # defer compaction: stage the sorted-but-uncompacted planes. When
+        # the whole plan turns out duplicate-free (nnz(C) == products,
+        # checked against the exact product total after the offsets
+        # readback), every live slot IS a run-last and the raw planes are
+        # element-identical to the compacted ones — the compact pass was
+        # pure waste. Otherwise compact_staged() runs once per raw chunk.
+        counts = jnp.sum(last, axis=1, dtype=jnp.int32)
+        return nnz_row, (rid_s, col_s, run_sum, counts)
     rid_c, col_c, val_c, counts = _compact_rect(last, rid_s, col_s,
                                                 run_sum,
                                                 sort_impl=sort_impl,

@@ -534,3 +534,52 @@ def test_scatter_compact_matches_sort(rng):
         np.testing.assert_array_equal(C_w.col_ids, C_ws.col_ids)
         np.testing.assert_array_equal(C_w.data, C_ws.data)
         assert compare_csr(refw, C_ws, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_nodup_fast_path_skips_compaction(rng, monkeypatch):
+    """Fused contained-only chunks stage RAW; when nnz(C) equals the
+    exact product total (no duplicate (row, col) products anywhere) the
+    lazy compact pass must never run, and when duplicates exist it must
+    run and produce output identical to eager compaction."""
+    import importlib
+
+    sg = importlib.import_module("speck_tpu.ops.spgemm")
+    calls = {"n": 0}
+    orig = sg.compact_staged
+
+    def counted(*args, **kwargs):
+        calls["n"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(sg, "compact_staged", counted)
+
+    # B rows with pairwise-disjoint column sets -> NO duplicates possible
+    k = 64
+    b = sp.csr_matrix(
+        (rng.standard_normal(2 * k),
+         (np.repeat(np.arange(k), 2),
+          np.stack([2 * np.arange(k), 2 * np.arange(k) + 1],
+                   axis=1).reshape(-1))),
+        shape=(k, 2 * k))
+    a = sp.random(48, k, 0.15, format="csr",
+                  random_state=np.random.RandomState(5))
+    a.data = rng.standard_normal(a.nnz)
+    ah, bh = HostCSR.from_scipy(a), HostCSR.from_scipy(b)
+    cfg = dataclasses.replace(_CFG, enable_direct=False)
+    A, B = device_put_csr(ah), device_put_csr(bh)
+    plan = plan_spgemm(A, B, cfg)
+    assert plan.stream is not None and plan.stream.fused
+    assert calls["n"] == 0, "no-dup plan must not compact"
+    C = device_get_csr(plan.execute())
+    assert compare_csr(oracle_spgemm(ah, bh), C, compare_data=True,
+                       rel_tol=2e-3).ok
+
+    # duplicates (random square product) -> lazy compaction must fire
+    a2 = random_host_csr(rng, 96, 96, 0.2)
+    A2 = device_put_csr(a2)
+    plan2 = plan_spgemm(A2, A2, cfg)
+    assert plan2.stream is not None and plan2.stream.fused
+    assert calls["n"] >= 1, "duplicate plan must lazily compact"
+    C2 = device_get_csr(plan2.execute())
+    assert compare_csr(oracle_spgemm(a2, a2), C2, compare_data=True,
+                       rel_tol=2e-3).ok

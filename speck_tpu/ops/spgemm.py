@@ -817,7 +817,12 @@ def plan_spgemm(
             sa = a_dmax - a_dmin + 1
             sb = b_dmax - b_dmin + 1
             itemsize = jnp.dtype(A.data.dtype).itemsize
+            sc_g = sa + sb - 1
+            # hard int32 guard independent of the (INI-raisable) memory
+            # budget: plane slot arithmetic is span*rows + row in int32
+            # (dia_slots), and the staging compaction flattens to m*sc
             if (sa <= cfg.dia_span_cap and sb <= cfg.dia_span_cap
+                    and max(sa * m, sb * A.shape[1], sc_g * m) < 2 ** 31
                     and m * sa * sb <= cfg.dia_waste_cap * max(sp_sat, 1)
                     and plane_bytes(m, A.shape[1], n, sa, sb, itemsize)
                     <= cfg.dia_mem_budget):

@@ -356,7 +356,8 @@ class SpgemmPlan:
                             G=G, W=W, n_cols=n, pack_bits=ss.pack_bits,
                             stage_wide=has_wide, f64=f64,
                             sort_impl=self.cfg.stream_sort_impl,
-                            compact_impl=self.cfg.stream_compact_impl)
+                            compact_impl=self.cfg.stream_compact_impl,
+                            expand_impl=self.cfg.stream_expand_impl)
                         if stg is not None:
                             wide_staged.append(stg)
                     if reuse_levels:
@@ -376,8 +377,9 @@ class SpgemmPlan:
                 if use_staged and ss.accum_bufs is not None:
                     accum_bufs = ss.accum_bufs
                 else:
-                    accum_bufs = _run_accum(ss, A, B, None, n,
-                                            count=False)[1]
+                    accum_bufs = _run_accum(
+                        ss, A, B, None, n, count=False,
+                        expand_impl=self.cfg.stream_expand_impl)[1]
                 zero = jnp.int32(0)
                 for rid_out, col_c, val_c, fcnt in accum_bufs:
                     rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
@@ -525,7 +527,8 @@ def _plan_accum(a_hist: np.ndarray, a_psum: np.ndarray, CP: int,
     return n_accum, total_p2, n_chunks2, parts, abase
 
 
-def _run_accum(ss: StreamState, A, B, nnz_row, n_cols: int, count: bool):
+def _run_accum(ss: StreamState, A, B, nnz_row, n_cols: int, count: bool,
+               expand_impl: str = "fill"):
     """Drive the accumulator region: expand + scatter-add every product
     into its row's dense span window, then finalize per span class (the
     reference's dense mode for single huge rows,
@@ -561,7 +564,8 @@ def _run_accum(ss: StreamState, A, B, nnz_row, n_cols: int, count: bool):
                 ss.e2, ss.rowend2, ss.p02, srec2, b_packed, B.indices,
                 B.data, A.data, ss.src2, ss.abase, ss.cmin_s, acc, pres,
                 jnp.int32(c * CP), ss.rid_bases2[c], ss.sid_bases2[c],
-                lo_j, hi_j, G=G, W=W, n_cols=n_cols, f64=f64)
+                lo_j, hi_j, G=G, W=W, n_cols=n_cols, f64=f64,
+                expand_impl=expand_impl)
         for R_pad, S, off, rid in part["classes"]:
             nnz_row, buf = accum_finalize(
                 ss.rows_sorted, acc[off: off + R_pad * S],
@@ -1018,7 +1022,8 @@ def plan_spgemm(
                     pallas_contract=cfg.stream_pallas_contract,
                     sort_impl=cfg.stream_sort_impl,
                     compact_impl=cfg.stream_compact_impl,
-                    stage_raw=stage_raw)
+                    stage_raw=stage_raw,
+                    expand_impl=cfg.stream_expand_impl)
                 staged.append(stg)
             nw_chunks = -(-layout.r_wide // G) if layout.r_wide else 0
             nnz_row, level_bufs = _run_wide(
@@ -1029,8 +1034,9 @@ def plan_spgemm(
             ss.staged = staged if fused else None
             ss.level_bufs = level_bufs
         if ss.accum:
-            nnz_row, accum_bufs = _run_accum(ss, A, B, nnz_row, n,
-                                             count=True)
+            nnz_row, accum_bufs = _run_accum(
+                ss, A, B, nnz_row, n, count=True,
+                expand_impl=cfg.stream_expand_impl)
             ss.accum_bufs = accum_bufs
         st.stop(nnz_row)
 

@@ -610,9 +610,48 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
 # ---------------------------------------------------------------------------
 
 
+def _ffill_rows(vals, filled):
+    """Segmented forward fill over the flat row-major order of (G, W)
+    channel planes: every unfilled slot takes the value of the nearest
+    filled slot at or before it (across rectangle-row boundaries).
+    Hillis-Steele doubling within rows + a log2(G) carry fill across the
+    per-row last columns -- all elementwise/vector work, no gathers.
+    Returns (filled_vals_tuple, filled_mask)."""
+    G, W = filled.shape
+    d = 1
+    while d < W:
+        f_s = jnp.concatenate(
+            [jnp.zeros((G, d), bool), filled[:, :-d]], axis=1)
+        take = ~filled & f_s
+        vals = tuple(
+            jnp.where(take, jnp.concatenate(
+                [jnp.zeros((G, d), v.dtype), v[:, :-d]], axis=1), v)
+            for v in vals)
+        filled = filled | f_s
+        d <<= 1
+    # carry across rows: exclusive shift of each row's last column, then
+    # the same doubling fill over the G-sized carry vectors
+    cf = jnp.concatenate([jnp.zeros((1,), bool), filled[:-1, -1]])
+    cv = [jnp.concatenate([jnp.zeros((1,), v.dtype), v[:-1, -1]])
+          for v in vals]
+    d = 1
+    while d < G:
+        f_s = jnp.concatenate([jnp.zeros((d,), bool), cf[:-d]])
+        take = ~cf & f_s
+        cv = [jnp.where(take,
+                        jnp.concatenate([jnp.zeros((d,), x.dtype), x[:-d]]),
+                        x) for x in cv]
+        cf = cf | f_s
+        d <<= 1
+    out = tuple(jnp.where(filled, v, c[:, None])
+                for v, c in zip(vals, cv))
+    return out, filled | cf[:, None]
+
+
 def _expand_chunk(e, rowend, p0, srec, b_packed, b_indices, b_data,
                   a_data, a_srcmap, chunk_start, rid_base, sid_base,
-                  G: int, W: int, n_cols: int, f64: bool):
+                  G: int, W: int, n_cols: int, f64: bool,
+                  expand_impl: str = "fill"):
     """The shared expand stage: decode (rid, sid) for every slot of chunk
     [chunk_start, chunk_start + G*W) of a product space described by
     (e, p0, srec), gather the B records, and form the products.
@@ -621,25 +660,69 @@ def _expand_chunk(e, rowend, p0, srec, b_packed, b_indices, b_data,
     rowend (m,): per-sorted-row live product end (e + ops) in this
     product space -- slots at t >= rowend[rid] are row/chunk padding.
     Products within a row are tight, so the row-end check is exactly the
-    old per-A-slot prodend check at a third less gather traffic."""
+    old per-A-slot prodend check at a third less gather traffic.
+
+    expand_impl="fill" (default): the per-slot A-record (u, valA) is
+    FORWARD-FILLED from boundary scatters at the A-slot starts (p0)
+    instead of decoded+gathered per slot -- kills both the sid run-length
+    decode and the O(G*W) random srec gather; what remains random is the
+    one irreducible b_packed record gather per live product (measured
+    ~25 ms/chunk saved on the 131k power-law config). "decode" keeps the
+    round-2 per-slot decode+gather form."""
     t = chunk_start + jax.lax.broadcasted_iota(
         jnp.int32, (G, W), 0) * W + jax.lax.broadcasted_iota(
         jnp.int32, (G, W), 1)
     rid = _decode(e, rid_base, chunk_start, G, W)
-    sid = _decode(p0, sid_base, chunk_start, G, W)
     nnzA = srec.shape[0]
     m = rowend.shape[0]
-    sid_c = jnp.clip(sid, 0, nnzA - 1)
-    rec = srec[sid_c]
-    u = rec[..., 0]
-    dead = (t >= rowend[jnp.clip(rid, 0, m - 1)]) | (sid < 0) | (rid < 0)
-    bsrc = jnp.where(dead, 0, u + t)
+    CP = G * W
+    if expand_impl == "fill":
+        # channel 2: valA bits (f32) or the A-source index (f64)
+        ch2 = a_srcmap if f64 else srec[:, 1]
+        rel = p0 - chunk_start
+        # among A-slots sharing one p0 (empty B rows produce zero-length
+        # runs) only the LAST is live at that position -- scatter winners
+        # only (set order between duplicate indices is unspecified)
+        winner = jnp.concatenate([p0[:-1] != p0[1:],
+                                  jnp.ones((1,), bool)])
+        tgt = jnp.where(winner & (rel >= 0) & (rel < CP), rel, CP)
+        # carry-in: the run straddling the chunk start is the last slot
+        # with p0 < chunk_start (= sid_base - 1); boundary scatters land
+        # after and override a boundary exactly at position 0
+        pidx = jnp.clip(sid_base - 1, 0, nnzA - 1)
+        cidx = jnp.where(sid_base > 0, 0, CP)
+        u2 = (jnp.zeros((CP,), jnp.int32)
+              .at[cidx].set(srec[pidx, 0], mode="drop")
+              .at[tgt].set(srec[:, 0], mode="drop"))
+        a2 = (jnp.zeros((CP,), jnp.int32)
+              .at[cidx].set(ch2[pidx], mode="drop")
+              .at[tgt].set(ch2, mode="drop"))
+        f2 = (jnp.zeros((CP,), bool)
+              .at[cidx].set(True, mode="drop")
+              .at[tgt].set(True, mode="drop"))
+        (u, ach), filled = _ffill_rows(
+            (u2.reshape(G, W), a2.reshape(G, W)), f2.reshape(G, W))
+        dead = (t >= rowend[jnp.clip(rid, 0, m - 1)]) | ~filled | (rid < 0)
+        bsrc = jnp.where(dead, 0, u + t)
+        if f64:
+            aval = a_data[jnp.clip(ach, 0, a_data.shape[0] - 1)]
+        else:
+            aval = jax.lax.bitcast_convert_type(ach, jnp.float32)
+    else:
+        sid = _decode(p0, sid_base, chunk_start, G, W)
+        sid_c = jnp.clip(sid, 0, nnzA - 1)
+        rec = srec[sid_c]
+        u = rec[..., 0]
+        dead = (t >= rowend[jnp.clip(rid, 0, m - 1)]) | (sid < 0) | (rid < 0)
+        bsrc = jnp.where(dead, 0, u + t)
+        if f64:
+            aval = a_data[a_srcmap[sid_c]]
+        else:
+            aval = jax.lax.bitcast_convert_type(rec[..., 1], jnp.float32)
     if f64:
-        aval = a_data[a_srcmap[sid_c]]
         col = jnp.where(dead, jnp.int32(n_cols), b_indices[bsrc])
         val = jnp.where(dead, 0.0, aval * b_data[bsrc])
     else:
-        aval = jax.lax.bitcast_convert_type(rec[..., 1], jnp.float32)
         bp = b_packed[bsrc]
         col = jnp.where(dead, jnp.int32(n_cols), bp[..., 0])
         bval = jax.lax.bitcast_convert_type(bp[..., 1], jnp.float32)
@@ -804,7 +887,7 @@ def compact_staged(rid_s, col_s, val_s, counts, *, n_cols: int,
     jax.jit,
     static_argnames=("G", "W", "n_cols", "pack_bits", "stage", "f64",
                      "pallas_contract", "sort_impl", "compact_impl",
-                     "stage_raw"),
+                     "stage_raw", "expand_impl"),
     donate_argnames=("nnz_row",),
 )
 def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
@@ -813,7 +896,7 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
                  W: int, n_cols: int, pack_bits: int, stage: bool,
                  f64: bool, pallas_contract: bool = False,
                  sort_impl: str = "xla", compact_impl: str = "sort",
-                 stage_raw: bool = False):
+                 stage_raw: bool = False, expand_impl: str = "fill"):
     """One fused count(+stage) pass over stream chunk
     [chunk_start, chunk_start + G*W).
 
@@ -829,7 +912,8 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
     """
     rid, col, val, _ = _expand_chunk(
         e, rowend, p0, srec, b_packed, b_indices, b_data, a_data,
-        a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64)
+        a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64,
+        expand_impl=expand_impl)
 
     rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits,
                                      sort_impl=sort_impl)
@@ -877,7 +961,7 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
 @partial(
     jax.jit,
     static_argnames=("G", "W", "n_cols", "pack_bits", "stage_wide", "f64",
-                     "sort_impl", "compact_impl"),
+                     "sort_impl", "compact_impl", "expand_impl"),
     donate_argnames=("c_cols", "c_vals"),
 )
 def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
@@ -885,7 +969,8 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
                          c_cols, c_vals, chunk_start, rid_base, sid_base,
                          n_wide, *, G: int, W: int, n_cols: int,
                          pack_bits: int, stage_wide: bool, f64: bool,
-                         sort_impl: str = "xla", compact_impl: str = "sort"):
+                         sort_impl: str = "xla", compact_impl: str = "sort",
+                         expand_impl: str = "fill"):
     """Two-phase numeric pass over one chunk: same expand/sort/contract as
     stream_chunk, but contained rows' run-last entries scatter STRAIGHT to
     their exact offsets (no staging) — the analogue of the reference's
@@ -895,7 +980,8 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
     """
     rid, col, val, _ = _expand_chunk(
         e, rowend, p0, srec, b_packed, b_indices, b_data, a_data,
-        a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64)
+        a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64,
+        expand_impl=expand_impl)
 
     rid_s, col_s, val_s = _sort_rect(rid, col, val, n_cols, pack_bits,
                                      sort_impl=sort_impl)
@@ -944,13 +1030,14 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
 
 @partial(
     jax.jit,
-    static_argnames=("G", "W", "n_cols", "f64"),
+    static_argnames=("G", "W", "n_cols", "f64", "expand_impl"),
     donate_argnames=("acc", "pres"),
 )
 def stream_chunk_accum(e2, rowend2, p02, srec2, b_packed, b_indices,
                        b_data, a_data, a_srcmap, abase, cmin_s, acc, pres,
                        chunk_start, rid_base, sid_base, row_lo, row_hi, *,
-                       G: int, W: int, n_cols: int, f64: bool):
+                       G: int, W: int, n_cols: int, f64: bool,
+                       expand_impl: str = "fill"):
     """One expand + scatter-add pass over accumulator-stream chunk
     [chunk_start, chunk_start + G*W): products of rows in the active part
     [row_lo, row_hi) land at acc[abase[rid] + col - cmin[rid]] (abase is
@@ -965,7 +1052,8 @@ def stream_chunk_accum(e2, rowend2, p02, srec2, b_packed, b_indices,
     """
     rid, col, val, dead = _expand_chunk(
         e2, rowend2, p02, srec2, b_packed, b_indices, b_data, a_data,
-        a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64)
+        a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64,
+        expand_impl=expand_impl)
     na = abase.shape[0]
     rid_c = jnp.clip(rid, 0, na - 1)
     live = (~dead) & (rid >= row_lo) & (rid < row_hi)

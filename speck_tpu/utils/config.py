@@ -129,6 +129,12 @@ class SpgemmConfig:
     # kernel: a single HBM round trip). A/B on hardware; applies to the
     # single-key sort paths only
     stream_sort_impl: str = "xla"
+    # chunk expand: "fill" forward-fills per-slot A records (u, valA)
+    # from boundary scatters at the A-slot starts — no sid decode, no
+    # O(G*W) random srec gather (one b_packed record gather per live
+    # product remains); "decode" is the round-2 per-slot decode+gather
+    # form. A/B on hardware; "fill" measured faster (see BASELINE.md)
+    stream_expand_impl: str = "fill"
     # staged-buffer compaction: "sort" (one rank sort moves run-lasts to
     # the rectangle-row front) or "scatter" (three flat scatters to
     # g*W + rank; write targets are dense in-order per-row prefixes —
@@ -221,6 +227,7 @@ _INI_TUNING_KEYS = {
     "StreamPallasContract": ("stream_pallas_contract", bool),
     "StreamSortImpl": ("stream_sort_impl", str),
     "StreamCompactImpl": ("stream_compact_impl", str),
+    "StreamExpandImpl": ("stream_expand_impl", str),
 }
 
 

@@ -67,6 +67,7 @@ from .stream import (
     build_srec,
     compact_staged,
     plan_device_stream,
+    plan_gate,
     plan_layout,
     plan_levels,
     stream_chunk,
@@ -737,6 +738,52 @@ def _plan_dia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
     )
 
 
+def _dia_spans(cfg: SpgemmConfig, A: DeviceCSR, B: DeviceCSR,
+               a_dmin: int, a_dmax: int, b_dmin: int, b_dmax: int,
+               sp_sat: int):
+    """DIA fast-path eligibility (ops/dia.py) from the gate scalars:
+    returns (span_a, span_b) when the whole multiply should run over
+    diagonal planes, else None. Hard int32 guard independent of the
+    (INI-raisable) memory budget: plane slot arithmetic is span*rows +
+    row in int32 (dia_slots), and the staging compaction flattens to
+    m*sc."""
+    if not (a_dmin <= a_dmax and b_dmin <= b_dmax):
+        return None
+    m, n = A.shape[0], B.shape[1]
+    sa = a_dmax - a_dmin + 1
+    sb = b_dmax - b_dmin + 1
+    itemsize = jnp.dtype(A.data.dtype).itemsize
+    sc_g = sa + sb - 1
+    if (sa <= cfg.dia_span_cap and sb <= cfg.dia_span_cap
+            and max(sa * m, sb * A.shape[1], sc_g * m) < 2 ** 31
+            and m * sa * sb <= cfg.dia_waste_cap * max(sp_sat, 1)
+            and plane_bytes(m, A.shape[1], n, sa, sb, itemsize)
+            <= cfg.dia_mem_budget):
+        return sa, sb
+    return None
+
+
+def _check_limits(cfg: SpgemmConfig, sp_sat: int, mxrow_sat: int):
+    """int32 stream-position ceiling: beyond this the tight layout's
+    cumsums wrap and the plan would be garbage. spgemm() catches and
+    re-runs as row blocks (the reference's analogue is its hard 2^27
+    dimension limit, Multiply.cu:57-66; we lift it by auto-blocking
+    instead of refusing). A row with >= 2^30 products can also wrap its
+    own int32 row_ops (the analysis pass is only per-row exact below
+    2^31, analysis.py); both totals come from the wrap-immune f32 twin
+    in the gate scalars."""
+    if mxrow_sat >= 1 << 30:
+        raise ProductOverflow(
+            f"a single row has ~{mxrow_sat} intermediate products, "
+            "near the int32 per-row ceiling; shard over a mesh "
+            "(parallel/mesh_stream.py)")
+    if sp_sat >= cfg.block_products:
+        raise ProductOverflow(
+            f"~{sp_sat:.3g} intermediate products exceed one plan's "
+            f"budget ({cfg.block_products}); use spgemm() (auto row "
+            "blocking) or shard over a mesh")
+
+
 def plan_spgemm(
     A: DeviceCSR,
     B: DeviceCSR,
@@ -765,6 +812,33 @@ def plan_spgemm(
             row_offsets=jnp.zeros((m + 1,), jnp.int32), nnz=0,
             sum_products=stats.sum_products,
         )
+
+    dia_possible = bool(
+        cfg.enable_dia and A.canonical and B.canonical
+        and A.nnz > 0 and B.nnz > 0)
+    gate_done = False
+    if dia_possible and cfg.dia_gate_early:
+        # early routing gate: read back ONLY the 7 gate scalars before
+        # dispatching the O(m log m) stream/dense planning. When DIA
+        # wins, that speculative planning (measured ~170 ms device time
+        # on the banded 65k config) never runs; when it loses, the
+        # overflow guards already ran, so the row-blocked path skips a
+        # full wasted plan. Cost on a losing gate: one extra small
+        # readback (~27 ms through the axon tunnel, µs on-chip).
+        with StageTimer(timings, "loadBalanceCounting", track):
+            gate = np.asarray(plan_gate(
+                A.indptr, A.indices, B.indptr, B.indices,
+                stats.row_ops, stats.row_ops_f, m=m))
+            (a_dmin, a_dmax, b_dmin, b_dmax, sp_sat, mxrow_sat,
+             sp_exact) = (int(x) for x in gate)
+            spans = _dia_spans(cfg, A, B, a_dmin, a_dmax, b_dmin, b_dmax,
+                               sp_sat)
+            if spans is not None:
+                return _plan_dia(A, B, cfg, timings, stats,
+                                 a_dmin, b_dmin, spans[0], spans[1],
+                                 track)
+            _check_limits(cfg, sp_sat, mxrow_sat)
+            gate_done = True
 
     with StageTimer(timings, "loadBalanceCounting", track):
         direct_ok = bool(B.canonical) and cfg.enable_direct
@@ -810,46 +884,20 @@ def plan_spgemm(
         tight_h = pack_h[4 * N_QCLASS + 12:]
         W, total_q, n_wide_t, r_wide_t = (int(x) for x in tight_h[:4])
 
-        # ---- DIA fast path (ops/dia.py): whole-matrix diagonal-band
-        # routing, decided from the same single readback. When it
-        # applies, the speculative stream/dense planning above is simply
-        # discarded (it is O(m log m) device work, dispatched before the
-        # readback could tell us it was unnecessary).
-        if (cfg.enable_dia and A.canonical and B.canonical
-                and A.nnz > 0 and B.nnz > 0
-                and a_dmin <= a_dmax and b_dmin <= b_dmax):
-            sa = a_dmax - a_dmin + 1
-            sb = b_dmax - b_dmin + 1
-            itemsize = jnp.dtype(A.data.dtype).itemsize
-            sc_g = sa + sb - 1
-            # hard int32 guard independent of the (INI-raisable) memory
-            # budget: plane slot arithmetic is span*rows + row in int32
-            # (dia_slots), and the staging compaction flattens to m*sc
-            if (sa <= cfg.dia_span_cap and sb <= cfg.dia_span_cap
-                    and max(sa * m, sb * A.shape[1], sc_g * m) < 2 ** 31
-                    and m * sa * sb <= cfg.dia_waste_cap * max(sp_sat, 1)
-                    and plane_bytes(m, A.shape[1], n, sa, sb, itemsize)
-                    <= cfg.dia_mem_budget):
-                return _plan_dia(A, B, cfg, timings, stats,
-                                 a_dmin, b_dmin, sa, sb, track)
-        # int32 stream-position ceiling: beyond this the tight layout's
-        # cumsums wrap and the plan would be garbage. spgemm() catches
-        # and re-runs as row blocks (the reference's analogue is its hard
-        # 2^27 dimension limit, Multiply.cu:57-66; we lift it by
-        # auto-blocking instead of refusing). A row with >= 2^30 products
-        # can also wrap its own int32 row_ops (the analysis pass is only
-        # per-row exact below 2^31, analysis.py); both totals come from
-        # the wrap-immune f32 twin in the pack.
-        if mxrow_sat >= 1 << 30:
-            raise ProductOverflow(
-                f"a single row has ~{mxrow_sat} intermediate products, "
-                "near the int32 per-row ceiling; shard over a mesh "
-                "(parallel/mesh_stream.py)")
-        if sp_sat >= cfg.block_products:
-            raise ProductOverflow(
-                f"~{sp_sat:.3g} intermediate products exceed one plan's "
-                f"budget ({cfg.block_products}); use spgemm() (auto row "
-                "blocking) or shard over a mesh")
+        # ---- DIA fast path (ops/dia.py) and the int32 overflow guards.
+        # With the early gate (dia_gate_early, the default) both already
+        # ran before the heavy planning above; this is the fallback for
+        # EnableDia=false / DiaGateEarly=false / non-canonical inputs,
+        # where the scalars ride the single planning readback instead.
+        if not gate_done:
+            if dia_possible:
+                spans = _dia_spans(cfg, A, B, a_dmin, a_dmax, b_dmin,
+                                   b_dmax, sp_sat)
+                if spans is not None:
+                    return _plan_dia(A, B, cfg, timings, stats,
+                                     a_dmin, b_dmin, spans[0], spans[1],
+                                     track)
+            _check_limits(cfg, sp_sat, mxrow_sat)
         # wide-row exact segment counts: from the pack when they fit its
         # N_WSEG_PACK window, else ONE extra fetch of the wide rows' ops
         n_accum_h = int(a_hist.sum())

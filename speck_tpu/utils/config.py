@@ -167,6 +167,14 @@ class SpgemmConfig:
     # dia_waste_cap of the true product count, plane working set within
     # dia_mem_budget bytes. Requires canonical A and B.
     enable_dia: bool = True
+    # decide the DIA route from a dedicated early readback of the 7 gate
+    # scalars BEFORE dispatching the O(m log m) stream/dense planning:
+    # a winning gate skips ~170 ms of discarded speculative planning
+    # (measured, banded 65k); a losing gate costs one extra small
+    # readback (~27 ms through the axon tunnel, µs on a local chip).
+    # False restores the round-2 fused form (scalars ride the single
+    # planning readback; speculative planning always dispatched).
+    dia_gate_early: bool = True
     dia_span_cap: int = 512
     dia_waste_cap: float = 8.0
     dia_mem_budget: int = 1 << 30
@@ -216,6 +224,7 @@ _INI_TUNING_KEYS = {
     "EnableDense": ("enable_dense", bool),
     "EnableDirect": ("enable_direct", bool),
     "EnableDia": ("enable_dia", bool),
+    "DiaGateEarly": ("dia_gate_early", bool),
     "DiaSpanCap": ("dia_span_cap", int),
     "DiaWasteCap": ("dia_waste_cap", float),
     "DiaMemBudget": ("dia_mem_budget", int),

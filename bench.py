@@ -87,7 +87,7 @@ def bench_pair(name, a, b, dtype=np.float32, iters=3, warm=1):
     from speck_tpu.ops.analysis import analyze
 
     A = device_put_csr(a, dtype)
-    B = A if b is a else device_put_csr(b, dtype)
+    B = A if (b is a or b is None) else device_put_csr(b, dtype)
     sum_products = float(analyze(A, B).sum_products)
 
     def run():
@@ -172,54 +172,77 @@ def main():
     mean_s, C1, sum_products = bench_pair("config1_banded_65k_AxA", a1, a1)
     assert C1.nnz == C_ref.nnz, f"nnz mismatch: {C1.nnz} vs {C_ref.nnz}"
 
+    # Every further config runs guarded: one failing config must not cost
+    # the round its headline artifact (round 2 lost its entire BENCH json
+    # to an OOM in the giant-row config; the driver records rc + tail).
+    failures = []
+
+    def guarded(tag, fn):
+        try:
+            fn()
+        except Exception as e:
+            failures.append(tag)
+            msg = str(e).replace("\n", " ")[:300]
+            print(f"# {tag} FAILED: {type(e).__name__}: {msg}", flush=True)
+
     # ---- config 1b: banded + clustered outlier rows (dense MXU tiles
     # for the banded bulk, stream for the outliers; DIA gate rejected) ----
-    a1b = make_mixed()
-    bench_pair("config1b_mixed_banded_outliers_AxA", a1b, a1b, iters=2)
+    guarded("config1b", lambda: bench_pair(
+        "config1b_mixed_banded_outliers_AxA", make_mixed(), None, iters=2))
 
     # ---- config 2: skewed power-law A·A ----
-    a2 = make_powerlaw(131072)
-    bench_pair("config2_powerlaw_131k_AxA", a2, a2, iters=2)
+    guarded("config2", lambda: bench_pair(
+        "config2_powerlaw_131k_AxA", make_powerlaw(131072), None, iters=2))
 
     # ---- config 3: larger skewed A·A (long rows) ----
-    a3 = make_powerlaw(262144, seed=7)
-    bench_pair("config3_powerlaw_262k_AxA", a3, a3, iters=2)
+    guarded("config3", lambda: bench_pair(
+        "config3_powerlaw_262k_AxA", make_powerlaw(262144, seed=7), None,
+        iters=2))
 
     # ---- config 4: rectangular A·P (Galerkin leg) ----
-    p4 = make_prolongation(65536, 16384)
-    bench_pair("config4_rect_AxP_65kx16k", a1, p4, iters=2)
+    guarded("config4", lambda: bench_pair(
+        "config4_rect_AxP_65kx16k", a1, make_prolongation(65536, 16384),
+        iters=2))
 
     # ---- giant row: 5e7 products in ONE row (the windowed giant-row /
     # global-map analogue, spECK_HashSpGEMM.cuh:106-126, 1175-1298) ----
-    import scipy.sparse as sp
-    from speck_tpu.formats.csr import HostCSR
+    def run_giant():
+        import scipy.sparse as sp
+        from speck_tpu.formats.csr import HostCSR
 
-    mg = 40000
-    rsg = np.random.RandomState(17)
-    NH, HN = 5000, 10000
-    hrow = np.repeat(np.arange(10000, 10000 + NH), HN)
-    hcol = ((np.tile(np.arange(HN), NH)
-             + np.repeat(np.arange(NH) * 37, HN)) % 10000) + 25000
-    lr = np.repeat(np.arange(1, 5000), 16)
-    lc = rsg.randint(1, 5000, lr.shape[0])
-    gm = sp.csr_matrix(
-        (rsg.standard_normal(NH + hrow.shape[0] + lr.shape[0]),
-         (np.concatenate([np.zeros(NH, int), hrow, lr]),
-          np.concatenate([np.arange(10000, 10000 + NH), hcol, lc]))),
-        shape=(mg, mg))
-    gm.sum_duplicates()
-    gh = HostCSR.from_scipy(gm)
-    bench_pair("giant_row_5e7_products_AxA", gh, gh, iters=1, warm=1)
+        mg = 40000
+        rsg = np.random.RandomState(17)
+        NH, HN = 5000, 10000
+        hrow = np.repeat(np.arange(10000, 10000 + NH), HN)
+        hcol = ((np.tile(np.arange(HN), NH)
+                 + np.repeat(np.arange(NH) * 37, HN)) % 10000) + 25000
+        lr = np.repeat(np.arange(1, 5000), 16)
+        lc = rsg.randint(1, 5000, lr.shape[0])
+        gm = sp.csr_matrix(
+            (rsg.standard_normal(NH + hrow.shape[0] + lr.shape[0]),
+             (np.concatenate([np.zeros(NH, int), hrow, lr]),
+              np.concatenate([np.arange(10000, 10000 + NH), hcol, lc]))),
+            shape=(mg, mg))
+        gm.sum_duplicates()
+        gh = HostCSR.from_scipy(gm)
+        bench_pair("giant_row_5e7_products_AxA", gh, gh, iters=1, warm=1)
+
+    guarded("giant_row", run_giant)
 
     # ---- fp64 path (double instantiation parity, Multiply.cu:1130-31) ----
-    jax.config.update("jax_enable_x64", True)
-    try:
-        a5 = make_banded(16384, 8, seed=9)
-        bench_pair("fp64_banded_16k_AxA", a5, a5, dtype=np.float64,
-                   iters=2)
-    finally:
-        jax.config.update("jax_enable_x64", False)
+    def run_fp64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            a5 = make_banded(16384, 8, seed=9)
+            bench_pair("fp64_banded_16k_AxA", a5, a5, dtype=np.float64,
+                       iters=2)
+        finally:
+            jax.config.update("jax_enable_x64", False)
 
+    guarded("fp64", run_fp64)
+
+    if failures:
+        print(f"# FAILED configs: {', '.join(failures)}", flush=True)
     gflops = 2.0 * sum_products / mean_s / 1e9
     print(json.dumps({
         "metric": "spgemm_banded_65k_AxA_gflops",

@@ -16,7 +16,7 @@ def run(name, a, b, iters=3):
     from speck_tpu.utils.timings import Timings
 
     A = device_put_csr(a, np.float32)
-    B = A if b is a else device_put_csr(b, np.float32)
+    B = A if (b is a or b is None) else device_put_csr(b, np.float32)
     # warmup (compiles)
     t = Timings()
     t.measure_all = True
@@ -55,6 +55,25 @@ def main():
     if "powerlaw3" in want:
         a = make_powerlaw(262144, seed=7)
         run("config3 powerlaw 262k", a, a)
+    if "giant" in want:
+        import scipy.sparse as sp
+        from speck_tpu.formats.csr import HostCSR
+
+        mg = 40000
+        rsg = np.random.RandomState(17)
+        NH, HN = 5000, 10000
+        hrow = np.repeat(np.arange(10000, 10000 + NH), HN)
+        hcol = ((np.tile(np.arange(HN), NH)
+                 + np.repeat(np.arange(NH) * 37, HN)) % 10000) + 25000
+        lr = np.repeat(np.arange(1, 5000), 16)
+        lc = rsg.randint(1, 5000, lr.shape[0])
+        gm = sp.csr_matrix(
+            (rsg.standard_normal(NH + hrow.shape[0] + lr.shape[0]),
+             (np.concatenate([np.zeros(NH, int), hrow, lr]),
+              np.concatenate([np.arange(10000, 10000 + NH), hcol, lc]))),
+            shape=(mg, mg))
+        gm.sum_duplicates()
+        run("giant 5e7-product row", HostCSR.from_scipy(gm), None, iters=1)
 
 
 if __name__ == "__main__":

@@ -83,12 +83,14 @@ def tile_stats(a_indptr, a_indices, b_indptr, b_indices,
     # scan (the pathology analysis.cumsum1d exists to avoid)
     seg = cumsum1d(jnp.zeros((nnz,), jnp.int32).at[a_indptr[1:-1]].add(
         1, mode="drop")) if nnz else jnp.zeros((0,), jnp.int32)
-    # ONE record gather at a_indices serves all three per-B-row stats
-    # (three separate gathers measured as a third of tile_stats' cost)
-    brec = jnp.stack([b_cmin, b_cmax, b_len], axis=-1)[a_indices]
-    gcmin = jax.ops.segment_min(brec[..., 0], seg, num_segments=m)
-    gcmax = jax.ops.segment_max(brec[..., 1], seg, num_segments=m)
-    gblen = jax.ops.segment_max(brec[..., 2], seg, num_segments=m)
+    # Three separate 1-D gathers at a_indices. Do NOT pack these into an
+    # (nnz, 3) record gather: a 2-D int32 output with minor dim 3 gets
+    # tile-padded to (nnz, 128) on TPU — 512 bytes/element, 25.6 GB at
+    # 50M nnz (the round-2 bench OOM, fusion output
+    # s32[50084873,3]{1,0:T(8,128)}).
+    gcmin = jax.ops.segment_min(b_cmin[a_indices], seg, num_segments=m)
+    gcmax = jax.ops.segment_max(b_cmax[a_indices], seg, num_segments=m)
+    gblen = jax.ops.segment_max(b_len[a_indices], seg, num_segments=m)
     no_ops = row_ops <= 0
     gcmin = jnp.where(no_ops, INT_MAX, gcmin)
     gcmax = jnp.where(no_ops, -1, gcmax)

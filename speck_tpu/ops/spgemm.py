@@ -816,8 +816,17 @@ def plan_spgemm(
     dia_possible = bool(
         cfg.enable_dia and A.canonical and B.canonical
         and A.nnz > 0 and B.nnz > 0)
+    # host-side band plausibility (free, no readback): a canonical row
+    # with L nonzeros spans >= L diagonals, so span_a >= max row nnz >=
+    # nnz/m. When the average row alone exceeds the span cap, DIA is
+    # provably ineligible and the early gate readback would be a pure
+    # waste (~27 ms through the axon tunnel per call) — fall through to
+    # the fused form where the gate scalars ride the planning readback.
+    band_plausible = bool(
+        A.nnz <= m * cfg.dia_span_cap
+        and B.nnz <= max(B.shape[0], 1) * cfg.dia_span_cap)
     gate_done = False
-    if dia_possible and cfg.dia_gate_early:
+    if dia_possible and cfg.dia_gate_early and band_plausible:
         # early routing gate: read back ONLY the 7 gate scalars before
         # dispatching the O(m log m) stream/dense planning. When DIA
         # wins, that speculative planning (measured ~170 ms device time

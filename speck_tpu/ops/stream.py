@@ -472,9 +472,12 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     (ops/dia.py): the min/max of (col - row) over A and over B (exact for
     canonical matrices: a row's first/last column id is its min/max), and
     the total product count saturated to int32 (only used as a host
-    waste-ratio heuristic, so saturation is benign). The tight-layout
-    tail (see _plan_rows_impl) carries the device-chosen rectangle width
-    and the exact stream totals.
+    waste-ratio heuristic, so saturation is benign). When the early gate
+    (plan_gate) already computed these 7 scalars, they are INTENTIONALLY
+    recomputed here so the pack layout stays fixed — the duplicate is
+    O(m) device work, dead only on the route where the gate already won.
+    The tight-layout tail (see _plan_rows_impl) carries the device-chosen
+    rectangle width and the exact stream totals.
     """
     from .dense import tile_stats
 

@@ -160,6 +160,45 @@ def test_dia_identity(rng):
     assert plan.dia is not None
 
 
+@pytest.mark.parametrize("kind", ["banded", "random", "sparse_band"])
+def test_dia_gate_early_routing_parity(rng, kind):
+    """DiaGateEarly=True and False must pick the same route (DIA vs
+    stream/dense) and produce the same nnz for identical inputs — a
+    drift between the two gates' _dia_spans inputs would route the same
+    matrix differently depending on a perf knob (ADVICE.md round 2)."""
+    rs = np.random.RandomState(12)
+    if kind == "banded":
+        a = _band(300, range(-3, 4), rs)
+    elif kind == "sparse_band":
+        a = _band(400, [0, 200], rs)   # wide span, waste gate rejects
+    else:
+        a = sp.random(300, 300, 0.02, format="csr",
+                      random_state=rs, dtype=np.float64)
+    ah = HostCSR.from_scipy(a)
+    A = device_put_csr(ah, np.float32)
+    plans = [plan_spgemm(A, A, SpgemmConfig(dia_gate_early=g))
+             for g in (True, False)]
+    assert (plans[0].dia is None) == (plans[1].dia is None)
+    assert plans[0].nnz == plans[1].nnz
+    c0 = device_get_csr(plans[0].execute())
+    c1 = device_get_csr(plans[1].execute())
+    np.testing.assert_array_equal(c0.col_ids, c1.col_ids)
+
+
+def test_dia_gate_early_overflow_parity(rng):
+    """Both gate settings must raise ProductOverflow for the same
+    too-many-products input (the guards run on either route)."""
+    from speck_tpu.utils.config import ProductOverflow
+
+    rs = np.random.RandomState(13)
+    a = sp.random(400, 400, 0.2, format="csr", random_state=rs)
+    A = device_put_csr(HostCSR.from_scipy(a), np.float32)
+    for g in (True, False):
+        cfg = SpgemmConfig(dia_gate_early=g, block_products=1 << 10)
+        with pytest.raises(ProductOverflow):
+            plan_spgemm(A, A, cfg)
+
+
 def test_dia_scatter_compact_matches_sort(rng):
     """stream_compact_impl="scatter" routes the DIA staging compaction
     through flat scatters; results must be element-identical to the

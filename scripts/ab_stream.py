@@ -8,15 +8,23 @@ import time
 import numpy as np
 
 
+def _fetch(out):
+    """Force a real D2H fetch — block_until_ready lies through the
+    tunnel; only a host copy proves the computation ran."""
+    import jax
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "dtype")]
+    np.asarray(leaves[-1].reshape(-1)[-1:])
+
+
 def timeit(fn, *args, n=3, **kw):
     out = fn(*args, **kw)
-    import jax
-    jax.block_until_ready(out)
+    _fetch(out)
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        _fetch(out)
         ts.append(time.perf_counter() - t0)
     return min(ts), out
 

@@ -59,6 +59,9 @@ class DiaState:
     slot_b: jax.Array            # (nnz_b,) plane slot of each B nonzero
     present: jax.Array           # (m, span_c) bool structural presence
     staged: Optional[tuple] = None   # (cols_s (m, span_c), vals_s) sorted
+    # uniform-rows fast emit (dia_offsets_meta): rows [p, q) are all
+    # full, their staged block is the final CSR payload at shift offs_p
+    uniform: Optional[tuple] = None  # (p, q, offs_p)
 
 
 def plane_bytes(m: int, k: int, n_out: int, sa: int, sb: int,
@@ -200,3 +203,61 @@ def dia_numeric_stage(c_val, present, *, sc: int, m: int, n_cols: int,
     value cancellation cannot change the emitted pattern."""
     return _rank_compact(c_val.T, present, sc=sc, m=m, n_cols=n_cols,
                          base_c=base_c, impl=impl)
+
+
+@partial(jax.jit, static_argnames=("sc",))
+def dia_offsets_meta(counts, *, sc: int):
+    """Row offsets plus the uniform-run scalars in ONE readback.
+
+    meta = [nnz, max_count, p, q, run_ok, offs_p]: [p, q) is the row
+    range between the FIRST and LAST full rows (count == sc), run_ok=1
+    iff every row in it is full and none outside is. For such a run the
+    staged rows are the final CSR payload at the constant shift offs_p
+    (all sc slots live, compaction is the identity, columns ascend by
+    construction) — the host emits them as one contiguous copy instead
+    of nnz random gathers (the banded interior: every row of BASELINE
+    config 1 except the ~2*half_band band-clipped edge rows)."""
+    from .analysis import cumsum1d
+
+    m = counts.shape[0]
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), cumsum1d(counts)])
+    full = counts == jnp.int32(sc)
+    idx = jnp.arange(m, dtype=jnp.int32)
+    p = jnp.min(jnp.where(full, idx, m))
+    q = jnp.max(jnp.where(full, idx, -1)) + 1
+    nfull = jnp.sum(full.astype(jnp.int32))
+    run_ok = (nfull > 0) & (nfull == q - p)
+    offs_p = offs[jnp.clip(p, 0, m)]
+    meta = jnp.stack([
+        offs[-1], jnp.max(counts, initial=0), p, q,
+        run_ok.astype(jnp.int32), offs_p,
+    ])
+    return offs, meta
+
+
+@partial(jax.jit, static_argnames=("sc", "r0", "r1", "o0", "n_out"))
+def dia_emit_edge(cols_s, vals_s, row_offsets, *, sc: int, r0: int,
+                  r1: int, o0: int, n_out: int):
+    """Gather-emit of outputs [o0, o0 + n_out) covering staged rows
+    [r0, r1) — the non-uniform edge rows of a uniform-emit plan. All
+    bounds are host-known after the meta readback, so shapes are
+    static and exact (no padding)."""
+    from .analysis import cumsum1d
+
+    i = jnp.arange(n_out, dtype=jnp.int32)
+    marks = jnp.zeros((n_out,), jnp.int32)
+    if r1 - r0 > 1:
+        marks = marks.at[row_offsets[r0 + 1:r1] - o0].add(1, mode="drop")
+    rid = r0 + cumsum1d(marks)
+    src = rid * sc + (i + o0 - row_offsets[rid])
+    src = jnp.clip(src, 0, cols_s.size - 1)
+    if vals_s.dtype.itemsize == 4:
+        packed = jnp.stack(
+            [cols_s.reshape(-1),
+             jax.lax.bitcast_convert_type(vals_s.reshape(-1), jnp.int32)],
+            axis=-1)
+        rec = packed[src]
+        return rec[..., 0], jax.lax.bitcast_convert_type(
+            rec[..., 1], vals_s.dtype)
+    return cols_s.reshape(-1)[src], vals_s.reshape(-1)[src]

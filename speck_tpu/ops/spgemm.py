@@ -52,7 +52,9 @@ from .dia import (
     DiaState,
     dia_conv,
     dia_count_stage,
+    dia_emit_edge,
     dia_numeric_stage,
+    dia_offsets_meta,
     dia_planes,
     dia_slots,
     plane_bytes,
@@ -433,7 +435,40 @@ class SpgemmPlan:
                 cols_s, vals_s = dia_numeric_stage(
                     c_val, d.present, sc=d.span_c, m=m, n_cols=n,
                     base_c=base_c, impl=self.cfg.stream_compact_impl)
-            if self.nnz > 0:
+            if self.nnz > 0 and d.uniform is not None:
+                # uniform-rows fast emit: the all-full interior block is
+                # the final payload at a constant shift — one contiguous
+                # copy (HBM-bandwidth) instead of nnz random gathers;
+                # only the band-clipped edge rows gather
+                up, uq, u_offs = d.uniform
+                sc = d.span_c
+                mid_n = (uq - up) * sc
+                cols_f = cols_s.reshape(-1)
+                vals_f = vals_s.reshape(-1)
+                parts_c = []
+                parts_v = []
+                if u_offs > 0:
+                    ec, ev = dia_emit_edge(
+                        cols_s, vals_s, self.row_offsets, sc=sc,
+                        r0=0, r1=up, o0=0, n_out=u_offs)
+                    parts_c.append(ec)
+                    parts_v.append(ev)
+                parts_c.append(
+                    jax.lax.slice(cols_f, (up * sc,), (uq * sc,)))
+                parts_v.append(
+                    jax.lax.slice(vals_f, (up * sc,), (uq * sc,)))
+                tail_n = self.nnz - u_offs - mid_n
+                if tail_n > 0:
+                    ec, ev = dia_emit_edge(
+                        cols_s, vals_s, self.row_offsets, sc=sc,
+                        r0=uq, r1=m, o0=u_offs + mid_n, n_out=tail_n)
+                    parts_c.append(ec)
+                    parts_v.append(ev)
+                c_cols = (parts_c[0] if len(parts_c) == 1
+                          else jnp.concatenate(parts_c))
+                c_vals = (parts_v[0] if len(parts_v) == 1
+                          else jnp.concatenate(parts_v))
+            elif self.nnz > 0:
                 c_cols, c_vals = dense_gather_emit(
                     cols_s, vals_s, self.row_offsets,
                     tile_rows=1, cw=d.span_c, m=m, nnz=self.nnz)
@@ -724,8 +759,16 @@ def _plan_dia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
             impl=cfg.stream_compact_impl)
         st.stop(counts)
     with StageTimer(timings, "allocC", track):
-        row_offsets, meta = _offsets_from_counts(counts)
-        nnz, max_count = (int(x) for x in np.asarray(meta))  # host sync
+        row_offsets, meta = dia_offsets_meta(counts, sc=sc)
+        nnz, max_count, up, uq, u_ok, u_offs = (
+            int(x) for x in np.asarray(meta))  # host sync
+    # uniform-rows fast emit: take it when the all-full interior run
+    # covers at least half the output (otherwise the two edge gathers
+    # approach the cost of one full gather and the split buys nothing)
+    uniform = None
+    if (cfg.dia_uniform_emit and u_ok and nnz > 0
+            and (uq - up) * sc >= nnz // 2):
+        uniform = (up, uq, u_offs)
     # staged planes are 2 int32-sized planes per (row, diag) slot
     staged = ((cols_s, vals_s)
               if 2 * sc * m <= cfg.fused_staging_budget else None)
@@ -734,7 +777,7 @@ def _plan_dia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
         sum_products=stats.sum_products, max_count=max_count,
         dia=DiaState(span_a=sa, span_b=sb, span_c=sc, dmin_a=dmin_a,
                      dmin_b=dmin_b, slot_a=slot_a, slot_b=slot_b,
-                     present=present, staged=staged),
+                     present=present, staged=staged, uniform=uniform),
     )
 
 

@@ -175,6 +175,14 @@ class SpgemmConfig:
     # False restores the round-2 fused form (scalars ride the single
     # planning readback; speculative planning always dispatched).
     dia_gate_early: bool = True
+    # uniform-rows fast emit: when a contiguous interior run of rows is
+    # FULL (count == span_c, true for every interior row of a banded
+    # matrix), their staged entries are already the final CSR payload at
+    # a constant shift — emitted as ONE contiguous copy instead of a
+    # per-element gather (measured ~170 ms of the banded-65k complete
+    # call). Edge rows emit via the gather. The run bounds ride the same
+    # nnz readback. False forces the all-gather emit.
+    dia_uniform_emit: bool = True
     dia_span_cap: int = 512
     dia_waste_cap: float = 8.0
     dia_mem_budget: int = 1 << 30
@@ -225,6 +233,7 @@ _INI_TUNING_KEYS = {
     "EnableDirect": ("enable_direct", bool),
     "EnableDia": ("enable_dia", bool),
     "DiaGateEarly": ("dia_gate_early", bool),
+    "DiaUniformEmit": ("dia_uniform_emit", bool),
     "DiaSpanCap": ("dia_span_cap", int),
     "DiaWasteCap": ("dia_waste_cap", float),
     "DiaMemBudget": ("dia_mem_budget", int),

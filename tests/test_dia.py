@@ -226,3 +226,54 @@ def test_dia_scatter_compact_matches_sort(rng):
     np.testing.assert_array_equal(r0.data, r1.data)
     ref = oracle_spgemm(HostCSR.from_scipy(a2), HostCSR.from_scipy(a2))
     assert compare_csr(ref, r1, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_dia_uniform_emit_taken_and_exact(rng):
+    """A banded matrix's interior rows are all full (count == span_c), so
+    the uniform-rows fast emit must engage, and its split emission
+    (edge gathers + one contiguous interior copy) must be element-
+    identical to the all-gather form (DiaUniformEmit=false)."""
+    rs = np.random.RandomState(21)
+    a = _band(500, range(-3, 4), rs)
+    plan = _run(a, a)
+    assert plan.dia is not None and plan.dia.uniform is not None
+    up, uq, u_offs = plan.dia.uniform
+    # band half-width 3 in A -> 6 in C: rows 6..m-6 are full
+    assert up == 6 and uq == 500 - 6 and u_offs == plan.row_offsets[6]
+    plan_off = _run(a, a, SpgemmConfig(dia_uniform_emit=False))
+    assert plan_off.dia.uniform is None
+    c_on = device_get_csr(plan.execute())
+    c_off = device_get_csr(plan_off.execute())
+    np.testing.assert_array_equal(c_on.col_ids, c_off.col_ids)
+    np.testing.assert_array_equal(c_on.data, c_off.data)
+
+
+def test_dia_uniform_emit_broken_run_falls_back(rng):
+    """An empty interior row splits the full run; run_ok must go false
+    and the plan must fall back to the gather emit, still exact."""
+    rs = np.random.RandomState(22)
+    a = _band(400, range(-2, 3), rs).tolil()
+    a[200, :] = 0          # C row 200 empty; rows 198..202 not full
+    a = a.tocsr()
+    a.eliminate_zeros()
+    plan = _run(a, a)
+    assert plan.dia is not None and plan.dia.uniform is None
+
+
+def test_dia_uniform_emit_numeric_rerun(rng):
+    """Uniform emit on a numeric replay with new values (the staged
+    branch is bypassed; dia_numeric_stage feeds the same split)."""
+    import dataclasses
+
+    rs = np.random.RandomState(23)
+    a = _band(300, range(-2, 3), rs)
+    ah = HostCSR.from_scipy(a)
+    Ad = device_put_csr(ah, np.float32)
+    plan = plan_spgemm(Ad, Ad, SpgemmConfig())
+    assert plan.dia is not None and plan.dia.uniform is not None
+    A2 = dataclasses.replace(Ad, data=Ad.data * 0.5)
+    C2 = device_get_csr(plan.execute(A=A2, B=A2))
+    ah2 = HostCSR(ah.rows, ah.cols, ah.row_offsets, ah.col_ids,
+                  ah.data * 0.5)
+    ref2 = oracle_spgemm(ah2, ah2)
+    assert compare_csr(ref2, C2, compare_data=True, rel_tol=2e-3).ok

@@ -343,16 +343,33 @@ def dense_gather_emit(cols_c, vals_c, row_offsets, *,
     Requires the staged tiles to cover rows 0..m in order (tile i = rows
     [i*tile_rows, ...)), so output row r's staged slots live at flat index
     r*cw + o. The output length (total nnz) is static per compile.
+
+    One random read per output: the per-row term (r*cw - row_offsets[r])
+    is constant over a row's output segment, so it is scattered at each
+    live row's start and forward-filled (ffill1d) rather than gathered
+    per element, and (col, val) travel as one packed 8-byte record.
     """
+    from .stream import ffill1d
+
     total = nnz if nnz else 1
     i = jnp.arange(total, dtype=jnp.int32)
-    # run-length decode row ids from row_offsets
-    rid = jnp.zeros((total,), jnp.int32).at[row_offsets[1:-1]].add(
-        1, mode="drop"
-    )
-    rid = cumsum1d(rid)
-    o = i - row_offsets[rid]
-    src = rid * cw + o
-    c_cols = cols_c.reshape(-1)[src]
-    c_vals = vals_c.reshape(-1)[src]
-    return c_cols, c_vals
+    m_rows = row_offsets.shape[0] - 1
+    r = jnp.arange(m_rows, dtype=jnp.int32)
+    starts = row_offsets[:-1]
+    live = (row_offsets[1:] - starts) > 0
+    pos = jnp.where(live, starts, total)
+    seed = jnp.zeros((total,), jnp.int32).at[pos].set(
+        r * cw - starts, mode="drop", unique_indices=True)
+    fl = jnp.zeros((total,), bool).at[pos].set(
+        True, mode="drop", unique_indices=True)
+    src = jnp.clip(ffill1d(seed, fl) + i, 0, cols_c.size - 1)
+    cols_f = cols_c.reshape(-1)
+    vals_f = vals_c.reshape(-1)
+    if vals_f.dtype.itemsize == 4:
+        packed = jnp.stack(
+            [cols_f, jax.lax.bitcast_convert_type(vals_f, jnp.int32)],
+            axis=-1)
+        rec = packed[src]
+        return rec[..., 0], jax.lax.bitcast_convert_type(
+            rec[..., 1], vals_f.dtype)
+    return cols_f[src], vals_f[src]

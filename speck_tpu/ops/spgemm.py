@@ -159,6 +159,7 @@ class StreamState:
     ops_sorted: jax.Array       # (m,) live products per sorted row
     p0: jax.Array               # (nnz,) A-slot stream starts
     srec: jax.Array             # (nnz, 2) [u, valA bits]
+    pend: jax.Array             # (nnz,) A-slot product ends (p0 + b_len)
     src: jax.Array              # (nnz,) sorted-slot -> A nnz index
     sid_bases: jax.Array        # (n_chunks,) A-slots with p0 < chunk start
     rid_bases: jax.Array        # (n_chunks,) rows with e < chunk start
@@ -180,6 +181,7 @@ class StreamState:
     e2: Optional[jax.Array] = None
     p02: Optional[jax.Array] = None
     srec2: Optional[jax.Array] = None
+    pend2: Optional[jax.Array] = None
     src2: Optional[jax.Array] = None
     sid_bases2: Optional[jax.Array] = None
     rid_bases2: Optional[jax.Array] = None
@@ -352,8 +354,8 @@ class SpgemmPlan:
                         has_wide = (c * G < lo.r_wide) and not reuse_levels
                         c_cols, c_vals, stg = stream_chunk_numeric(
                             ss.rows_sorted, ss.e, ss.rowend, ss.p0, srec,
-                            b_packed, B.indices, B.data, A.data, ss.src,
-                            self.row_offsets, c_cols, c_vals,
+                            ss.pend, b_packed, B.indices, B.data, A.data,
+                            ss.src, self.row_offsets, c_cols, c_vals,
                             jnp.int32(c * CP),
                             ss.rid_bases[c], ss.sid_bases[c], nwj,
                             G=G, W=W, n_cols=n, pack_bits=ss.pack_bits,
@@ -597,7 +599,8 @@ def _run_accum(ss: StreamState, A, B, nnz_row, n_cols: int, count: bool,
         hi_j = jnp.int32(part["row_hi"])
         for c in range(ac["n_chunks2"]):
             acc, pres = stream_chunk_accum(
-                ss.e2, ss.rowend2, ss.p02, srec2, b_packed, B.indices,
+                ss.e2, ss.rowend2, ss.p02, srec2, ss.pend2, b_packed,
+                B.indices,
                 B.data, A.data, ss.src2, ss.abase, ss.cmin_s, acc, pres,
                 jnp.int32(c * CP), ss.rid_bases2[c], ss.sid_bases2[c],
                 lo_j, hi_j, G=G, W=W, n_cols=n_cols, f64=f64,
@@ -1027,7 +1030,7 @@ def plan_spgemm(
         # O(nnz) A-slot records only when stream rows exist (pure dense /
         # direct matrices skip the whole build)
         if layout.total_q > 0:
-            p0, srec, src = build_srec(
+            p0, srec, src, pend = build_srec(
                 A.indptr, A.indices, a32, B.indptr[:-1],
                 B.indptr[1:] - B.indptr[:-1], rows_sorted, e, q_sorted,
                 m=m)
@@ -1039,7 +1042,8 @@ def plan_spgemm(
             rid_bases = jnp.searchsorted(e, cks).astype(jnp.int32)
         else:
             p0 = jnp.zeros((1,), jnp.int32)
-            srec = jnp.zeros((1, 3), jnp.int32)
+            srec = jnp.zeros((1, 2), jnp.int32)
+            pend = jnp.zeros((1,), jnp.int32)
             src = jnp.zeros((1,), jnp.int32)
             sid_bases = jnp.zeros((1,), jnp.int32)
             rid_bases = jnp.zeros((1,), jnp.int32)
@@ -1050,7 +1054,7 @@ def plan_spgemm(
         ss = StreamState(
             layout=layout, lplans=lplans, rows_sorted=rows_sorted,
             rows_padded=rows_padded, e=e, q_sorted=q_sorted, el=el,
-            ops_sorted=ops_sorted, p0=p0, srec=srec, src=src,
+            ops_sorted=ops_sorted, p0=p0, srec=srec, pend=pend, src=src,
             sid_bases=sid_bases, rid_bases=rid_bases,
             pack_bits=pack_bits, fused=fused,
             wide_rid_in=(jnp.asarray(
@@ -1062,12 +1066,13 @@ def plan_spgemm(
         )
         ss.rowend = jnp.where(q_sorted > 0, e + ops_sorted, -1)
         if n_accum and n_chunks2:
-            p02, srec2, src2 = build_srec(
+            p02, srec2, src2, pend2 = build_srec(
                 A.indptr, A.indices, a32, B.indptr[:-1],
                 B.indptr[1:] - B.indptr[:-1], rows_sorted, e2, q2_sorted,
                 m=m)
             cks = jnp.arange(max(n_chunks2, 1), dtype=jnp.int32) * CP
             ss.e2, ss.p02, ss.srec2, ss.src2 = e2, p02, srec2, src2
+            ss.pend2 = pend2
             ss.rowend2 = jnp.where(q2_sorted > 0, e2 + q2_sorted, -1)
             ss.sid_bases2 = jnp.searchsorted(p02, cks).astype(jnp.int32)
             ss.rid_bases2 = jnp.searchsorted(e2, cks).astype(jnp.int32)
@@ -1114,8 +1119,8 @@ def plan_spgemm(
                     raw_chunks.append(c)
                 nnz_row, stg = stream_chunk(
                     rows_sorted, e, ss.rowend, q_sorted, el, ops_sorted,
-                    p0, srec, b_packed, B.indices, B.data, A.data, src,
-                    nnz_row,
+                    p0, srec, pend, b_packed, B.indices, B.data, A.data,
+                    src, nnz_row,
                     jnp.int32(c * CP), rid_bases[c], sid_bases[c],
                     G=G, W=W, n_cols=n, pack_bits=pack_bits,
                     stage=fused or has_wide, f64=f64,

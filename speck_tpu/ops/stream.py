@@ -128,7 +128,7 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
     records; the SPMD mesh path uses this combined form).
 
     Returns (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src,
-    hist_pack):
+    pend, hist_pack):
       rows_sorted (m,)  row ids sorted by descending q (stream rows first,
                         then direct rows by descending copy-length class,
                         then everything else)
@@ -150,9 +150,11 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
      hist_pack, _tp) = _plan_rows_impl(
         row_ops, stream_mask, direct_mask, min_q=min_q, m=m,
         tight=tight, w_fixed=w_fixed)
-    p0, srec, src = build_srec(a_indptr, a_indices, a_data32, b_start,
-                               b_len, rows_sorted, e, q_sorted, m=m)
-    return rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, hist_pack
+    p0, srec, src, pend = build_srec(a_indptr, a_indices, a_data32,
+                                     b_start, b_len, rows_sorted, e,
+                                     q_sorted, m=m)
+    return (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, pend,
+            hist_pack)
 
 
 @partial(jax.jit,
@@ -404,7 +406,7 @@ def _pow2ceil_arr(x: np.ndarray) -> np.ndarray:
 def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
                e, q_sorted, *, m: int):
     """Per-sorted-A-slot stream records (the O(nnz) half of planning):
-    (p0, srec, src) — see _plan_stream_impl. Split out so matrices with
+    (p0, srec, src, pend) — see _plan_stream_impl. Split out so matrices
     no stream rows (pure dense / pure direct routing) skip it entirely."""
     stream_mask_s = q_sorted > 0
     nnz = a_indices.shape[0]
@@ -432,11 +434,16 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     cb_rowbase = cb_excl - jnp.take(cb_excl, row_first)
     p0 = jnp.where(live_s, e[rid_s] + cb_rowbase, jnp.int32(INT_MAX))
     u = jnp.where(live_s, b_start[acol] - p0, 0)
-    # 8-byte records: dead-slot detection uses the per-row end table
-    # (rowend[rid], a cache-resident m-gather) instead of a per-slot
-    # prodend channel -- one fewer third of every srec gather
+    # 8-byte records: the "decode" expand detects dead slots via the
+    # per-row end table (rowend[rid]) so srec stays 2 channels; the
+    # "fill" expand (the default) instead forward-fills the per-slot
+    # product end `pend` from the same boundary scatters -- table-size-
+    # independent per-index gathers cost ~14 ns on this backend
+    # (scripts/gather_microbench2.py), so the rowend[rid] gather was
+    # half the whole expand stage; a scattered+filled channel is ~free.
     srec = jnp.stack([u, a_data32[src]], axis=-1)
-    return p0, srec, src
+    pend = jnp.where(live_s, p0 + blen, 0)
+    return p0, srec, src, pend
 
 
 @partial(
@@ -672,7 +679,25 @@ def _ffill_rows(vals, filled):
     return out, filled | cf[:, None]
 
 
-def _expand_chunk(e, rowend, p0, srec, b_packed, b_indices, b_data,
+def ffill1d(val, filled, block: int = 4096):
+    """Segmented forward fill over a flat 1-D array (the 1-D twin of
+    _ffill_rows, blocked like analysis.cumsum1d): every unfilled slot
+    takes the nearest filled value at or before it. Replaces per-element
+    gathers of row-constant tables (~14 ns/index on this backend
+    regardless of table size) with one scatter + log passes of vector
+    work."""
+    n = val.shape[0]
+    nb = max(-(-n // block), 1)
+    padn = nb * block - n
+    if padn:
+        val = jnp.concatenate([val, jnp.zeros((padn,), val.dtype)])
+        filled = jnp.concatenate([filled, jnp.zeros((padn,), bool)])
+    (v,), _ = _ffill_rows((val.reshape(nb, block),),
+                          filled.reshape(nb, block))
+    return v.reshape(-1)[:n]
+
+
+def _expand_chunk(e, rowend, p0, srec, pend, b_packed, b_indices, b_data,
                   a_data, a_srcmap, chunk_start, rid_base, sid_base,
                   G: int, W: int, n_cols: int, f64: bool,
                   expand_impl: str = "fill"):
@@ -682,17 +707,21 @@ def _expand_chunk(e, rowend, p0, srec, b_packed, b_indices, b_data,
     Returns (rid, col, val, dead).
 
     rowend (m,): per-sorted-row live product end (e + ops) in this
-    product space -- slots at t >= rowend[rid] are row/chunk padding.
-    Products within a row are tight, so the row-end check is exactly the
-    old per-A-slot prodend check at a third less gather traffic.
+    product space -- the "decode" impl kills slots at t >= rowend[rid].
+    pend (nnz,): per-A-slot product end (p0 + b_len) -- the "fill" impl
+    forward-fills it alongside the A-record so deadness is a plain
+    compare, with NO per-slot gather: on this backend every gather costs
+    ~14 ns per index regardless of table size or locality
+    (scripts/gather_microbench2.py), so the rowend[rid] m-table gather
+    was half the measured expand stage (112 -> ~58 ms/chunk).
 
-    expand_impl="fill" (default): the per-slot A-record (u, valA) is
-    FORWARD-FILLED from boundary scatters at the A-slot starts (p0)
-    instead of decoded+gathered per slot -- kills both the sid run-length
-    decode and the O(G*W) random srec gather; what remains random is the
-    one irreducible b_packed record gather per live product (measured
-    ~25 ms/chunk saved on the 131k power-law config). "decode" keeps the
-    round-2 per-slot decode+gather form."""
+    expand_impl="fill" (default): the per-slot A-record (u, valA, pend)
+    is FORWARD-FILLED from boundary scatters at the A-slot starts (p0)
+    instead of decoded+gathered per slot -- kills the sid run-length
+    decode, the O(G*W) random srec gather, and the rowend dead-check
+    gather; what remains random is the ONE irreducible b_packed record
+    gather per live product. "decode" keeps the round-2 per-slot
+    decode+gather form."""
     t = chunk_start + jax.lax.broadcasted_iota(
         jnp.int32, (G, W), 0) * W + jax.lax.broadcasted_iota(
         jnp.int32, (G, W), 1)
@@ -721,12 +750,16 @@ def _expand_chunk(e, rowend, p0, srec, b_packed, b_indices, b_data,
         a2 = (jnp.zeros((CP,), jnp.int32)
               .at[cidx].set(ch2[pidx], mode="drop")
               .at[tgt].set(ch2, mode="drop"))
+        p2 = (jnp.zeros((CP,), jnp.int32)
+              .at[cidx].set(pend[pidx], mode="drop")
+              .at[tgt].set(pend, mode="drop"))
         f2 = (jnp.zeros((CP,), bool)
               .at[cidx].set(True, mode="drop")
               .at[tgt].set(True, mode="drop"))
-        (u, ach), filled = _ffill_rows(
-            (u2.reshape(G, W), a2.reshape(G, W)), f2.reshape(G, W))
-        dead = (t >= rowend[jnp.clip(rid, 0, m - 1)]) | ~filled | (rid < 0)
+        (u, ach, pf), filled = _ffill_rows(
+            (u2.reshape(G, W), a2.reshape(G, W), p2.reshape(G, W)),
+            f2.reshape(G, W))
+        dead = (t >= pf) | ~filled | (rid < 0)
         bsrc = jnp.where(dead, 0, u + t)
         if f64:
             aval = a_data[jnp.clip(ach, 0, a_data.shape[0] - 1)]
@@ -915,8 +948,9 @@ def compact_staged(rid_s, col_s, val_s, counts, *, n_cols: int,
     donate_argnames=("nnz_row",),
 )
 def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
-                 srec, b_packed, b_indices, b_data, a_data, a_srcmap,
-                 nnz_row, chunk_start, rid_base, sid_base, *, G: int,
+                 srec, pend, b_packed, b_indices, b_data, a_data,
+                 a_srcmap, nnz_row, chunk_start, rid_base, sid_base, *,
+                 G: int,
                  W: int, n_cols: int, pack_bits: int, stage: bool,
                  f64: bool, pallas_contract: bool = False,
                  sort_impl: str = "xla", compact_impl: str = "sort",
@@ -935,7 +969,7 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
     staged rectangle rows for emission / the levels.
     """
     rid, col, val, _ = _expand_chunk(
-        e, rowend, p0, srec, b_packed, b_indices, b_data, a_data,
+        e, rowend, p0, srec, pend, b_packed, b_indices, b_data, a_data,
         a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64,
         expand_impl=expand_impl)
 
@@ -988,9 +1022,10 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
                      "sort_impl", "compact_impl", "expand_impl"),
     donate_argnames=("c_cols", "c_vals"),
 )
-def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
-                         b_indices, b_data, a_data, a_srcmap, row_offsets,
-                         c_cols, c_vals, chunk_start, rid_base, sid_base,
+def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, pend,
+                         b_packed, b_indices, b_data, a_data, a_srcmap,
+                         row_offsets, c_cols, c_vals, chunk_start,
+                         rid_base, sid_base,
                          n_wide, *, G: int, W: int, n_cols: int,
                          pack_bits: int, stage_wide: bool, f64: bool,
                          sort_impl: str = "xla", compact_impl: str = "sort",
@@ -1003,7 +1038,7 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
     (chunks that hold wide-row segments feed the merge levels).
     """
     rid, col, val, _ = _expand_chunk(
-        e, rowend, p0, srec, b_packed, b_indices, b_data, a_data,
+        e, rowend, p0, srec, pend, b_packed, b_indices, b_data, a_data,
         a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64,
         expand_impl=expand_impl)
 
@@ -1057,7 +1092,8 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, b_packed,
     static_argnames=("G", "W", "n_cols", "f64", "expand_impl"),
     donate_argnames=("acc", "pres"),
 )
-def stream_chunk_accum(e2, rowend2, p02, srec2, b_packed, b_indices,
+def stream_chunk_accum(e2, rowend2, p02, srec2, pend2, b_packed,
+                       b_indices,
                        b_data, a_data, a_srcmap, abase, cmin_s, acc, pres,
                        chunk_start, rid_base, sid_base, row_lo, row_hi, *,
                        G: int, W: int, n_cols: int, f64: bool,
@@ -1075,7 +1111,8 @@ def stream_chunk_accum(e2, rowend2, p02, srec2, b_packed, b_indices,
     sort+contract over every slot.
     """
     rid, col, val, dead = _expand_chunk(
-        e2, rowend2, p02, srec2, b_packed, b_indices, b_data, a_data,
+        e2, rowend2, p02, srec2, pend2, b_packed, b_indices, b_data,
+        a_data,
         a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64,
         expand_impl=expand_impl)
     na = abase.shape[0]
@@ -1302,12 +1339,15 @@ def stream_gather_emit(rows_sorted, e, row_offsets, cols_flat,
     outputs); gather cost is proportional to nnz(C) -- measured ~30x less
     traffic on the banded benchmark.
 
-    Per output index i, only TWO random reads: a per-row source-base
-    table (m-sized, cache-friendly) and the staged record itself — all
-    rectangle/permutation/offset arithmetic is folded into the m-level
-    ``src_base`` precompute (a row's staged entries are the compacted
-    prefix of ONE rectangle row, since contained rows never straddle).
-    Rows not in the stream (direct/dense/wide) gather garbage here and
+    Per output index i, only ONE random read: the packed staged record.
+    The per-row source base (a row's staged entries are the compacted
+    prefix of ONE rectangle row, since contained rows never straddle) is
+    constant over the row's output segment, so instead of gathering an
+    m-table per output (a per-index cost identical to a full-size
+    gather on this backend, scripts/gather_microbench2.py) it is
+    SCATTERED at each live row's output start and forward-filled
+    (ffill1d — one m-scatter + log passes of vector work).
+    Rows not in the stream (direct/dense/wide) fill garbage here and
     are overwritten by their own emit passes.
     """
     from .analysis import cumsum1d
@@ -1326,14 +1366,16 @@ def stream_gather_emit(rows_sorted, e, row_offsets, cols_flat,
     gg_s = jnp.clip(e // W, 0, max(R_total - 1, 0))
     base_sorted = (gg_s * W + scum - rect_base[gg_s]
                    - row_offsets[rows_sorted])
-    src_base = jnp.zeros((m,), jnp.int32).at[rows_sorted].set(
-        base_sorted, mode="drop", unique_indices=True)
 
+    # seed each live row's base at its output start, forward-fill across
+    # its segment (live rows' starts are unique; empty rows seed nothing)
+    pos = jnp.where(scnt > 0, row_offsets[rows_sorted], total)
+    seed = jnp.zeros((total,), jnp.int32).at[pos].set(
+        base_sorted, mode="drop", unique_indices=True)
+    fl = jnp.zeros((total,), bool).at[pos].set(
+        True, mode="drop", unique_indices=True)
     i = jnp.arange(total, dtype=jnp.int32)
-    rid_dec = jnp.zeros((total,), jnp.int32).at[row_offsets[1:-1]].add(
-        1, mode="drop")
-    r = cumsum1d(rid_dec)
-    src = jnp.clip(src_base[r] + i, 0, cols_flat.shape[0] - 1)
+    src = jnp.clip(ffill1d(seed, fl) + i, 0, cols_flat.shape[0] - 1)
     if vals_flat.dtype.itemsize == 4:
         packed = jnp.stack(
             [cols_flat,

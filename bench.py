@@ -151,7 +151,13 @@ def main():
     except Exception as e:  # backend init / tunnel failure
         import os
         tries = int(os.environ.get("SPECK_BENCH_RETRY", "0"))
-        if tries < 4 and "nable to initialize" in str(e):
+        # observed retryable first-fetch failures: backend init
+        # UNAVAILABLE, and transient FAILED_PRECONDITION / generic "TPU
+        # backend error" right after another client released the tunnel
+        retryable = any(s in str(e) for s in (
+            "nable to initialize", "FAILED_PRECONDITION",
+            "TPU backend error", "UNAVAILABLE"))
+        if tries < 4 and retryable:
             print(f"# backend unavailable (attempt {tries + 1}), "
                   "retrying in 180 s", flush=True)
             time.sleep(180)

@@ -29,6 +29,12 @@ def load_matrix(path: str, dtype=np.float64, use_cache: bool = True, verbose: bo
     cache = _cache_path(path, dtype)
     if use_cache and os.path.exists(cache):
         try:
+            # stale-cache guard (beyond the reference, which trusts any
+            # existing cache unconditionally, DataLoader.cpp:26-59): a
+            # rewritten .mtx must not serve yesterday's matrix
+            if (os.path.exists(path)
+                    and os.path.getmtime(cache) < os.path.getmtime(path)):
+                raise OSError("cache older than source .mtx")
             if verbose:
                 print(f'trying to load csr file "{cache}"')
             return load_hicsr(cache, dtype=dtype)

@@ -187,6 +187,32 @@ def test_loader_cache_and_transpose_rule(tmp_path, rng):
     )
 
 
+def test_loader_stale_cache_rejected(tmp_path):
+    """A rewritten .mtx must not serve yesterday's cache (stale-cache
+    guard on mtimes; the reference trusts any existing cache,
+    DataLoader.cpp:26-59 — this is a deliberate improvement)."""
+    import os
+
+    path = _write(tmp_path, "sq.mtx", SYMMETRIC_MTX)
+    first = load_matrix(path, dtype=np.float64)
+    cache = str(tmp_path / "sq.mtxd_.hicsr")
+    assert os.path.exists(cache)
+    # rewrite the source with different content, newer than the cache
+    _write(
+        tmp_path, "sq.mtx",
+        "%%MatrixMarket matrix coordinate real general\n"
+        "2 2 2\n1 1 7.0\n2 2 8.0\n",
+    )
+    os.utime(path, (os.path.getmtime(cache) + 10,) * 2)
+    again = load_matrix(path, dtype=np.float64)
+    assert again.nnz == 2 and first.nnz != 2
+    np.testing.assert_array_equal(again.data, [7.0, 8.0])
+    # and the refreshed cache now serves the new matrix
+    os.utime(cache, (os.path.getmtime(path) + 10,) * 2)
+    cached = load_matrix(path, dtype=np.float64)
+    np.testing.assert_array_equal(cached.data, [7.0, 8.0])
+
+
 def test_transpose_roundtrip(rng):
     from conftest import random_host_csr
 

@@ -83,7 +83,7 @@ def main():
     expand_j = jax.jit(st._expand_chunk, static_argnames=(
         "G", "W", "n_cols", "f64"))
     t_ex, _ = timeit(
-        expand_j, ss.e, ss.rowend, ss.p0, ss.srec, ss.pend, b_packed,
+        expand_j, ss.e, ss.rowend, ss.p0, ss.su, ss.sa, ss.pend, b_packed,
         A.indices,
         A.data, A.data, ss.src, jnp.int32(c * G * W), ss.rid_bases[c],
         ss.sid_bases[c], G=G, W=W, n_cols=n, f64=False)
@@ -95,7 +95,7 @@ def main():
 
     es_j = jax.jit(exp_sort, static_argnames=("G", "W", "n_cols", "f64"))
     t_es, _ = timeit(
-        es_j, ss.e, ss.rowend, ss.p0, ss.srec, ss.pend, b_packed,
+        es_j, ss.e, ss.rowend, ss.p0, ss.su, ss.sa, ss.pend, b_packed,
         A.indices,
         A.data, A.data, ss.src, jnp.int32(c * G * W), ss.rid_bases[c],
         ss.sid_bases[c], G=G, W=W, n_cols=n, f64=False)
@@ -104,7 +104,7 @@ def main():
     def full_chunk(nnz_row):
         return st.stream_chunk(
             ss.rows_sorted, ss.e, ss.rowend, ss.q_sorted, ss.el,
-            ss.ops_sorted, ss.p0, ss.srec, ss.pend, b_packed, A.indices,
+            ss.ops_sorted, ss.p0, ss.su, ss.sa, ss.pend, b_packed, A.indices,
             A.data,
             A.data, ss.src, nnz_row, jnp.int32(c * G * W),
             ss.rid_bases[c], ss.sid_bases[c], G=G, W=W, n_cols=n,

@@ -78,11 +78,16 @@ def plane_bytes(m: int, k: int, n_out: int, sa: int, sb: int,
     )
 
 
-@partial(jax.jit, static_argnames=("dmin", "span", "rows"))
-def dia_slots(indptr, indices, *, dmin: int, span: int, rows: int):
+@partial(jax.jit, static_argnames=("dmin", "span", "rows", "masked"))
+def dia_slots(indptr, indices, row_keep=None, *, dmin: int, span: int,
+              rows: int, masked: bool = False):
     """Flat plane slot of every CSR nonzero: slot = (col - row - dmin) *
     rows + row.  Row ids per nonzero come from a boundary scatter +
-    blocked cumsum (run-length decode, no atomics)."""
+    blocked cumsum (run-length decode, no atomics).
+
+    masked (per-row DIA split): nonzeros of rows with ``row_keep`` False
+    get an out-of-range slot so the plane scatters drop them — the
+    planes then hold only the DIA-routed rows' contributions."""
     from .analysis import cumsum1d
 
     nnz = indices.shape[0]
@@ -95,7 +100,25 @@ def dia_slots(indptr, indices, *, dmin: int, span: int, rows: int):
     # out-of-band entries cannot exist when the band stats are exact
     # (canonical inputs); clip defensively so a bad input cannot scatter
     # out of the plane buffer
-    return jnp.clip(d, 0, span - 1) * jnp.int32(rows) + rid
+    slot = jnp.clip(d, 0, span - 1) * jnp.int32(rows) + rid
+    if masked:
+        slot = jnp.where(row_keep[rid], slot, jnp.int32(span) * rows)
+    return slot
+
+
+@partial(jax.jit, static_argnames=("dmin", "dmax"))
+def dia_row_inband(indptr, indices, *, dmin: int, dmax: int):
+    """Per-row in-band mask: every nonzero of the row has (col - row) in
+    [dmin, dmax] (exact for canonical rows via first/last column ids);
+    empty rows are vacuously in-band. Used to mask the B operand's
+    planes in the per-row DIA split."""
+    rows = indptr.shape[0] - 1
+    rowi = jnp.arange(rows, dtype=jnp.int32)
+    ln = indptr[1:] - indptr[:-1]
+    ne = ln > 0
+    first = indices[indptr[:-1]] - rowi
+    last = indices[jnp.maximum(indptr[1:] - 1, 0)] - rowi
+    return (~ne) | ((first >= jnp.int32(dmin)) & (last <= jnp.int32(dmax)))
 
 
 @partial(jax.jit, static_argnames=("span", "rows"))
@@ -234,6 +257,33 @@ def dia_offsets_meta(counts, *, sc: int):
         run_ok.astype(jnp.int32), offs_p,
     ])
     return offs, meta
+
+
+@partial(jax.jit, static_argnames=("base_c",))
+def dia_scatter_emit(cvT, present, row_offsets, c_cols, c_vals, *,
+                     base_c: int):
+    """Per-row-DIA emission into a shared output, straight from the
+    UNCOMPACTED (m, sc) output planes: each present entry scatters to
+    row_offsets[r] + rank (rank = its position among the row's present
+    entries; diagonal order IS ascending column order, so output rows
+    are sorted for free and no rank-compact staging pass is needed).
+    Rows routed to other paths have all-False presence and write
+    nothing, so this composes with the stream/dense/direct emits over
+    one C buffer — the mixed-routing analogue of the reference's
+    per-block numeric writes to preallocated C."""
+    m, sc = cvT.shape
+    e = jnp.arange(sc, dtype=jnp.int32)[None, :]
+    i = jnp.arange(m, dtype=jnp.int32)[:, None]
+    cols_g = i + jnp.int32(base_c) + e
+    rank = jnp.cumsum(present, axis=1, dtype=jnp.int32) - 1
+    base = row_offsets[:-1][:, None]
+    oob = c_cols.shape[0]
+    flat = jnp.where(present, base + rank, oob).reshape(-1)
+    c_cols = c_cols.at[flat].set(cols_g.reshape(-1), mode="drop",
+                                 unique_indices=True)
+    c_vals = c_vals.at[flat].set(cvT.reshape(-1), mode="drop",
+                                 unique_indices=True)
+    return c_cols, c_vals
 
 
 @partial(jax.jit, static_argnames=("sc", "r0", "r1", "o0", "n_out"))

@@ -56,6 +56,8 @@ from .dia import (
     dia_numeric_stage,
     dia_offsets_meta,
     dia_planes,
+    dia_row_inband,
+    dia_scatter_emit,
     dia_slots,
     plane_bytes,
 )
@@ -157,8 +159,9 @@ class StreamState:
     q_sorted: jax.Array         # (m,) product quantum per sorted row
     el: jax.Array               # (m,) exclusive live-ops prefix
     ops_sorted: jax.Array       # (m,) live products per sorted row
-    p0: jax.Array               # (nnz,) A-slot stream starts
-    srec: jax.Array             # (nnz, 2) [u, valA bits]
+    p0: jax.Array               # (nnz,) A-slot stream starts (compacted)
+    su: jax.Array               # (nnz,) u = b_row_start - p0 per slot
+    sa: jax.Array               # (nnz,) valA bits per slot
     pend: jax.Array             # (nnz,) A-slot product ends (p0 + b_len)
     src: jax.Array              # (nnz,) sorted-slot -> A nnz index
     sid_bases: jax.Array        # (n_chunks,) A-slots with p0 < chunk start
@@ -180,7 +183,8 @@ class StreamState:
     n_accum: int = 0
     e2: Optional[jax.Array] = None
     p02: Optional[jax.Array] = None
-    srec2: Optional[jax.Array] = None
+    su2: Optional[jax.Array] = None
+    sa2: Optional[jax.Array] = None
     pend2: Optional[jax.Array] = None
     src2: Optional[jax.Array] = None
     sid_bases2: Optional[jax.Array] = None
@@ -193,6 +197,27 @@ class StreamState:
     # repeated execute() calls on a fused plan don't re-copy O(total_q)
     # slots per call (AMG-style plan reuse)
     staged_flat: Optional[tuple] = None
+
+
+@dataclasses.dataclass
+class DiaRowGroup:
+    """Per-row DIA split state (cfg.dia_rows): the banded BULK of a
+    matrix whose whole-matrix DIA gate failed rides diagonal planes;
+    outlier rows ride the stream/dense/direct paths. Each C row is
+    produced by exactly one path (a row qualifies only if every B row it
+    touches is in-band), so emission is a plain scatter into shared C.
+    The TPU-per-row form of the reference's per-block method
+    auto-select (spECK_HashSpGEMM.cuh:1761-1793)."""
+
+    span_a: int
+    span_b: int
+    span_c: int
+    dmin_a: int
+    dmin_b: int
+    slot_a: jax.Array        # (nnz_a,) masked plane slots (dia rows only)
+    slot_b: jax.Array        # (nnz_b,) masked plane slots (in-band B rows)
+    present: jax.Array       # (m, span_c) structural presence
+    cvT: Optional[jax.Array] = None   # staged (m, span_c) value plane
 
 
 @dataclasses.dataclass
@@ -212,6 +237,7 @@ class SpgemmPlan:
     dense_staged: Optional[List[tuple]] = None
     max_count: int = 0
     dia: Optional[DiaState] = None
+    dia_rows: Optional[DiaRowGroup] = None
 
     @property
     def shape(self):
@@ -221,15 +247,14 @@ class SpgemmPlan:
         """Operand arrays for numeric re-expansion (possibly new values)."""
         f64 = not packable(A.data)
         if f64:
-            srec = ss.srec
+            sa = ss.sa
             b_packed = jnp.zeros((1, 2), jnp.int32)
         else:
-            bits = jax.lax.bitcast_convert_type(
+            sa = jax.lax.bitcast_convert_type(
                 A.data.astype(jnp.float32), jnp.int32)[ss.src]
-            srec = jnp.stack([ss.srec[:, 0], bits], axis=-1)
             b_packed = pack_csr_arrays(B.indices,
                                        B.data.astype(jnp.float32))
-        return srec, b_packed, f64
+        return sa, b_packed, f64
 
     def execute(
         self,
@@ -344,7 +369,7 @@ class SpgemmPlan:
                     # contained rows already emitted by the gather pass
                     level_bufs = ss.level_bufs or []
                 else:
-                    srec, b_packed, f64 = self._chunk_args(A, B, ss)
+                    sa_n, b_packed, f64 = self._chunk_args(A, B, ss)
                     # wide values from a two-phase plan were merged once at
                     # plan time; don't recompute staging we would discard
                     reuse_levels = bool(use_staged and not ss.fused
@@ -353,8 +378,9 @@ class SpgemmPlan:
                     for c in range(lo.n_chunks):
                         has_wide = (c * G < lo.r_wide) and not reuse_levels
                         c_cols, c_vals, stg = stream_chunk_numeric(
-                            ss.rows_sorted, ss.e, ss.rowend, ss.p0, srec,
-                            ss.pend, b_packed, B.indices, B.data, A.data,
+                            ss.rows_sorted, ss.e, ss.rowend, ss.p0, ss.su,
+                            sa_n, ss.pend, b_packed, B.indices, B.data,
+                            A.data,
                             ss.src, self.row_offsets, c_cols, c_vals,
                             jnp.int32(c * CP),
                             ss.rid_bases[c], ss.sid_bases[c], nwj,
@@ -402,6 +428,25 @@ class SpgemmPlan:
                         self.row_offsets, c_cols, c_vals,
                         chunk_rows=g.rows, cap=g.cap,
                     )
+            if self.dia_rows is not None:
+                dg = self.dia_rows
+                if use_staged and dg.cvT is not None:
+                    cvT = dg.cvT
+                else:
+                    # new values: rebuild the value planes against the
+                    # stored (masked) slots and re-convolve
+                    av, ah = dia_planes(dg.slot_a, A.data,
+                                        span=dg.span_a, rows=m)
+                    bv, bh = dia_planes(dg.slot_b, B.data,
+                                        span=dg.span_b, rows=B.shape[0])
+                    c_val, _ = dia_conv(
+                        av, ah, bv, bh, sa=dg.span_a, sb=dg.span_b,
+                        m=m, k=A.shape[1], dmin_a=dg.dmin_a,
+                        with_hit=False)
+                    cvT = c_val.T
+                c_cols, c_vals = dia_scatter_emit(
+                    cvT, dg.present, self.row_offsets, c_cols, c_vals,
+                    base_c=dg.dmin_a + dg.dmin_b)
             st.stop(c_cols, c_vals)
         return DeviceCSR(
             indptr=self.row_offsets,
@@ -581,12 +626,11 @@ def _run_accum(ss: StreamState, A, B, nnz_row, n_cols: int, count: bool,
         count = False
     f64 = not packable(A.data)
     if f64:
-        srec2 = ss.srec2
+        sa2 = ss.sa2
         b_packed = jnp.zeros((1, 2), jnp.int32)
     else:
-        bits = jax.lax.bitcast_convert_type(
+        sa2 = jax.lax.bitcast_convert_type(
             A.data.astype(jnp.float32), jnp.int32)[ss.src2]
-        srec2 = jnp.stack([ss.srec2[:, 0], bits], axis=-1)
         b_packed = pack_csr_arrays(B.indices, B.data.astype(jnp.float32))
     G, W = ac["G"], ac["W"]
     CP = G * W
@@ -599,7 +643,7 @@ def _run_accum(ss: StreamState, A, B, nnz_row, n_cols: int, count: bool,
         hi_j = jnp.int32(part["row_hi"])
         for c in range(ac["n_chunks2"]):
             acc, pres = stream_chunk_accum(
-                ss.e2, ss.rowend2, ss.p02, srec2, ss.pend2, b_packed,
+                ss.e2, ss.rowend2, ss.p02, ss.su2, sa2, ss.pend2, b_packed,
                 B.indices,
                 B.data, A.data, ss.src2, ss.abase, ss.cmin_s, acc, pres,
                 jnp.int32(c * CP), ss.rid_bases2[c], ss.sid_bases2[c],
@@ -910,7 +954,7 @@ def plan_spgemm(
         use_accum = bool(cfg.enable_accum and B.canonical and m > 0
                          and A.nnz > 0)
         (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
-         cmin_sorted, nnz_init, t_r0, t_kb, t_cb, t_valid,
+         cmin_sorted, nnz_init, t_r0, t_kb, t_cb, t_valid, dia_mask,
          pack) = plan_device_stream(
             A.indptr, A.indices, a32, B.indptr, B.indices,
             stats.row_ops, stats.row_ops_f, stats.a_len,
@@ -922,6 +966,11 @@ def plan_spgemm(
             accum_min_ops=cfg.accum_min_ops,
             accum_span_cap=cfg.accum_span_cap, w0=cfg.stream_width,
             w_cap=cfg.stream_width_cap,
+            use_dia_rows=bool(cfg.dia_rows and dia_possible),
+            dia_span_cap=cfg.dia_span_cap,
+            dia_waste_cap=cfg.dia_waste_cap,
+            dia_mem_budget=cfg.dia_mem_budget,
+            dia_itemsize=jnp.dtype(A.data.dtype).itemsize,
         )
         pack_h = np.asarray(pack)  # the ONE planning host sync
         s_hist = pack_h[:N_QCLASS]
@@ -933,10 +982,13 @@ def plan_spgemm(
         (a_dmin, a_dmax, b_dmin, b_dmax, sp_sat, mxrow_sat,
          sp_exact) = (
             int(x) for x in pack_h[4 * N_QCLASS + 5: 4 * N_QCLASS + 12])
+        # per-row DIA split (robust band + routed row count)
+        (dr_dlo_a, dr_dhi_a, dr_dlo_b, dr_dhi_b, n_dia) = (
+            int(x) for x in pack_h[4 * N_QCLASS + 12: 4 * N_QCLASS + 17])
         # tight-layout tail (stream.py _plan_rows_impl): the rectangle
         # width (adaptive ladder computed on device), exact stream total,
         # and the wide rows' exact segment counts
-        tight_h = pack_h[4 * N_QCLASS + 12:]
+        tight_h = pack_h[4 * N_QCLASS + 17:]
         W, total_q, n_wide_t, r_wide_t = (int(x) for x in tight_h[:4])
 
         # ---- DIA fast path (ops/dia.py) and the int32 overflow guards.
@@ -1022,6 +1074,24 @@ def plan_spgemm(
                 full_cover=(n_elig == -(-m // tr)),
             )
 
+        # ---- per-row DIA split group (device gate passed: n_dia > 0) ----
+        dia_grp: Optional[DiaRowGroup] = None
+        if n_dia > 0:
+            dr_sa = dr_dhi_a - dr_dlo_a + 1
+            dr_sb = dr_dhi_b - dr_dlo_b + 1
+            slot_a = dia_slots(A.indptr, A.indices, dia_mask,
+                               dmin=dr_dlo_a, span=dr_sa, rows=m,
+                               masked=True)
+            b_in = dia_row_inband(B.indptr, B.indices, dmin=dr_dlo_b,
+                                  dmax=dr_dhi_b)
+            slot_b = dia_slots(B.indptr, B.indices, b_in, dmin=dr_dlo_b,
+                               span=dr_sb, rows=B.shape[0], masked=True)
+            dia_grp = DiaRowGroup(
+                span_a=dr_sa, span_b=dr_sb, span_c=dr_sa + dr_sb - 1,
+                dmin_a=dr_dlo_a, dmin_b=dr_dlo_b,
+                slot_a=slot_a, slot_b=slot_b,
+                present=jnp.zeros((0, 0), bool))
+
         pack_bits = int(n + 1).bit_length()
         if (W // cfg.stream_min_q) * (1 << pack_bits) >= 2**31:
             pack_bits = 0
@@ -1030,7 +1100,7 @@ def plan_spgemm(
         # O(nnz) A-slot records only when stream rows exist (pure dense /
         # direct matrices skip the whole build)
         if layout.total_q > 0:
-            p0, srec, src, pend = build_srec(
+            p0, su, sa, src, pend = build_srec(
                 A.indptr, A.indices, a32, B.indptr[:-1],
                 B.indptr[1:] - B.indptr[:-1], rows_sorted, e, q_sorted,
                 m=m)
@@ -1042,7 +1112,8 @@ def plan_spgemm(
             rid_bases = jnp.searchsorted(e, cks).astype(jnp.int32)
         else:
             p0 = jnp.zeros((1,), jnp.int32)
-            srec = jnp.zeros((1, 2), jnp.int32)
+            su = jnp.zeros((1,), jnp.int32)
+            sa = jnp.zeros((1,), jnp.int32)
             pend = jnp.zeros((1,), jnp.int32)
             src = jnp.zeros((1,), jnp.int32)
             sid_bases = jnp.zeros((1,), jnp.int32)
@@ -1054,7 +1125,7 @@ def plan_spgemm(
         ss = StreamState(
             layout=layout, lplans=lplans, rows_sorted=rows_sorted,
             rows_padded=rows_padded, e=e, q_sorted=q_sorted, el=el,
-            ops_sorted=ops_sorted, p0=p0, srec=srec, pend=pend, src=src,
+            ops_sorted=ops_sorted, p0=p0, su=su, sa=sa, pend=pend, src=src,
             sid_bases=sid_bases, rid_bases=rid_bases,
             pack_bits=pack_bits, fused=fused,
             wide_rid_in=(jnp.asarray(
@@ -1066,13 +1137,13 @@ def plan_spgemm(
         )
         ss.rowend = jnp.where(q_sorted > 0, e + ops_sorted, -1)
         if n_accum and n_chunks2:
-            p02, srec2, src2, pend2 = build_srec(
+            p02, su2, sa2, src2, pend2 = build_srec(
                 A.indptr, A.indices, a32, B.indptr[:-1],
                 B.indptr[1:] - B.indptr[:-1], rows_sorted, e2, q2_sorted,
                 m=m)
             cks = jnp.arange(max(n_chunks2, 1), dtype=jnp.int32) * CP
-            ss.e2, ss.p02, ss.srec2, ss.src2 = e2, p02, srec2, src2
-            ss.pend2 = pend2
+            ss.e2, ss.p02, ss.src2 = e2, p02, src2
+            ss.su2, ss.sa2, ss.pend2 = su2, sa2, pend2
             ss.rowend2 = jnp.where(q2_sorted > 0, e2 + q2_sorted, -1)
             ss.sid_bases2 = jnp.searchsorted(p02, cks).astype(jnp.int32)
             ss.rid_bases2 = jnp.searchsorted(e2, cks).astype(jnp.int32)
@@ -1085,6 +1156,18 @@ def plan_spgemm(
         nnz_row = nnz_init
         dense_staged: Optional[List[tuple]] = None
         raw_chunks: List[int] = []
+        if dia_grp is not None:
+            dg = dia_grp
+            av, ah = dia_planes(dg.slot_a, A.data, span=dg.span_a, rows=m)
+            bv, bh = dia_planes(dg.slot_b, B.data, span=dg.span_b,
+                                rows=B.shape[0])
+            c_val, c_cnt = dia_conv(
+                av, ah, bv, bh, sa=dg.span_a, sb=dg.span_b, m=m,
+                k=A.shape[1], dmin_a=dg.dmin_a, with_hit=True)
+            dg.present = c_cnt.T > 0.5   # exact: fp32 counts of 1.0 adds
+            dg.cvT = c_val.T
+            nnz_row = nnz_row + jnp.sum(
+                dg.present, axis=1, dtype=jnp.int32)
         if dense_grp is not None:
             apk = None if f64 else pack_csr_arrays(A.indices, A.data)
             bpk = apk if (B.indices is A.indices and B.data is A.data) \
@@ -1119,7 +1202,7 @@ def plan_spgemm(
                     raw_chunks.append(c)
                 nnz_row, stg = stream_chunk(
                     rows_sorted, e, ss.rowend, q_sorted, el, ops_sorted,
-                    p0, srec, pend, b_packed, B.indices, B.data, A.data,
+                    p0, su, sa, pend, b_packed, B.indices, B.data, A.data,
                     src, nnz_row,
                     jnp.int32(c * CP), rid_bases[c], sid_bases[c],
                     G=G, W=W, n_cols=n, pack_bits=pack_bits,
@@ -1168,6 +1251,7 @@ def plan_spgemm(
         sum_products=stats.sum_products,
         stream=ss, groups=groups, dense=dense_grp,
         dense_staged=dense_staged, max_count=max_count,
+        dia_rows=dia_grp,
     )
 
 

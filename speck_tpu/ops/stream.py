@@ -16,7 +16,7 @@ Design
 
 Every intermediate product of C = A @ B gets one slot in a single flat
 stream, tight-packed (fill ~0.96 on the bench distributions; the SPMD
-mesh path uses the simpler pow2-quantum variant, fill ~0.70):
+mesh path uses the same tight layout at a fixed shard-wide W):
 
   - rows are sorted by DESCENDING product count (one planning sort);
   - wide rows (ops > W) come first with exact ceil(ops/W) W-multiple
@@ -127,7 +127,7 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
     """Device planning pass for the stream layout (row layout + A-slot
     records; the SPMD mesh path uses this combined form).
 
-    Returns (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src,
+    Returns (rows_sorted, e, q_sorted, el, ops_sorted, p0, su, sa, src,
     pend, hist_pack):
       rows_sorted (m,)  row ids sorted by descending q (stream rows first,
                         then direct rows by descending copy-length class,
@@ -139,10 +139,10 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
                         occupy [el[j] - rect_base, +ops) of its rectangle
                         row after the sort packs dead slots to the end)
       ops_sorted (m,)   live product count per sorted row
-      p0 (nnz,)         stream start of each sorted-order A-slot
-      srec (nnz, 2)     per-sorted-A-slot record [u, valA-bits]
-                        with u = b_row_start - p0 (dead slots detected
-                        via the per-row end table e + ops)
+      p0 (nnz,)         stream start of each kept sorted-order A-slot
+                        (zero-product slots compacted out; INT_MAX tail)
+      su/sa (nnz,)      per-kept-slot channels u = b_row_start - p0 and
+                        valA bits (see build_srec)
       hist_pack (2*N_QCLASS,) int32: stream q-class histogram | direct
                         copy-length-class histogram
     """
@@ -150,11 +150,11 @@ def _plan_stream_impl(row_ops, stream_mask, direct_mask, a_indptr, a_indices,
      hist_pack, _tp) = _plan_rows_impl(
         row_ops, stream_mask, direct_mask, min_q=min_q, m=m,
         tight=tight, w_fixed=w_fixed)
-    p0, srec, src, pend = build_srec(a_indptr, a_indices, a_data32,
-                                     b_start, b_len, rows_sorted, e,
-                                     q_sorted, m=m)
-    return (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, pend,
-            hist_pack)
+    p0, su, sa, src, pend = build_srec(a_indptr, a_indices, a_data32,
+                                       b_start, b_len, rows_sorted, e,
+                                       q_sorted, m=m)
+    return (rows_sorted, e, q_sorted, el, ops_sorted, p0, su, sa, src,
+            pend, hist_pack)
 
 
 @partial(jax.jit,
@@ -294,8 +294,20 @@ def _tight_layout(rows1, ops, qc, stream_mask, accum_mask, s_hist,
     accum1 = accum_mask[rows1]
     wide1 = stream1 & (ops1 > W)
     segs1 = jnp.where(wide1, (ops1 + W - 1) // W, 0)
+    # mid-size contained rows (q > W/8) take their pow2 quantum UPFRONT:
+    # the descending sort makes them a contiguous region of non-increasing
+    # pow2 allocations right after the W-aligned wide region, so every
+    # start is self-aligned and they can never straddle. Relocation holes
+    # are never reclaimed (a straddler's round-0 reservation goes dead),
+    # so back-to-back packing of rows ~W/2 wide loses ~2.2x to holes
+    # (measured on the mixed banded+outliers bench: 13.8M slots for 6.3M
+    # quanta); pow2 caps that class's waste at 2x and in exchange the
+    # small-row region's straddle rate drops to <= (W/8)/W.
+    qe1 = jnp.maximum(ops1, min_q)
+    qp1 = jnp.int32(1) << qc[rows1]
     q1 = jnp.where(wide1, segs1 * W,
-                   jnp.where(stream1, jnp.maximum(ops1, min_q), 0))
+                   jnp.where(stream1,
+                             jnp.where(qe1 > W // 8, qp1, qe1), 0))
     # round 0: wide rows (W-aligned by construction) + contained rows
     # back-to-back. A contained row whose allocation [e, e+q) crosses a W
     # boundary relocates to the next round's region (its slot becomes a
@@ -374,7 +386,9 @@ def tight_total_host(row_ops: np.ndarray, W: int,
     if ops.size == 0:
         return 0
     wide = ops > W
-    q = np.where(wide, -(-ops // W) * W, np.maximum(ops, min_q))
+    qe = np.maximum(ops, min_q)
+    q = np.where(wide, -(-ops // W) * W,
+                 np.where(qe > W // 8, _pow2ceil_arr(qe), qe))
     c = np.cumsum(q)
     e_try = c - q
     strad = ~wide & ((e_try // W) != ((e_try + q - 1) // W))
@@ -406,8 +420,22 @@ def _pow2ceil_arr(x: np.ndarray) -> np.ndarray:
 def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
                e, q_sorted, *, m: int):
     """Per-sorted-A-slot stream records (the O(nnz) half of planning):
-    (p0, srec, src, pend) — see _plan_stream_impl. Split out so matrices
-    no stream rows (pure dense / pure direct routing) skip it entirely."""
+    (p0, su, sa, src, pend) — see _plan_stream_impl. Split out so
+    matrices with no stream rows (pure dense / direct) skip it entirely.
+
+    The channels are SEPARATE 1-D arrays (not an (nnz, 2) record): they
+    are only ever read channel-wise by the boundary scatters of the
+    "fill" expand, and XLA has been observed to materialize (N, small)
+    int arrays with T(8,128) tiling — a 64x physical blow-up that OOMs
+    at 50M nnz (round-2 BENCH failure).
+
+    Zero-product A-slots (empty B rows, non-stream rows) are COMPACTED
+    out: kept slots have strictly increasing p0 (each consumes >= 1
+    product position), so any G*W-product chunk intersects at most
+    G*W + 2 records and the expand can scatter from a dynamic-slice
+    window instead of all nnz records per chunk (O(nnz)-per-chunk was a
+    13x blow-up on the 50M-nnz giant-row bench). The compacted tail is
+    p0 = INT_MAX sentinels, harmless to searchsorted and the window."""
     stream_mask_s = q_sorted > 0
     nnz = a_indices.shape[0]
     alen = a_indptr[1:] - a_indptr[:-1]
@@ -434,16 +462,19 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     cb_rowbase = cb_excl - jnp.take(cb_excl, row_first)
     p0 = jnp.where(live_s, e[rid_s] + cb_rowbase, jnp.int32(INT_MAX))
     u = jnp.where(live_s, b_start[acol] - p0, 0)
-    # 8-byte records: the "decode" expand detects dead slots via the
-    # per-row end table (rowend[rid]) so srec stays 2 channels; the
-    # "fill" expand (the default) instead forward-fills the per-slot
-    # product end `pend` from the same boundary scatters -- table-size-
-    # independent per-index gathers cost ~14 ns on this backend
-    # (scripts/gather_microbench2.py), so the rowend[rid] gather was
-    # half the whole expand stage; a scattered+filled channel is ~free.
-    srec = jnp.stack([u, a_data32[src]], axis=-1)
     pend = jnp.where(live_s, p0 + blen, 0)
-    return p0, srec, src, pend
+    # compact: keep only slots that own at least one product
+    keep = live_s & (blen > 0)
+    rank = cumsum1d(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, rank, nnz)
+    size = (max(nnz, 1),)
+
+    def compact(x, fill):
+        return jnp.full(size, fill, jnp.int32).at[tgt].set(
+            x, mode="drop", unique_indices=True)
+
+    return (compact(p0, INT_MAX), compact(u, 0),
+            compact(a_data32[src], 0), compact(src, 0), compact(pend, 0))
 
 
 @partial(
@@ -451,7 +482,8 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     static_argnames=("min_q", "direct_ok", "use_dense", "tile_rows",
                      "kw_max", "cw_max", "la_max", "lb_max", "max_tiles",
                      "m", "use_accum", "accum_min_ops", "accum_span_cap",
-                     "w0", "w_cap"),
+                     "w0", "w_cap", "use_dia_rows", "dia_span_cap",
+                     "dia_waste_cap", "dia_mem_budget", "dia_itemsize"),
 )
 def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
                        row_ops, row_ops_f, a_len, *, min_q: int,
@@ -461,7 +493,11 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
                        max_tiles: int, m: int, use_accum: bool = False,
                        accum_min_ops: int = 1 << 14,
                        accum_span_cap: int = 1 << 20, w0: int = 8192,
-                       w_cap: int = 65536):
+                       w_cap: int = 65536, use_dia_rows: bool = False,
+                       dia_span_cap: int = 512,
+                       dia_waste_cap: float = 8.0,
+                       dia_mem_budget: int = 1 << 30,
+                       dia_itemsize: int = 4):
     """Single-dispatch planning: dense-tile eligibility (ops/dense.py),
     direct/stream masks, the tight stream layout sort, and the A-slot
     records -- ONE packed int32 readback serves every host decision (the
@@ -473,6 +509,7 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
             n_eligible_tiles | kw_eff | cw_eff | la_eff | lb_eff |
             a_dmin | a_dmax | b_dmin | b_dmax | sum_products_sat |
             max_row_products_sat | sum_products_exact |
+            dia_dlo_a | dia_dhi_a | dia_dlo_b | dia_dhi_b | n_dia |
             W | total_q | n_wide | r_wide | wide_segs (N_WSEG_PACK)]
 
     The a/b_dmin/dmax + sp_sat scalars feed the DIA fast-path gate
@@ -488,6 +525,80 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     """
     from .dense import tile_stats
 
+    # ---- per-row DIA split (cfg.dia_rows): robust band + row mask ----
+    # The whole-matrix DIA gate fails when a few rows break the band;
+    # here a band with a 5%-per-side outlier allowance (k-th order
+    # statistics of the per-row diagonal extents) selects the banded
+    # BULK for the diagonal-plane route. A row qualifies iff its own
+    # extent fits the robust band AND every B row it touches is in-band,
+    # so each C row is produced by exactly one path. The span/waste/
+    # memory gates of the whole-matrix route (spgemm._dia_spans) are
+    # evaluated HERE on device: a failed gate zeroes the mask before the
+    # other routes partition the rows, so routing needs no second
+    # readback.
+    if use_dia_rows and m > 0 and a_indices.shape[0] > 0:
+        kb = b_indptr.shape[0] - 1
+        rowi = jnp.arange(m, dtype=jnp.int32)
+        ne_a = a_len > 0
+        a_first_d = a_indices[a_indptr[:-1]] - rowi
+        a_last_d = a_indices[jnp.maximum(a_indptr[1:] - 1, 0)] - rowi
+        n_ne = jnp.sum(ne_a.astype(jnp.int32))
+        pad = n_ne // 20
+        dmin_s = jnp.sort(jnp.where(ne_a, a_first_d, INT_MAX))
+        dmax_s = jnp.sort(jnp.where(ne_a, a_last_d, INT_MAX))
+        dlo_a = dmin_s[jnp.clip(pad, 0, m - 1)]
+        dhi_a = dmax_s[jnp.clip(n_ne - 1 - pad, 0, m - 1)]
+        rowk = jnp.arange(kb, dtype=jnp.int32)
+        blen_d = b_indptr[1:] - b_indptr[:-1]
+        ne_b = blen_d > 0
+        b_first_d = b_indices[b_indptr[:-1]] - rowk
+        b_last_d = b_indices[jnp.maximum(b_indptr[1:] - 1, 0)] - rowk
+        n_ne_b = jnp.sum(ne_b.astype(jnp.int32))
+        padb = n_ne_b // 20
+        bmin_s = jnp.sort(jnp.where(ne_b, b_first_d, INT_MAX))
+        bmax_s = jnp.sort(jnp.where(ne_b, b_last_d, INT_MAX))
+        dlo_b = bmin_s[jnp.clip(padb, 0, kb - 1)]
+        dhi_b = bmax_s[jnp.clip(n_ne_b - 1 - padb, 0, kb - 1)]
+        # empty B rows are vacuously in-band (contribute nothing)
+        b_in = (~ne_b) | ((b_first_d >= dlo_b) & (b_last_d <= dhi_b))
+        a_in = ne_a & (a_first_d >= dlo_a) & (a_last_d <= dhi_a)
+        nnz_a = a_indices.shape[0]
+        seg_d = cumsum1d(jnp.zeros((nnz_a,), jnp.int32).at[
+            a_indptr[1:-1]].add(1, mode="drop"))
+        all_b_in = jax.ops.segment_min(
+            b_in[a_indices].astype(jnp.int32), seg_d,
+            num_segments=m) == 1
+        dia_mask = a_in & all_b_in & (row_ops > 0)
+        sa_d = dhi_a - dlo_a + 1
+        sb_d = dhi_b - dlo_b + 1
+        sc_d = sa_d + sb_d - 1
+        dia_ops = jnp.sum(jnp.where(dia_mask, row_ops_f, 0.0))
+        mf = jnp.float32(m)
+        kf = jnp.float32(kb)
+        saf = sa_d.astype(jnp.float32)
+        sbf = sb_d.astype(jnp.float32)
+        scf = sc_d.astype(jnp.float32)
+        # dia.plane_bytes in f32 arithmetic (overflow-immune)
+        planes_f = jnp.float32(dia_itemsize) * (
+            2 * saf * mf + 2 * sbf * kf + 2 * sbf * (mf + saf)
+            + 2 * scf * mf + 3 * scf * mf)
+        ok = ((dlo_a <= dhi_a) & (dlo_b <= dhi_b)
+              & (sa_d <= dia_span_cap) & (sb_d <= dia_span_cap)
+              & (jnp.maximum(jnp.maximum(saf * mf, sbf * kf), scf * mf)
+                 < 2.0 ** 31)
+              & (mf * saf * sbf
+                 <= dia_waste_cap * jnp.maximum(dia_ops, 1.0))
+              & (planes_f <= jnp.float32(dia_mem_budget)))
+        dia_mask = dia_mask & ok
+        n_dia = jnp.sum(dia_mask.astype(jnp.int32))
+        dia_pack = jnp.stack([dlo_a, dhi_a, dlo_b, dhi_b, n_dia]
+                             ).astype(jnp.int32)
+    else:
+        dia_mask = jnp.zeros((m,), bool)
+        dia_pack = jnp.stack(
+            [jnp.int32(1), jnp.int32(0), jnp.int32(1), jnp.int32(0),
+             jnp.int32(0)])
+
     if use_dense and m > 0:
         stats = tile_stats(a_indptr, a_indices, b_indptr, b_indices,
                            row_ops, a_len, tile_rows=tile_rows, m=m)
@@ -497,6 +608,13 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
             (kspan <= kw_max) & (cspan <= cw_max)
             & (amax <= la_max) & (bmax <= lb_max) & (cspan > 0)
         )
+        # tiles holding any per-row-DIA row are ineligible (the planes
+        # outrank the MXU windows; each row rides exactly one path)
+        padm = T * tile_rows - m
+        dia_t = jnp.any(jnp.concatenate(
+            [dia_mask, jnp.zeros((padm,), bool)]).reshape(T, tile_rows),
+            axis=1)
+        elig = elig & ~dia_t
         elig = elig & (jnp.cumsum(elig.astype(jnp.int32)) <= max_tiles)
         n_elig = jnp.sum(elig, dtype=jnp.int32)
         tid = jnp.arange(T, dtype=jnp.int32)
@@ -525,7 +643,8 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
         dense_mask = jnp.zeros((m,), bool)
 
     if direct_ok:
-        direct_mask = (a_len == 1) & (row_ops > 0) & ~dense_mask
+        direct_mask = ((a_len == 1) & (row_ops > 0) & ~dense_mask
+                       & ~dia_mask)
     else:
         direct_mask = jnp.zeros((m,), bool)
     if use_accum and m > 0:
@@ -549,13 +668,13 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
         gcmin = jnp.where(gcmax < 0, 0, gcmin)
         accum_mask = (
             (row_ops > accum_min_ops) & (span <= accum_span_cap)
-            & ~dense_mask & ~direct_mask & (row_ops > 0))
+            & ~dense_mask & ~direct_mask & ~dia_mask & (row_ops > 0))
     else:
         gcmin = jnp.zeros((m,), jnp.int32)
         span = jnp.ones((m,), jnp.int32)
         accum_mask = jnp.zeros((m,), bool)
     stream_mask = ((row_ops > 0) & ~direct_mask & ~dense_mask
-                   & ~accum_mask)
+                   & ~accum_mask & ~dia_mask)
     (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
      hist, tight_pack) = _plan_rows_impl(
         row_ops, stream_mask, direct_mask, min_q=min_q, m=m,
@@ -573,10 +692,11 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
         hist,
         jnp.stack([n_elig, kw_eff, cw_eff, la_eff, lb_eff]).astype(jnp.int32),
         gate,
+        dia_pack,
         tight_pack,
     ])
     return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
-            cmin_sorted, nnz_init, r0, kb_s, cb_s, valid, pack)
+            cmin_sorted, nnz_init, r0, kb_s, cb_s, valid, dia_mask, pack)
 
 
 def _gate_scalars(a_indptr, a_indices, b_indptr, b_indices, row_ops,
@@ -697,13 +817,13 @@ def ffill1d(val, filled, block: int = 4096):
     return v.reshape(-1)[:n]
 
 
-def _expand_chunk(e, rowend, p0, srec, pend, b_packed, b_indices, b_data,
-                  a_data, a_srcmap, chunk_start, rid_base, sid_base,
-                  G: int, W: int, n_cols: int, f64: bool,
+def _expand_chunk(e, rowend, p0, su, sa, pend, b_packed, b_indices,
+                  b_data, a_data, a_srcmap, chunk_start, rid_base,
+                  sid_base, G: int, W: int, n_cols: int, f64: bool,
                   expand_impl: str = "fill"):
     """The shared expand stage: decode (rid, sid) for every slot of chunk
     [chunk_start, chunk_start + G*W) of a product space described by
-    (e, p0, srec), gather the B records, and form the products.
+    (e, p0, su, sa), gather the B records, and form the products.
     Returns (rid, col, val, dead).
 
     rowend (m,): per-sorted-row live product end (e + ops) in this
@@ -718,25 +838,41 @@ def _expand_chunk(e, rowend, p0, srec, pend, b_packed, b_indices, b_data,
     expand_impl="fill" (default): the per-slot A-record (u, valA, pend)
     is FORWARD-FILLED from boundary scatters at the A-slot starts (p0)
     instead of decoded+gathered per slot -- kills the sid run-length
-    decode, the O(G*W) random srec gather, and the rowend dead-check
+    decode, the O(G*W) random record gather, and the rowend dead-check
     gather; what remains random is the ONE irreducible b_packed record
     gather per live product. "decode" keeps the round-2 per-slot
-    decode+gather form."""
+    decode+gather form.
+
+    The fill scatters source from a dynamic-slice WINDOW of the record
+    arrays around sid_base: build_srec compacts zero-product slots, so
+    kept p0 is strictly increasing and at most CP + 2 records can
+    intersect one chunk. Scattering all nnz records per chunk made
+    per-chunk cost O(nnz + CP) -- a 13x blow-up on the 50M-nnz
+    giant-row bench where nnz ~ products."""
     t = chunk_start + jax.lax.broadcasted_iota(
         jnp.int32, (G, W), 0) * W + jax.lax.broadcasted_iota(
         jnp.int32, (G, W), 1)
     rid = _decode(e, rid_base, chunk_start, G, W)
-    nnzA = srec.shape[0]
+    nnzA = su.shape[0]
     m = rowend.shape[0]
     CP = G * W
     if expand_impl == "fill":
         # channel 2: valA bits (f32) or the A-source index (f64)
-        ch2 = a_srcmap if f64 else srec[:, 1]
-        rel = p0 - chunk_start
-        # among A-slots sharing one p0 (empty B rows produce zero-length
-        # runs) only the LAST is live at that position -- scatter winners
-        # only (set order between duplicate indices is unspecified)
-        winner = jnp.concatenate([p0[:-1] != p0[1:],
+        ch2 = a_srcmap if f64 else sa
+        K = min(nnzA, CP + 2)
+        if K < nnzA:
+            base = jnp.clip(sid_base - 1, 0, nnzA - K)
+            p0w = jax.lax.dynamic_slice(p0, (base,), (K,))
+            uw = jax.lax.dynamic_slice(su, (base,), (K,))
+            aw = jax.lax.dynamic_slice(ch2, (base,), (K,))
+            pw = jax.lax.dynamic_slice(pend, (base,), (K,))
+        else:
+            p0w, uw, aw, pw = p0, su, ch2, pend
+        rel = p0w - chunk_start
+        # kept slots have strictly increasing p0 (build_srec compaction);
+        # the guard survives for the K == nnzA degenerate path where the
+        # INT_MAX tail sentinels share a value
+        winner = jnp.concatenate([p0w[:-1] != p0w[1:],
                                   jnp.ones((1,), bool)])
         tgt = jnp.where(winner & (rel >= 0) & (rel < CP), rel, CP)
         # carry-in: the run straddling the chunk start is the last slot
@@ -745,14 +881,14 @@ def _expand_chunk(e, rowend, p0, srec, pend, b_packed, b_indices, b_data,
         pidx = jnp.clip(sid_base - 1, 0, nnzA - 1)
         cidx = jnp.where(sid_base > 0, 0, CP)
         u2 = (jnp.zeros((CP,), jnp.int32)
-              .at[cidx].set(srec[pidx, 0], mode="drop")
-              .at[tgt].set(srec[:, 0], mode="drop"))
+              .at[cidx].set(su[pidx], mode="drop")
+              .at[tgt].set(uw, mode="drop"))
         a2 = (jnp.zeros((CP,), jnp.int32)
               .at[cidx].set(ch2[pidx], mode="drop")
-              .at[tgt].set(ch2, mode="drop"))
+              .at[tgt].set(aw, mode="drop"))
         p2 = (jnp.zeros((CP,), jnp.int32)
               .at[cidx].set(pend[pidx], mode="drop")
-              .at[tgt].set(pend, mode="drop"))
+              .at[tgt].set(pw, mode="drop"))
         f2 = (jnp.zeros((CP,), bool)
               .at[cidx].set(True, mode="drop")
               .at[tgt].set(True, mode="drop"))
@@ -768,14 +904,13 @@ def _expand_chunk(e, rowend, p0, srec, pend, b_packed, b_indices, b_data,
     else:
         sid = _decode(p0, sid_base, chunk_start, G, W)
         sid_c = jnp.clip(sid, 0, nnzA - 1)
-        rec = srec[sid_c]
-        u = rec[..., 0]
+        u = su[sid_c]
         dead = (t >= rowend[jnp.clip(rid, 0, m - 1)]) | (sid < 0) | (rid < 0)
         bsrc = jnp.where(dead, 0, u + t)
         if f64:
             aval = a_data[a_srcmap[sid_c]]
         else:
-            aval = jax.lax.bitcast_convert_type(rec[..., 1], jnp.float32)
+            aval = jax.lax.bitcast_convert_type(sa[sid_c], jnp.float32)
     if f64:
         col = jnp.where(dead, jnp.int32(n_cols), b_indices[bsrc])
         val = jnp.where(dead, 0.0, aval * b_data[bsrc])
@@ -948,7 +1083,7 @@ def compact_staged(rid_s, col_s, val_s, counts, *, n_cols: int,
     donate_argnames=("nnz_row",),
 )
 def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
-                 srec, pend, b_packed, b_indices, b_data, a_data,
+                 su, sa, pend, b_packed, b_indices, b_data, a_data,
                  a_srcmap, nnz_row, chunk_start, rid_base, sid_base, *,
                  G: int,
                  W: int, n_cols: int, pack_bits: int, stage: bool,
@@ -969,7 +1104,7 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
     staged rectangle rows for emission / the levels.
     """
     rid, col, val, _ = _expand_chunk(
-        e, rowend, p0, srec, pend, b_packed, b_indices, b_data, a_data,
+        e, rowend, p0, su, sa, pend, b_packed, b_indices, b_data, a_data,
         a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64,
         expand_impl=expand_impl)
 
@@ -1022,7 +1157,7 @@ def stream_chunk(rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
                      "sort_impl", "compact_impl", "expand_impl"),
     donate_argnames=("c_cols", "c_vals"),
 )
-def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, pend,
+def stream_chunk_numeric(rows_sorted, e, rowend, p0, su, sa, pend,
                          b_packed, b_indices, b_data, a_data, a_srcmap,
                          row_offsets, c_cols, c_vals, chunk_start,
                          rid_base, sid_base,
@@ -1038,7 +1173,7 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, pend,
     (chunks that hold wide-row segments feed the merge levels).
     """
     rid, col, val, _ = _expand_chunk(
-        e, rowend, p0, srec, pend, b_packed, b_indices, b_data, a_data,
+        e, rowend, p0, su, sa, pend, b_packed, b_indices, b_data, a_data,
         a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64,
         expand_impl=expand_impl)
 
@@ -1092,7 +1227,7 @@ def stream_chunk_numeric(rows_sorted, e, rowend, p0, srec, pend,
     static_argnames=("G", "W", "n_cols", "f64", "expand_impl"),
     donate_argnames=("acc", "pres"),
 )
-def stream_chunk_accum(e2, rowend2, p02, srec2, pend2, b_packed,
+def stream_chunk_accum(e2, rowend2, p02, su2, sa2, pend2, b_packed,
                        b_indices,
                        b_data, a_data, a_srcmap, abase, cmin_s, acc, pres,
                        chunk_start, rid_base, sid_base, row_lo, row_hi, *,
@@ -1111,7 +1246,7 @@ def stream_chunk_accum(e2, rowend2, p02, srec2, pend2, b_packed,
     sort+contract over every slot.
     """
     rid, col, val, dead = _expand_chunk(
-        e2, rowend2, p02, srec2, pend2, b_packed, b_indices, b_data,
+        e2, rowend2, p02, su2, sa2, pend2, b_packed, b_indices, b_data,
         a_data,
         a_srcmap, chunk_start, rid_base, sid_base, G, W, n_cols, f64,
         expand_impl=expand_impl)

@@ -88,7 +88,7 @@ def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
         stream_mask = row_ops > 0
         no_direct = jnp.zeros((m_loc,), bool)
         a32 = jax.lax.bitcast_convert_type(ad, jnp.int32)
-        (rows_sorted, e, q_sorted, el, ops_sorted, p0, srec, src, pend,
+        (rows_sorted, e, q_sorted, el, ops_sorted, p0, su, sa, src, pend,
          _) = _plan_stream_impl(
             row_ops, stream_mask, no_direct, ai, ax, a32, b_start, b_len,
             min_q=cfg.stream_min_q, m=m_loc, tight=True, w_fixed=W)
@@ -100,7 +100,7 @@ def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
             cs = jnp.int32(c * CP)
             nnz_row, stg = stream_chunk(
                 rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
-                srec, pend, b_packed, b_packed[:, 0], ad, ad, src,
+                su, sa, pend, b_packed, b_packed[:, 0], ad, ad, src,
                 nnz_row, cs,
                 jnp.searchsorted(e, cs).astype(jnp.int32),
                 jnp.searchsorted(p0, cs).astype(jnp.int32),

@@ -186,6 +186,17 @@ class SpgemmConfig:
     dia_span_cap: int = 512
     dia_waste_cap: float = 8.0
     dia_mem_budget: int = 1 << 30
+    # per-ROW DIA split (the reference's per-block method auto-select,
+    # spECK_HashSpGEMM.cuh:1761-1793, hoisted to per-row routing): when
+    # the WHOLE-matrix gate fails because a few rows break the band, a
+    # robust band (5% outlier allowance per side on the per-row diagonal
+    # extents) routes the banded bulk through diagonal planes and only
+    # the outliers through the stream/dense/direct paths. A row rides
+    # the planes iff its own extent fits the robust band AND every B row
+    # it touches is in-band (so each C row is produced by exactly one
+    # path — no cross-path merging). Same span/waste/memory gates as the
+    # whole-matrix route, evaluated on device in the planning dispatch.
+    dia_rows: bool = True
     # dense-window MXU path (ops/dense.py): tiles of ``dense_tile_rows``
     # consecutive rows whose A-column span fits ``dense_kw``, output-column
     # span fits ``dense_cw``, and per-row lengths fit dense_la/dense_lb run
@@ -237,6 +248,7 @@ _INI_TUNING_KEYS = {
     "DiaSpanCap": ("dia_span_cap", int),
     "DiaWasteCap": ("dia_waste_cap", float),
     "DiaMemBudget": ("dia_mem_budget", int),
+    "DiaRows": ("dia_rows", bool),
     "EnableAccum": ("enable_accum", bool),
     "AccumMinOps": ("accum_min_ops", int),
     "AccumSpanCap": ("accum_span_cap", int),

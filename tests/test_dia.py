@@ -277,3 +277,100 @@ def test_dia_uniform_emit_numeric_rerun(rng):
                   ah.data * 0.5)
     ref2 = oracle_spgemm(ah2, ah2)
     assert compare_csr(ref2, C2, compare_data=True, rel_tol=2e-3).ok
+
+
+# ---------------------------------------------------------------------------
+# Per-row DIA split (cfg.dia_rows): banded bulk on planes, outliers on
+# the stream — the TPU-per-row form of the reference's per-block method
+# auto-select (spECK_HashSpGEMM.cuh:1761-1793)
+# ---------------------------------------------------------------------------
+
+
+def _mixed_band_outliers(n=2048, half=4, n_out=24, out_nnz=12, seed=3):
+    rs = np.random.RandomState(seed)
+    band = _band(n, range(-half, half + 1), rs)
+    out_rows = np.repeat(np.arange(n_out), out_nnz)
+    extra = sp.csr_matrix(
+        (rs.standard_normal(out_rows.shape[0]),
+         (out_rows, rs.randint(0, n, out_rows.shape[0]))), shape=(n, n))
+    m = (band + extra).tocsr()
+    m.sum_duplicates()
+    return m
+
+
+def test_dia_rows_mixed_routing(rng):
+    """Whole-matrix gate fails (outliers span ~n); the banded bulk rides
+    the per-row plane route, outliers ride the stream; oracle exact."""
+    a = _mixed_band_outliers()
+    plan = _run(a, a)
+    assert plan.dia is None                      # whole-matrix gate lost
+    assert plan.dia_rows is not None             # per-row split engaged
+    assert plan.dia_rows.span_a <= 2 * 4 + 1
+    # outliers (and banded rows touching outlier B rows) are stream rows
+    assert plan.stream.layout.n_stream_rows > 0
+
+
+def test_dia_rows_numeric_rerun(rng):
+    """Plan reuse with new values re-convolves against the stored masked
+    slots and the structural presence mask."""
+    a = _mixed_band_outliers(seed=5)
+    ah = HostCSR.from_scipy(a)
+    Ad = device_put_csr(ah, np.float32)
+    plan = plan_spgemm(Ad, Ad)
+    assert plan.dia_rows is not None
+    a2 = a.copy()
+    a2.data = a2.data * -1.5 + 0.125
+    ah2 = HostCSR.from_scipy(a2)
+    Ad2 = device_put_csr(ah2, np.float32)
+    C2 = device_get_csr(plan.execute(Ad2, Ad2))
+    ref2 = oracle_spgemm(ah2, ah2)
+    r = compare_csr(ref2, C2, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+
+
+def test_dia_rows_disabled_parity(rng):
+    """DiaRows=false routes everything through the classic paths with
+    identical structure and values."""
+    a = _mixed_band_outliers(seed=7)
+    plan = _run(a, a, SpgemmConfig(dia_rows=False))
+    assert plan.dia_rows is None
+
+
+def test_dia_rows_fp64(rng):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        a = _mixed_band_outliers(n=512, seed=9)
+        plan = _run(a, a, dtype=np.float64, rel=1e-9)
+        assert plan.dia_rows is not None
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_dia_rows_gate_rejects_unbanded(rng):
+    """A random-structure matrix must not engage the per-row split (the
+    robust band blows past the span cap / waste gate)."""
+    rs = np.random.RandomState(11)
+    a = sp.random(1024, 1024, 0.005, format="csr", random_state=rs)
+    a.data = rs.standard_normal(a.nnz)
+    plan = _run(a, a)
+    assert plan.dia_rows is None
+
+
+def test_dia_rows_rectangular(rng):
+    """Rectangular banded A (m > k) with outlier rows: the split works on
+    non-square operands (B = A^T-free product A @ P)."""
+    rs = np.random.RandomState(13)
+    m, k = 1024, 1024
+    a = _mixed_band_outliers(n=m, seed=13)
+    # P: banded prolongation-like k x k/2 (diagonal pairs)
+    p = sp.csr_matrix((np.ones(k), (np.arange(k), np.arange(k) // 2)),
+                      shape=(k, k // 2))
+    ah, ph = HostCSR.from_scipy(a), HostCSR.from_scipy(p)
+    Ad, Pd = device_put_csr(ah, np.float32), device_put_csr(ph, np.float32)
+    plan = plan_spgemm(Ad, Pd)
+    C = device_get_csr(plan.execute())
+    ref = oracle_spgemm(ah, ph)
+    r = compare_csr(ref, C, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message

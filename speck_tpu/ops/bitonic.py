@@ -86,6 +86,78 @@ def bitonic_sort_pairs(key: jax.Array, vals: Sequence[jax.Array],
     return _network(key, tuple(vals))
 
 
+def _merge_runs(key, vals, run: int):
+    """One merge round: consecutive ASCENDING runs of length ``run`` are
+    merged pairwise into ascending runs of length 2*run. The second run
+    of each pair is reversed (making each 2*run block bitonic), then
+    log2(2*run) halving compare-exchange stages clean up — all
+    elementwise mins/maxes over aligned slices."""
+    R, W = key.shape
+    L = run
+    nb = W // (2 * L)
+
+    def flip(x):
+        xs = x.reshape(R, nb, 2, L)
+        return jnp.concatenate(
+            [xs[:, :, :1, :], xs[:, :, 1:, ::-1]], axis=2).reshape(R, W)
+
+    key = flip(key)
+    vals = tuple(flip(v) for v in vals)
+    j = L
+    while j >= 1:
+        nbj = W // (2 * j)
+        ksh = key.reshape(R, nbj, 2, j)
+        lo_k, hi_k = ksh[:, :, 0, :], ksh[:, :, 1, :]
+        sw = lo_k > hi_k
+        key = jnp.stack([jnp.where(sw, hi_k, lo_k),
+                         jnp.where(sw, lo_k, hi_k)], axis=2).reshape(R, W)
+        new_vals = []
+        for v in vals:
+            vsh = v.reshape(R, nbj, 2, j)
+            lo_v, hi_v = vsh[:, :, 0, :], vsh[:, :, 1, :]
+            new_vals.append(jnp.stack(
+                [jnp.where(sw, hi_v, lo_v), jnp.where(sw, lo_v, hi_v)],
+                axis=2).reshape(R, W))
+        vals = tuple(new_vals)
+        j //= 2
+    return key, vals
+
+
+def blocked_sort_pairs(key: jax.Array, vals: Sequence[jax.Array],
+                       block: int = 8192,
+                       ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """Sort each row of ``key`` (R, W) ascending by sorting width-``block``
+    sub-rows with `jax.lax.sort` (fast: XLA's sort lowering is
+    compute-bound but competitive at small widths) and then bitonic-MERGING
+    the sorted runs pairwise up to the full width. Total merge work is
+    O(W log(W/block)·log W) elementwise selects — vs XLA's wide sort whose
+    measured per-element cost grows steeply past W=8192 (the round-3
+    giant-row chunks paid ~9x per-element at W=65536, BASELINE.md).
+
+    W and block must be powers of two. NOT stable (bitonic merges aren't),
+    so only valid for single-key sorts whose key fully orders the payload
+    intent — every stream use packs (rid, col) into one key."""
+    R, W = key.shape
+    vals = tuple(vals)
+    if not _is_pow2(W):
+        raise ValueError(f"blocked sort width {W} is not a power of two")
+    block = min(block, W)
+    if W == block:
+        out = jax.lax.sort((key,) + vals, dimension=1, num_keys=1)
+        return out[0], tuple(out[1:])
+    nb = W // block
+    out = jax.lax.sort(
+        tuple(x.reshape(R * nb, block) for x in (key,) + vals),
+        dimension=1, num_keys=1)
+    key = out[0].reshape(R, W)
+    vals = tuple(v.reshape(R, W) for v in out[1:])
+    run = block
+    while run < W:
+        key, vals = _merge_runs(key, vals, run)
+        run *= 2
+    return key, vals
+
+
 def pallas_supported(R: int, W: int) -> bool:
     """VMEM budget gate for the Pallas kernel: one (RB, W) block of
     key + vals in and out must fit comfortably."""

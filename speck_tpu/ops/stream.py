@@ -936,6 +936,9 @@ def _decode(boundary_pos, base, chunk_start, G: int, W: int):
 
 def _bitonic_call(key, vals, sort_impl: str):
     """Dispatch to the jnp bitonic network or the Pallas VMEM kernel."""
+    if sort_impl == "blocked":
+        from .bitonic import blocked_sort_pairs
+        return blocked_sort_pairs(key, vals)
     if sort_impl == "bitonic_pallas":
         from .bitonic import bitonic_sort_pairs_pallas
         return bitonic_sort_pairs_pallas(key, vals)
@@ -943,10 +946,29 @@ def _bitonic_call(key, vals, sort_impl: str):
     return bitonic_sort_pairs(key, vals)
 
 
+# width at which XLA's variadic row sort leaves its fast regime: measured
+# on v5e the per-element cost at W=65536 is ~9x the W=8192 cost
+# (BASELINE.md round-3 giant profile), while the blocked merge sort
+# (8192-wide lax.sort runs + log2(W/8192) bitonic merge rounds of pure
+# elementwise selects) stays bandwidth-bound
+_BLOCKED_SORT_MIN_W = 16384
+
+
+def _resolve_sort(sort_impl: str, width: int) -> str:
+    """Resolve the "auto" sort policy by row width: lax.sort in its fast
+    regime, the blocked merge sort for wide pow2 rows."""
+    if sort_impl == "auto":
+        if width >= _BLOCKED_SORT_MIN_W and (width & (width - 1)) == 0:
+            return "blocked"
+        return "xla"
+    return sort_impl
+
+
 def _sort_cols(col, val, sort_impl: str):
     """Single-key (col, val) row sort, optionally via the bitonic
     network (width must be pow2 for bitonic — all level/finish widths
     are)."""
+    sort_impl = _resolve_sort(sort_impl, col.shape[1])
     if sort_impl != "xla" and (col.shape[1] & (col.shape[1] - 1)) == 0:
         col_s, (val_s,) = _bitonic_call(col, [val], sort_impl)
         return col_s, val_s
@@ -962,6 +984,7 @@ def _sort_rect(rid, col, val, n_cols: int, pack_bits: int,
     rid_local << pack_bits | col. ``sort_impl`` routes the single-key
     sort through the bitonic network or its Pallas VMEM kernel
     (ops/bitonic.py)."""
+    sort_impl = _resolve_sort(sort_impl, col.shape[1])
     if pack_bits > 0:
         rid0 = rid[:, :1]
         keyk = ((rid - rid0) << pack_bits) | col
@@ -1045,6 +1068,7 @@ def _compact_rect(last, rid_s, col_s, run_sum, sort_impl: str = "xla",
                 sc(run_sum, jnp.zeros((), run_sum.dtype)), counts)
     t = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
     key = jnp.where(last, rank, W + t)
+    sort_impl = _resolve_sort(sort_impl, W)
     if sort_impl != "xla":
         _, (rid_c, col_c, val_c) = _bitonic_call(
             key, [rid_s, col_s, run_sum], sort_impl)

@@ -121,14 +121,16 @@ class SpgemmConfig:
     # (pallas_kernels.stream_contract_runs); default off — measured on
     # v5e the XLA contract fuses into the chunk at ~no standalone cost
     stream_pallas_contract: bool = False
-    # chunk-sort implementation: "xla" (lax.sort), "bitonic" (the
-    # reshape/select compare-exchange network, ops/bitonic.py —
-    # log2(W)(log2(W)+1)/2 bandwidth-bound map stages vs XLA's variadic
-    # sort lowering, measured ~16x below bandwidth at these widths), or
-    # "bitonic_pallas" (the same network as ONE VMEM-resident Pallas
-    # kernel: a single HBM round trip). A/B on hardware; applies to the
-    # single-key sort paths only
-    stream_sort_impl: str = "xla"
+    # chunk-sort implementation: "auto" (lax.sort for rows <= 8192 wide —
+    # its fast regime — and the blocked merge sort for wider pow2 rows:
+    # 8192-wide lax.sort runs + log2(W/8192) bitonic merge rounds of pure
+    # elementwise selects; lax.sort's per-element cost at W=65536 measured
+    # ~9x its W=8192 cost on v5e, the round-3 giant-row bottleneck),
+    # "xla" (always lax.sort), "blocked" (always the merge form, pow2
+    # widths only), "bitonic" (the full compare-exchange network,
+    # ops/bitonic.py), or "bitonic_pallas" (that network as ONE
+    # VMEM-resident Pallas kernel). Applies to the single-key sort paths
+    stream_sort_impl: str = "auto"
     # chunk expand: "fill" forward-fills per-slot A records (u, valA)
     # from boundary scatters at the A-slot starts — no sid decode, no
     # O(G*W) random srec gather (one b_packed record gather per live

@@ -426,6 +426,44 @@ def test_bitonic_sort_matches_xla(rng):
     assert compare_csr(refw, Cw, compare_data=True, rel_tol=2e-3).ok
 
 
+def test_blocked_sort_matches_xla(rng):
+    """The blocked merge sort (width-8192 lax.sort runs + bitonic merge
+    rounds, ops/bitonic.py blocked_sort_pairs) is element-identical to
+    lax.sort on every stream sort site; "auto" resolves to it for wide
+    pow2 rows (the giant-row W=65536 chunks)."""
+    import jax.numpy as jnp
+    from speck_tpu.ops.bitonic import blocked_sort_pairs
+
+    # unit: merge-sort vs np.sort with multiple payloads
+    key = rng.integers(0, 1 << 28, size=(3, 4096)).astype(np.int32)
+    v1 = rng.standard_normal((3, 4096)).astype(np.float32)
+    v2 = rng.integers(0, 99, size=(3, 4096)).astype(np.int32)
+    k_s, (v1_s, v2_s) = blocked_sort_pairs(
+        jnp.asarray(key), [jnp.asarray(v1), jnp.asarray(v2)], block=512)
+    np.testing.assert_array_equal(np.asarray(k_s), np.sort(key, axis=1))
+    for r in range(3):
+        got = sorted(zip(np.asarray(k_s)[r].tolist(),
+                         np.asarray(v2_s)[r].tolist()))
+        want = sorted(zip(key[r].tolist(), v2[r].tolist()))
+        assert got == want
+
+    # end-to-end: wide rows through stream levels/finish with the
+    # blocked impl forced at every width
+    a = random_host_csr(rng, 160, 160, 0.08)
+    lil = a.to_scipy().tolil()
+    lil[0, :] = rng.standard_normal(160)
+    aw = HostCSR.from_scipy(lil.tocsr())
+    cfg_x = dataclasses.replace(_CFG, stream_width=64,
+                                product_budget=1 << 10)
+    refw = oracle_spgemm(aw, aw)
+    Aw = device_put_csr(aw)
+    for impl in ("blocked", "auto"):
+        cfg_b = dataclasses.replace(cfg_x, stream_sort_impl=impl,
+                                    fused_staging_budget=0)
+        Cw = device_get_csr(spgemm(Aw, Aw, cfg_b))
+        assert compare_csr(refw, Cw, compare_data=True, rel_tol=2e-3).ok
+
+
 def test_accum_path_giant_span(rng):
     """Huge rows with bounded column spans route to the dense-span
     accumulator (the reference's dense mode for single big rows,

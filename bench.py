@@ -51,10 +51,11 @@ def make_powerlaw(m=131072, avg=12, alpha=2.2, seed=5):
 def make_mixed(n=65536, half_band=16, n_out=1024, out_nnz=64, seed=13):
     """Banded matrix with a clustered block of outlier rows holding
     far-flung random columns: breaks the whole-matrix DIA gate (span ~n),
-    so the banded bulk routes through the dense MXU tiles and the outlier
-    region through the product stream — the heterogeneous-routing
-    workload (the reference's per-block method auto-select,
-    spECK_HashSpGEMM.cuh:1761-1793, exercised across paths)."""
+    so the per-row DIA split routes the banded bulk through diagonal
+    planes and the outlier region through the product stream — the
+    heterogeneous-routing workload (the reference's per-block method
+    auto-select, spECK_HashSpGEMM.cuh:1761-1793, exercised across
+    paths)."""
     import scipy.sparse as sp
     from speck_tpu.formats.csr import HostCSR
 
@@ -69,6 +70,24 @@ def make_mixed(n=65536, half_band=16, n_out=1024, out_nnz=64, seed=13):
          (out_rows, rs.randint(0, n, out_rows.shape[0]))), shape=(n, n))
     mat = (band + extra).tocsr()
     mat.sum_duplicates()
+    return HostCSR.from_scipy(mat)
+
+
+def make_stencil27(g=102, seed=19):
+    """3-D 27-point stencil on a g^3 grid (the nlpkkt/BASELINE stencil
+    input class): exactly 27 present diagonals spread over a ~2g^2-wide
+    band — contiguous-DIA ineligible, sparse-DIA native (ops/dia.py
+    sdia_conv). g=102 -> 1,061,208 rows, ~28.6M nnz, ~7.7e8 products."""
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+
+    rs = np.random.RandomState(seed)
+    n = g ** 3
+    offs = sorted(dz * g * g + dy * g + dx
+                  for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+                  for dx in (-1, 0, 1))
+    mat = sp.diags([rs.standard_normal(n - abs(o)) for o in offs], offs,
+                   shape=(n, n), format="csr")
     return HostCSR.from_scipy(mat)
 
 
@@ -209,6 +228,11 @@ def main():
     guarded("config4", lambda: bench_pair(
         "config4_rect_AxP_65kx16k", a1, make_prolongation(65536, 16384),
         iters=2))
+
+    # ---- stencil: 3-D 27-point, 1.06M rows (the nlpkkt stencil class;
+    # sparse-DIA route: 27x27 offset-pair vector FMAs, no gathers) ----
+    guarded("stencil27", lambda: bench_pair(
+        "stencil27_3d_1M_AxA", make_stencil27(), None, iters=2))
 
     # ---- giant row: 5e7 products in ONE row (the windowed giant-row /
     # global-map analogue, spECK_HashSpGEMM.cuh:106-126, 1175-1298) ----

@@ -32,6 +32,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .device_csr import DeviceCSR
 
@@ -56,6 +57,93 @@ jax.tree_util.register_dataclass(
                  "row_ops_f"],
     meta_fields=[],
 )
+
+
+@dataclasses.dataclass(frozen=True)
+class HostAnalysis:
+    """Host-side (numpy) twin of the analysis pass PLUS the 7 routing/
+    guard gate scalars (stream._gate_scalars semantics), computed from
+    the HostCSR copies that device_put_csr keeps attached to uploaded
+    matrices. Replaces one device dispatch (readOperations analogue) AND
+    the early-gate readback (~27 ms through the axon tunnel) with O(nnz)
+    numpy — the planning decisions (DIA route, overflow guards, row
+    blocking) then need ZERO device syncs. Exact int64 where the device
+    twin saturates."""
+
+    row_ops: "np.ndarray"     # (m,) int64 exact products per row
+    a_len: "np.ndarray"       # (m,) int64 nnz per row of A
+    sum_products: float       # exact
+    max_row_products: int     # exact
+    a_dmin: int               # min/max of (col - row) over A (canonical:
+    a_dmax: int               # a row's first/last col id is its min/max)
+    b_dmin: int
+    b_dmax: int
+
+    @property
+    def sp_sat(self) -> int:
+        return int(min(self.sum_products, 2.0 ** 31 - 2))
+
+    @property
+    def mxrow_sat(self) -> int:
+        return int(min(self.max_row_products, 2 ** 31 - 2))
+
+    def to_device(self) -> AnalysisResult:
+        """Upload the per-row arrays (3 small H2D transfers; int32 cast
+        wraps exactly like the device twin for rows past 2^31 — callers
+        check mxrow_sat first)."""
+        row_ops = jnp.asarray(self.row_ops.astype(np.int32))
+        a_len = jnp.asarray(self.a_len.astype(np.int32))
+        work = np.maximum(self.row_ops, self.a_len)
+        return AnalysisResult(
+            row_ops=row_ops, a_len=a_len,
+            work=jnp.asarray(work.astype(np.int32)),
+            sum_products=np.asarray(self.sum_products,
+                                    jnp.result_type(float)),
+            max_work=np.int32(min(int(work.max(initial=0)), 2 ** 31 - 1)),
+            row_ops_f=jnp.asarray(self.row_ops.astype(np.float32)),
+        )
+
+
+def host_analyze(ah, bh) -> HostAnalysis:
+    """Analysis + gate scalars on host numpy (see HostAnalysis). ``ah``/
+    ``bh`` are HostCSR; mirrors _analyze_impl + stream._gate_scalars."""
+    INT_MAX = np.iinfo(np.int32).max
+    m = int(ah.rows)
+    ip = np.asarray(ah.row_offsets, np.int64)
+    ci = np.asarray(ah.col_ids)
+    b_ip = np.asarray(bh.row_offsets, np.int64)
+    b_len = b_ip[1:] - b_ip[:-1]
+    a_len = ip[1:] - ip[:-1]
+    nnz = ci.shape[0]
+    cse = np.zeros(nnz + 1, np.int64)
+    np.cumsum(b_len[ci], out=cse[1:])
+    row_ops = cse[ip[1:]] - cse[ip[:-1]]
+
+    def band(ipx, cix, rows):
+        n_r = int(rows)
+        nz = cix.shape[0]
+        if nz == 0 or n_r == 0:
+            return INT_MAX, -INT_MAX
+        lenx = ipx[1:] - ipx[:-1]
+        ne = lenx > 0
+        if not ne.any():
+            return INT_MAX, -INT_MAX
+        ridx = np.arange(n_r, dtype=np.int64)
+        first = cix[np.minimum(ipx[:-1], nz - 1)] - ridx
+        last = cix[np.maximum(ipx[1:] - 1, 0)] - ridx
+        return int(first[ne].min()), int(last[ne].max())
+
+    a_dmin, a_dmax = band(ip, ci, m)
+    if bh is ah:
+        b_dmin, b_dmax = a_dmin, a_dmax
+    else:
+        b_dmin, b_dmax = band(b_ip, np.asarray(bh.col_ids), bh.rows)
+    return HostAnalysis(
+        row_ops=row_ops, a_len=a_len,
+        sum_products=float(cse[-1]),
+        max_row_products=int(row_ops.max(initial=0)),
+        a_dmin=a_dmin, a_dmax=a_dmax, b_dmin=b_dmin, b_dmax=b_dmax,
+    )
 
 
 @partial(jax.jit, static_argnames=("m",))

@@ -14,7 +14,8 @@ to 2^31 - 1.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+import weakref
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,27 @@ jax.tree_util.register_dataclass(
 )
 
 
+# Host-structure side table: device_put_csr keeps the source HostCSR
+# reachable from its DeviceCSR so planning can run the analysis pass and
+# the routing gate on host numpy with ZERO device syncs
+# (ops/analysis.host_analyze). A side table (not a dataclass field) keeps
+# DeviceCSR a clean pytree — numpy payloads in meta fields would poison
+# jit cache keys. Entries evict when the DeviceCSR is collected.
+_HOST_SIDE: dict = {}
+
+
+def attach_host(d: DeviceCSR, h: HostCSR) -> None:
+    _HOST_SIDE[id(d)] = h
+    weakref.finalize(d, _HOST_SIDE.pop, id(d), None)
+
+
+def host_of(d: DeviceCSR) -> Optional[HostCSR]:
+    """The HostCSR ``d`` was uploaded from, if it is still attached
+    (device-born matrices — e.g. a previous spgemm's output — have
+    none)."""
+    return _HOST_SIDE.get(id(d))
+
+
 def is_canonical_host(row_offsets, col_ids) -> bool:
     """True if columns are strictly ascending within every row (sorted and
     duplicate-free). Enables the direct-copy fast path."""
@@ -69,7 +91,7 @@ def device_put_csr(m: HostCSR, dtype=jnp.float32, device=None,
                    check_canonical: bool = True) -> DeviceCSR:
     """Upload a HostCSR to device (convert(dCSR&, CSR&), dCSR.cpp:50-65)."""
     put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
-    return DeviceCSR(
+    d = DeviceCSR(
         indptr=put(np.asarray(m.row_offsets, dtype=np.int32)),
         indices=put(np.asarray(m.col_ids, dtype=np.int32)),
         data=put(np.asarray(m.data, dtype=dtype)),
@@ -77,6 +99,8 @@ def device_put_csr(m: HostCSR, dtype=jnp.float32, device=None,
         nnz=int(m.nnz),
         canonical=is_canonical_host(m.row_offsets, m.col_ids) if check_canonical else False,
     )
+    attach_host(d, m)
+    return d
 
 
 def device_get_csr(m: DeviceCSR) -> HostCSR:

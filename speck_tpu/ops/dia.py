@@ -48,7 +48,13 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class DiaState:
-    """Host + device state of a DIA-routed plan."""
+    """Host + device state of a DIA-routed plan.
+
+    Two flavors share this state and the staging/emission machinery:
+    contiguous-band DIA (``off_a is None``; span_* are diagonal RANGES)
+    and sparse DIA (``off_a``/``off_b`` are the explicit present-offset
+    lists; span_* are PLANE COUNTS nd_a/nd_b/nd_c and ``doffs`` maps
+    output plane index -> diagonal offset)."""
 
     span_a: int
     span_b: int
@@ -62,6 +68,11 @@ class DiaState:
     # uniform-rows fast emit (dia_offsets_meta): rows [p, q) are all
     # full, their staged block is the final CSR payload at shift offs_p
     uniform: Optional[tuple] = None  # (p, q, offs_p)
+    # sparse-DIA flavor (see sdia_conv): static present-offset lists and
+    # the device output-offset table (doffs[j] = off_c[j])
+    off_a: Optional[tuple] = None
+    off_b: Optional[tuple] = None
+    doffs: Optional[jax.Array] = None
 
 
 def plane_bytes(m: int, k: int, n_out: int, sa: int, sb: int,
@@ -176,16 +187,118 @@ def dia_conv(a_val, a_hit, b_val, b_hit, *, sa: int, sb: int, m: int,
     return c_val, c_cnt
 
 
+# ---------------------------------------------------------------------------
+# Sparse DIA: planes indexed by an explicit offset LIST (the stencil class)
+# ---------------------------------------------------------------------------
+#
+# A 3-D 27-point stencil matrix (the nlpkkt/BASELINE stencil class) has
+# exactly 27 present diagonals spread over a ~2*G^2-wide band: the
+# contiguous-band gate rejects it (span >> cap, waste ~span^2/27^2), yet
+# it is the PERFECT diagonal-plane workload. Sparse DIA stores only the
+# present diagonals — planes (nd, rows) — and convolves the offset lists:
+# C's diagonal (da + db) accumulates a_val[da] * shift(b_val[db], da).
+# The offset lists are HOST-known (from the attached HostCSR: one
+# O(nnz + span) bincount), so every shift is a static slice and the whole
+# multiply is nd_a * nd_b fused vector multiply-adds — no gathers, no
+# sorts, the same speed-of-light regime as contiguous DIA but on the
+# sparse-band class the reference serves with its hash kernels.
+
+
+def sdia_lut(offs: "np.ndarray", dmin: int, span: int):
+    """Host (span,) lookup table: diagonal (d - dmin) -> plane index."""
+    import numpy as np
+
+    lut = np.zeros(span, np.int32)
+    lut[np.asarray(offs, np.int64) - dmin] = np.arange(len(offs),
+                                                       dtype=np.int32)
+    return lut
+
+
+@partial(jax.jit, static_argnames=("dmin", "rows",))
+def sdia_slots(indptr, indices, lut, *, dmin: int, rows: int):
+    """Flat plane slot of every CSR nonzero for LIST-indexed planes:
+    slot = lut[col - row - dmin] * rows + row (every nonzero lies on a
+    present diagonal by construction of the offset list)."""
+    from .analysis import cumsum1d
+
+    nnz = indices.shape[0]
+    if nnz == 0:
+        return jnp.zeros((0,), jnp.int32)
+    rid = jnp.zeros((nnz,), jnp.int32).at[indptr[1:-1]].add(1, mode="drop")
+    rid = cumsum1d(rid)
+    d = jnp.clip(indices - rid - jnp.int32(dmin), 0, lut.shape[0] - 1)
+    return lut[d] * jnp.int32(rows) + rid
+
+
+def sdia_pad(off_a, m: int, k: int):
+    """Static B-plane padding so every per-pair shift is an in-range
+    slice: returns (pad_l, pad_r)."""
+    return max(0, -min(off_a)), max(0, m + max(off_a) - k)
+
+
+def sdia_plane_bytes(m: int, k: int, nd_a: int, nd_b: int, nd_c: int,
+                     pad_w: int, itemsize: int = 4) -> int:
+    """Peak working set of the sparse-DIA pipeline (memory gate)."""
+    return itemsize * (
+        2 * nd_a * m          # A value+hit planes
+        + 2 * nd_b * k        # B value+hit planes
+        + 2 * nd_b * pad_w    # padded B planes
+        + 2 * nd_c * m        # C value+count planes
+        + 3 * nd_c * m        # staged cols/vals + present
+    )
+
+
+@partial(jax.jit, static_argnames=("off_a", "off_b", "off_c", "m", "k",
+                                   "with_hit"))
+def sdia_conv(a_val, a_hit, b_val, b_hit, *, off_a: tuple, off_b: tuple,
+              off_c: tuple, m: int, k: int, with_hit: bool):
+    """List-offset diagonal convolution: for every (da, db) pair,
+    C_plane[index of da+db] += a_val[da] * b_val[db] shifted by da.
+    All offsets are static python ints, so every shift is a static
+    slice; pairs are grouped by output plane and accumulated in
+    python (statically unrolled — one fused elementwise kernel)."""
+    oc_index = {d: i for i, d in enumerate(off_c)}
+    pad_l, pad_r = sdia_pad(off_a, m, k)
+    bp = jnp.pad(b_val, ((0, 0), (pad_l, pad_r)))
+    bph = jnp.pad(b_hit, ((0, 0), (pad_l, pad_r))) if with_hit else None
+    nd_b = len(off_b)
+    groups: dict = {}
+    for ia, da in enumerate(off_a):
+        for ib, db in enumerate(off_b):
+            groups.setdefault(oc_index[da + db], []).append((ia, da, ib))
+    acc_v = []
+    acc_h = []
+    for oc in range(len(off_c)):
+        av = jnp.zeros((m,), a_val.dtype)
+        ah = jnp.zeros((m,), jnp.float32) if with_hit else None
+        for ia, da, ib in groups.get(oc, ()):
+            s0 = pad_l + da
+            bw = jax.lax.slice(bp, (ib, s0), (ib + 1, s0 + m))[0]
+            av = av + a_val[ia] * bw
+            if with_hit:
+                bwh = jax.lax.slice(bph, (ib, s0), (ib + 1, s0 + m))[0]
+                ah = ah + a_hit[ia] * bwh
+        acc_v.append(av)
+        if with_hit:
+            acc_h.append(ah)
+    c_val = jnp.stack(acc_v) if acc_v else jnp.zeros((0, m), a_val.dtype)
+    c_cnt = (jnp.stack(acc_h) if with_hit and acc_h else None)
+    return c_val, c_cnt
+
+
 def _rank_compact(cvT, present, *, sc: int, m: int, n_cols: int,
-                  base_c: int, impl: str):
+                  base_c: int, impl: str, doffs=None):
     """Compact each row's present entries to the front, in diagonal
     order (= ascending column order within a row, so output is sorted
     for free).  impl="sort": one rank sort; impl="scatter": two flat
     scatters to i*sc + rank — dense in-order per-row write prefixes,
-    the same A/B as the stream's _compact_rect (ops/stream.py)."""
+    the same A/B as the stream's _compact_rect (ops/stream.py).
+    ``doffs`` (sparse DIA): per-plane diagonal offsets replacing the
+    contiguous base_c + e."""
     e = jnp.arange(sc, dtype=jnp.int32)[None, :]
     i = jnp.arange(m, dtype=jnp.int32)[:, None]
-    cols_g = jnp.where(present, i + jnp.int32(base_c) + e, n_cols)
+    col_of_e = (jnp.int32(base_c) + e) if doffs is None else doffs[None, :]
+    cols_g = jnp.where(present, i + col_of_e, n_cols)
     rank = jnp.cumsum(present, axis=1, dtype=jnp.int32) - 1
     if impl == "scatter":
         flat = jnp.where(present, i * sc + rank, m * sc).reshape(-1)
@@ -203,29 +316,30 @@ def _rank_compact(cvT, present, *, sc: int, m: int, n_cols: int,
 
 
 @partial(jax.jit, static_argnames=("sc", "m", "n_cols", "base_c", "impl"))
-def dia_count_stage(c_val, c_cnt, *, sc: int, m: int, n_cols: int,
-                    base_c: int, impl: str = "sort"):
+def dia_count_stage(c_val, c_cnt, doffs=None, *, sc: int, m: int,
+                    n_cols: int, base_c: int, impl: str = "sort"):
     """Counting + staging from the output planes: transpose to row-major,
     compact each row's present entries to the front (columns come out
     sorted for free — diagonal index order IS column order within a
-    row).  Returns (nnz_row, present, cols_s, vals_s)."""
+    row).  Returns (nnz_row, present, cols_s, vals_s).  ``doffs``:
+    sparse-DIA per-plane offsets (see _rank_compact)."""
     cvT = c_val.T                      # (m, sc)
     present = c_cnt.T > 0.5            # exact: fp32 counts of 1.0 adds
     counts = jnp.sum(present, axis=1, dtype=jnp.int32)
     cols_s, vals_s = _rank_compact(cvT, present, sc=sc, m=m,
                                    n_cols=n_cols, base_c=base_c,
-                                   impl=impl)
+                                   impl=impl, doffs=doffs)
     return counts, present, cols_s, vals_s
 
 
 @partial(jax.jit, static_argnames=("sc", "m", "n_cols", "base_c", "impl"))
-def dia_numeric_stage(c_val, present, *, sc: int, m: int, n_cols: int,
-                      base_c: int, impl: str = "sort"):
+def dia_numeric_stage(c_val, present, doffs=None, *, sc: int, m: int,
+                      n_cols: int, base_c: int, impl: str = "sort"):
     """Numeric re-staging against a KNOWN structure (plan reuse): same
     rank compaction, presence taken from the stored structural mask so
     value cancellation cannot change the emitted pattern."""
     return _rank_compact(c_val.T, present, sc=sc, m=m, n_cols=n_cols,
-                         base_c=base_c, impl=impl)
+                         base_c=base_c, impl=impl, doffs=doffs)
 
 
 @partial(jax.jit, static_argnames=("sc",))

@@ -45,9 +45,9 @@ import numpy as np
 
 from ..utils.config import ProductOverflow, SpgemmConfig
 from ..utils.timings import Timings, StageTimer
-from .analysis import analyze, cumsum1d
+from .analysis import analyze, cumsum1d, host_analyze
 from .dense import dense_emit, dense_gather_emit, dense_tiles
-from .device_csr import DeviceCSR
+from .device_csr import DeviceCSR, host_of
 from .dia import (
     DiaState,
     dia_conv,
@@ -60,6 +60,11 @@ from .dia import (
     dia_scatter_emit,
     dia_slots,
     plane_bytes,
+    sdia_conv,
+    sdia_lut,
+    sdia_pad,
+    sdia_plane_bytes,
+    sdia_slots,
 )
 from .esc import direct_chunk, pack_csr_arrays, packable
 from .stream import (
@@ -476,12 +481,24 @@ class SpgemmPlan:
                 else:
                     bv, bh = dia_planes(d.slot_b, B.data,
                                         span=d.span_b, rows=k)
-                c_val, _ = dia_conv(
-                    av, ah, bv, bh, sa=d.span_a, sb=d.span_b, m=m, k=k,
-                    dmin_a=d.dmin_a, with_hit=False)
-                cols_s, vals_s = dia_numeric_stage(
-                    c_val, d.present, sc=d.span_c, m=m, n_cols=n,
-                    base_c=base_c, impl=self.cfg.stream_compact_impl)
+                if d.off_a is not None:
+                    # sparse-DIA flavor: list-offset convolution
+                    off_c = tuple(sorted({a + b for a in d.off_a
+                                          for b in d.off_b}))
+                    c_val, _ = sdia_conv(
+                        av, ah, bv, bh, off_a=d.off_a, off_b=d.off_b,
+                        off_c=off_c, m=m, k=k, with_hit=False)
+                    cols_s, vals_s = dia_numeric_stage(
+                        c_val, d.present, d.doffs, sc=d.span_c, m=m,
+                        n_cols=n, base_c=0,
+                        impl=self.cfg.stream_compact_impl)
+                else:
+                    c_val, _ = dia_conv(
+                        av, ah, bv, bh, sa=d.span_a, sb=d.span_b, m=m,
+                        k=k, dmin_a=d.dmin_a, with_hit=False)
+                    cols_s, vals_s = dia_numeric_stage(
+                        c_val, d.present, sc=d.span_c, m=m, n_cols=n,
+                        base_c=base_c, impl=self.cfg.stream_compact_impl)
             if self.nnz > 0 and d.uniform is not None:
                 # uniform-rows fast emit: the all-full interior block is
                 # the final payload at a constant shift — one contiguous
@@ -828,6 +845,114 @@ def _plan_dia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
     )
 
 
+def _host_diag_offsets(h, dmin: int, span: int) -> np.ndarray:
+    """Distinct diagonal offsets (col - row) present in a HostCSR: one
+    O(nnz + span) bincount (no sort)."""
+    ip = np.asarray(h.row_offsets, np.int64)
+    rid = np.repeat(np.arange(h.rows, dtype=np.int64), ip[1:] - ip[:-1])
+    d = np.asarray(h.col_ids, np.int64) - rid
+    return np.flatnonzero(np.bincount(d - dmin, minlength=span)) + dmin
+
+
+def _sdia_gate(cfg: SpgemmConfig, A: DeviceCSR, B: DeviceCSR, ah, bh, hg):
+    """Sparse-DIA eligibility (host-only; needs the attached HostCSR
+    copies): present-offset lists small enough (pair cap), band range
+    within sdia_span_cap, work m*nd_a*nd_b within dia_waste_cap of the
+    true product count, planes within dia_mem_budget. Returns
+    (off_a, off_b, span_a, span_b) or None."""
+    if not cfg.enable_sdia or ah is None or bh is None:
+        return None
+    if not (hg.a_dmin <= hg.a_dmax and hg.b_dmin <= hg.b_dmax):
+        return None
+    m, n = A.shape[0], B.shape[1]
+    k = A.shape[1]
+    span_a = hg.a_dmax - hg.a_dmin + 1
+    span_b = hg.b_dmax - hg.b_dmin + 1
+    if span_a > cfg.sdia_span_cap or span_b > cfg.sdia_span_cap:
+        return None
+    # nd_a >= nnz/m (a row's nonzeros sit on distinct diagonals), so the
+    # pair cap is provably unreachable when the average row is too long —
+    # skip the O(nnz) scans outright
+    if ah.nnz * bh.nnz > cfg.sdia_pair_cap * m * bh.rows:
+        return None
+    off_a = _host_diag_offsets(ah, hg.a_dmin, span_a)
+    off_b = off_a if bh is ah else _host_diag_offsets(bh, hg.b_dmin,
+                                                      span_b)
+    nd_a, nd_b = len(off_a), len(off_b)
+    if nd_a * nd_b > cfg.sdia_pair_cap:
+        return None
+    off_c = np.unique(off_a[:, None] + off_b[None, :])
+    nd_c = len(off_c)
+    if max(nd_a * m, nd_b * k, nd_c * m) >= 2 ** 31:
+        return None
+    if m * nd_a * nd_b > cfg.dia_waste_cap * max(hg.sum_products, 1.0):
+        return None
+    pad_l, pad_r = sdia_pad(tuple(int(x) for x in off_a), m, k)
+    itemsize = jnp.dtype(A.data.dtype).itemsize
+    if sdia_plane_bytes(m, k, nd_a, nd_b, nd_c, k + pad_l + pad_r,
+                        itemsize) > cfg.dia_mem_budget:
+        return None
+    return off_a, off_b, span_a, span_b
+
+
+def _plan_sdia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
+               timings: Optional[Timings], stats, off_a, off_b,
+               span_a: int, span_b: int, *, track: bool) -> SpgemmPlan:
+    """Complete a sparse-DIA plan (ops/dia.py sdia_conv): planes indexed
+    by the present-offset lists, fused count+numeric, one nnz readback —
+    the TPU path for the 3-D stencil class (nlpkkt) whose 27 diagonals
+    spread over a band the contiguous gate rejects."""
+    m, n = A.shape[0], B.shape[1]
+    k = A.shape[1]
+    hg = stats
+    ta = tuple(int(x) for x in off_a)
+    tb = tuple(int(x) for x in off_b)
+    off_c = np.unique(np.asarray(off_a)[:, None] + np.asarray(off_b)[None, :])
+    tc = tuple(int(x) for x in off_c)
+    nd_a, nd_b, nd_c = len(ta), len(tb), len(tc)
+    dmin_a, dmin_b = hg.a_dmin, hg.b_dmin
+    with StageTimer(timings, "spGEMMCounting", track) as st:
+        lut_a = jnp.asarray(sdia_lut(off_a, dmin_a, span_a))
+        slot_a = sdia_slots(A.indptr, A.indices, lut_a, dmin=dmin_a,
+                            rows=m)
+        if (B.indices is A.indices and B.data is A.data
+                and B.shape == A.shape):
+            slot_b = slot_a
+            av, ah_p = dia_planes(slot_a, A.data, span=nd_a, rows=m)
+            bv, bh_p = av, ah_p
+        else:
+            lut_b = jnp.asarray(sdia_lut(off_b, dmin_b, span_b))
+            slot_b = sdia_slots(B.indptr, B.indices, lut_b, dmin=dmin_b,
+                                rows=k)
+            av, ah_p = dia_planes(slot_a, A.data, span=nd_a, rows=m)
+            bv, bh_p = dia_planes(slot_b, B.data, span=nd_b, rows=k)
+        c_val, c_cnt = sdia_conv(av, ah_p, bv, bh_p, off_a=ta, off_b=tb,
+                                 off_c=tc, m=m, k=k, with_hit=True)
+        doffs = jnp.asarray(off_c.astype(np.int32))
+        counts, present, cols_s, vals_s = dia_count_stage(
+            c_val, c_cnt, doffs, sc=nd_c, m=m, n_cols=n, base_c=0,
+            impl=cfg.stream_compact_impl)
+        st.stop(counts)
+    with StageTimer(timings, "allocC", track):
+        row_offsets, meta = dia_offsets_meta(counts, sc=nd_c)
+        nnz, max_count, up, uq, u_ok, u_offs = (
+            int(x) for x in np.asarray(meta))  # host sync
+    uniform = None
+    if (cfg.dia_uniform_emit and u_ok and nnz > 0
+            and (uq - up) * nd_c >= nnz // 2):
+        uniform = (up, uq, u_offs)
+    staged = ((cols_s, vals_s)
+              if 2 * nd_c * m <= cfg.fused_staging_budget else None)
+    return SpgemmPlan(
+        A=A, B=B, cfg=cfg, row_offsets=row_offsets, nnz=nnz,
+        sum_products=stats.sum_products, max_count=max_count,
+        dia=DiaState(span_a=nd_a, span_b=nd_b, span_c=nd_c,
+                     dmin_a=dmin_a, dmin_b=dmin_b, slot_a=slot_a,
+                     slot_b=slot_b, present=present, staged=staged,
+                     uniform=uniform, off_a=ta, off_b=tb, doffs=doffs),
+    )
+
+
 def _dia_spans(cfg: SpgemmConfig, A: DeviceCSR, B: DeviceCSR,
                a_dmin: int, a_dmax: int, b_dmin: int, b_dmax: int,
                sp_sat: int):
@@ -890,9 +1015,19 @@ def plan_spgemm(
     m, n = A.shape[0], B.shape[1]
     track = timings is not None and timings.measure_all
 
-    with StageTimer(timings, "countProducts", track) as st:
-        stats = analyze(A, B)
-        st.stop(stats.row_ops)
+    hg = None
+    if cfg.host_analysis and m > 0 and A.nnz > 0:
+        ah, bh = host_of(A), host_of(B)
+        if ah is not None and (bh is not None or B is A):
+            # analysis + gate scalars on host numpy (HostCSR copies kept
+            # by device_put_csr): no analysis dispatch, no gate readback
+            # — every planning decision below needs ZERO device syncs
+            with StageTimer(timings, "countProducts", track):
+                hg = host_analyze(ah, ah if (B is A or bh is ah) else bh)
+    if hg is None:
+        with StageTimer(timings, "countProducts", track) as st:
+            stats = analyze(A, B)
+            st.stop(stats.row_ops)
 
     if m == 0 or A.nnz == 0:
         # empty product: C has m all-empty rows (early exit parity with
@@ -916,7 +1051,27 @@ def plan_spgemm(
         A.nnz <= m * cfg.dia_span_cap
         and B.nnz <= max(B.shape[0], 1) * cfg.dia_span_cap)
     gate_done = False
-    if dia_possible and cfg.dia_gate_early and band_plausible:
+    if hg is not None:
+        # host gate: same decisions as plan_gate, no device round trip
+        with StageTimer(timings, "loadBalanceCounting", track):
+            if dia_possible:
+                spans = _dia_spans(cfg, A, B, hg.a_dmin, hg.a_dmax,
+                                   hg.b_dmin, hg.b_dmax, hg.sp_sat)
+                if spans is not None:
+                    return _plan_dia(A, B, cfg, timings, hg,
+                                     hg.a_dmin, hg.b_dmin,
+                                     spans[0], spans[1], track)
+                # sparse DIA: offset LISTS (stencil class) — host-only
+                # gate, needs the attached HostCSR for the offset scan
+                sd = _sdia_gate(cfg, A, B, ah,
+                                ah if (B is A or bh is ah) else bh, hg)
+                if sd is not None:
+                    return _plan_sdia(A, B, cfg, timings, hg, *sd,
+                                      track=track)
+            _check_limits(cfg, hg.sp_sat, hg.mxrow_sat)
+            gate_done = True
+            stats = hg.to_device()
+    elif dia_possible and cfg.dia_gate_early and band_plausible:
         # early routing gate: read back ONLY the 7 gate scalars before
         # dispatching the O(m log m) stream/dense planning. When DIA
         # wins, that speculative planning (measured ~170 ms device time
@@ -1297,12 +1452,17 @@ def _spgemm_blocked(
     multi-billion-product calls where they are noise."""
     m, n = A.shape[0], B.shape[1]
     budget = max(1, cfg.block_products // 2)
-    # split on the wrap-immune f32 per-row counts (the int32 row_ops
-    # wrap for rows past 2^31 products; f32 rounding of ~1e-7 relative
-    # is harmless for budget math)
-    row_ops = np.maximum(
-        np.asarray(analyze(A, B).row_ops_f, np.float64), 0.0
-    ).astype(np.int64)
+    # split on wrap-immune per-row counts: exact int64 from the host
+    # analysis when the HostCSR copies are attached, else the f32 twin
+    # (rounding ~1e-7 relative, harmless for budget math)
+    ah, bh = host_of(A), host_of(B)
+    if cfg.host_analysis and ah is not None and (bh is not None or B is A):
+        row_ops = host_analyze(ah, ah if (B is A or bh is ah) else bh
+                               ).row_ops
+    else:
+        row_ops = np.maximum(
+            np.asarray(analyze(A, B).row_ops_f, np.float64), 0.0
+        ).astype(np.int64)
     widest = int(row_ops.max(initial=0))
     if widest > budget:
         raise ProductOverflow(

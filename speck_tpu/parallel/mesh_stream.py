@@ -9,10 +9,12 @@ jitted ``shard_map``. Per-shard working memory is bounded by the chunk
 budget (G*W slots), NOT by max-row-work times rows, so skewed matrices
 shard cleanly.
 
-The rectangle width W is raised to cover the widest row of any shard (no
-merge levels inside SPMD -- a wide row just becomes a few whole rectangle
-rows of one chunk); G shrinks correspondingly, so memory stays
-~product_budget regardless of skew.
+The rectangle width W stays at the configured chunk width regardless of
+skew: rows wider than W own whole rectangle rows and are finished by a
+merge-level ladder INSIDE the SPMD body (static depth, host-planned
+in_maps shipped as sharded arrays — _mesh_wide_plans), exactly like the
+single-chip ladder (ops/spgemm._run_wide). One 10^6-op row on one shard
+no longer inflates every shard's chunk-sort width.
 
 B exchange over the mesh axis (ICI on a real slice):
 
@@ -47,10 +49,99 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..formats.csr import HostCSR
 from ..ops.analysis import cumsum1d
 from ..ops.esc import pack_csr_arrays
-from ..ops.stream import (_plan_stream_impl, _pow2ceil, stream_chunk,
-                          stream_emit, tight_total_host)
+from ..ops.stream import (_compact_rect, _contract_rect, _plan_stream_impl,
+                          _pow2ceil, _sort_cols, stream_chunk,
+                          stream_emit, stream_level, tight_total_host)
 from ..utils.config import SpgemmConfig
 from .dist import ROW_AXIS, _slice_rows, stack_row_shards
+
+
+def _mesh_wide_plans(shard_ops: List[np.ndarray], W: int, F: int,
+                     max_width: int):
+    """Host ladder plans for the in-SPMD wide-row merge levels.
+
+    Per shard: wide rows (ops > W, device sort order = ops descending;
+    ties have equal segment counts, so host order is interchangeable)
+    own ceil(ops/W) level-0 rectangle rows; each level merges up to
+    f_eff consecutive segments of one row into one output row of width
+    f_eff * W_in. Unlike the single-chip ladder (ops/spgemm._run_wide),
+    in_maps are ABSOLUTE into the full previous buffer (no host
+    compaction between levels — shard_map shapes are static), and all
+    shards are padded to one common (R_out, depth) schedule; pad rows
+    carry in_map = -1 and final = False and produce nothing.
+
+    Returns (r_wide_max, wide_rid (D, r_wide_max), specs) where specs is
+    a list of dicts {F, W_in, R_out, in_map (D, R_out, F), final
+    (D, R_out)}."""
+    D = len(shard_ops)
+    wide_segs = []
+    for ops in shard_ops:
+        w = np.sort(ops[ops > W])[::-1]
+        wide_segs.append(-(-w // W))
+    r_wides = [int(s.sum()) for s in wide_segs]
+    r_wide_max = max(r_wides + [0])
+    if r_wide_max == 0:
+        return 0, np.zeros((D, 1), np.int32), []
+    wide_rid = np.full((D, r_wide_max), -1, np.int32)
+    for d, segs in enumerate(wide_segs):
+        if len(segs):
+            wide_rid[d, : int(segs.sum())] = np.repeat(
+                np.arange(len(segs)), segs)
+
+    # per-shard absolute level schedules
+    per_shard: List[List[dict]] = []
+    depth = 0
+    for segs in wide_segs:
+        rows = []
+        base = 0
+        for rid, s in enumerate(segs):
+            rows.append((rid, list(range(base, base + int(s)))))
+            base += int(s)
+        levels = []
+        W_in = W
+        while rows:
+            f_eff = min(F, max(max_width // W_in, 2))
+            in_map, final, nxt = [], [], []
+            out_base = 0
+            for rid, segids in rows:
+                n_out = -(-len(segids) // f_eff)
+                outs = []
+                for o in range(n_out):
+                    grp = segids[o * f_eff: (o + 1) * f_eff]
+                    in_map.append(grp + [-1] * (f_eff - len(grp)))
+                    final.append(n_out == 1)
+                    outs.append(out_base)
+                    out_base += 1
+                if n_out > 1:
+                    nxt.append((rid, outs))
+            levels.append(dict(F=f_eff, W_in=W_in,
+                               in_map=np.asarray(in_map, np.int32),
+                               final=np.asarray(final, bool)))
+            rows = nxt
+            W_in *= f_eff
+        per_shard.append(levels)
+        depth = max(depth, len(levels))
+
+    # pad across shards to one common schedule (F/W_in agree by
+    # construction: both derive only from W and the level index)
+    specs = []
+    W_in = W
+    for li in range(depth):
+        f_eff = min(F, max(max_width // W_in, 2))
+        R_out = max((lv[li]["in_map"].shape[0]
+                     for lv in per_shard if li < len(lv)), default=1)
+        R_out = max(R_out, 1)
+        im = np.full((D, R_out, f_eff), -1, np.int32)
+        fm = np.zeros((D, R_out), bool)
+        for d, lv in enumerate(per_shard):
+            if li < len(lv):
+                k = lv[li]["in_map"].shape[0]
+                im[d, :k] = lv[li]["in_map"]
+                fm[d, :k] = lv[li]["final"]
+        specs.append(dict(F=f_eff, W_in=W_in, R_out=R_out,
+                          in_map=im, final=fm))
+        W_in *= f_eff
+    return r_wide_max, wide_rid, specs
 
 
 def _host_row_ops(a: HostCSR, b_len: np.ndarray) -> np.ndarray:
@@ -74,29 +165,111 @@ class NeedsetStats:
         return self.allgather_bytes / max(self.needset_bytes, 1)
 
 
+def _plan_ksplit(a: HostCSR, b_len_h: np.ndarray, ops_g: np.ndarray,
+                 D: int, k_locB: int, split_min: int):
+    """Host plan for k-split rows (single-row sharding): rows with more
+    products than ``split_min`` (and ALWAYS rows past the 2^30 per-row
+    int32 ceiling) are removed from their owner shard's local A and
+    their nonzeros re-dealt BY B-ROW-OWNER: shard s gets the slots whose
+    a_col lies in its B shard, so the partial products need no remote B
+    rows at all (needset: pure self-need). Partials merge via one
+    all_gather + sort (see _make_shard_body). Returns None or a dict:
+    a2 (split rows emptied), split_ids, per-shard sub-CSR (padded) and
+    per-(shard,row) sub-op counts.
+
+    The reference's analogue is the global-map flush/restart that lets
+    ONE row's products span many passes of one GPU
+    (spECK_HashSpGEMM.cuh:106-126); here the passes are mesh shards."""
+    split_min = min(split_min, 1 << 30)
+    split_ids = np.flatnonzero(ops_g > split_min)
+    if split_ids.size == 0:
+        return None
+    if split_ids.size > 64:
+        raise ValueError(
+            f"{split_ids.size} rows exceed the k-split threshold "
+            f"({split_min}); raise MeshSplitMinOps or use more shards")
+    ip = np.asarray(a.row_offsets, np.int64)
+    drop = np.zeros(a.nnz, bool)
+    for r in split_ids:
+        drop[ip[r]: ip[r + 1]] = True
+    keep = ~drop
+    lens = ip[1:] - ip[:-1]
+    lens2 = lens.copy()
+    lens2[split_ids] = 0
+    ip2 = np.zeros(a.rows + 1, np.int64)
+    np.cumsum(lens2, out=ip2[1:])
+    a2 = HostCSR(rows=a.rows, cols=a.cols, row_offsets=ip2,
+                 col_ids=np.asarray(a.col_ids)[keep],
+                 data=np.asarray(a.data)[keep])
+    n_split = int(split_ids.size)
+    # per-shard sub-CSR: row j of shard s = split row j's slots whose
+    # col is owned by B shard s
+    sub_cols = [[None] * n_split for _ in range(D)]
+    sub_vals = [[None] * n_split for _ in range(D)]
+    sub_ops = np.zeros((D, n_split), np.int64)
+    for j, r in enumerate(split_ids):
+        cj = np.asarray(a.col_ids[ip[r]: ip[r + 1]], np.int64)
+        vj = np.asarray(a.data[ip[r]: ip[r + 1]])
+        own = cj // k_locB
+        for s in range(D):
+            sel = own == s
+            sub_cols[s][j] = cj[sel]
+            sub_vals[s][j] = vj[sel]
+            sub_ops[s, j] = int(b_len_h[cj[sel]].sum())
+    if sub_ops.max(initial=0) > 2 ** 30:
+        raise ValueError(
+            f"a k-split sub-row still has {int(sub_ops.max())} products "
+            "on one shard, past the 2^30 per-shard ceiling; use more "
+            "shards")
+    spl_cap = max(1, max(
+        sum(len(c) for c in sub_cols[s]) for s in range(D)))
+    spl_indptr = np.zeros((D, n_split + 1), np.int64)
+    spl_cols = np.zeros((D, spl_cap), np.int64)
+    spl_vals = np.zeros((D, spl_cap), np.float32)
+    for s in range(D):
+        off = 0
+        for j in range(n_split):
+            c = sub_cols[s][j]
+            spl_cols[s, off: off + len(c)] = c
+            spl_vals[s, off: off + len(c)] = sub_vals[s][j]
+            off += len(c)
+            spl_indptr[s, j + 1] = off
+    return dict(a2=a2, split_ids=split_ids, n_split=n_split,
+                spl_indptr=spl_indptr, spl_cols=spl_cols,
+                spl_vals=spl_vals, sub_ops=sub_ops, spl_cap=spl_cap)
+
+
 def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
-                     n_chunks: int, out_cap: int, n_cols: int):
+                     n_chunks: int, out_cap: int, n_cols: int,
+                     r_wide_max: int = 0, level_specs=(), ks=None):
     """The per-shard stream pipeline (traced inside shard_map): analysis,
-    planning, chunked count+stage, device-side offsets, emission."""
+    planning, chunked count+stage, the wide-row merge-level ladder
+    (static depth, host-planned in_maps arrive as sharded args),
+    device-side offsets, emission. W stays at the configured chunk
+    width regardless of skew — a wide row owns whole rectangle rows and
+    the ladder finishes it, exactly like the single-chip path
+    (ops/spgemm._run_wide) but with the level schedule shipped as data."""
     CP = G * W
 
-    def shard_body(ai, ax, ad, b_start, b_len, b_packed):
+    def _pipeline(ai, ax, ad, b_start, b_len, b_packed, wide_rid,
+                  level_args, specs, m: int, n_ch: int, rw_max: int):
+        """One stream pipeline over a local CSR: plan, chunks, ladder.
+        Returns (nnz_row, rows_sorted, q_sorted, staged, level_out)."""
         blen_a = b_len[ax]
         cse = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), cumsum1d(blen_a)])
         row_ops = cse[ai[1:]] - cse[ai[:-1]]
         stream_mask = row_ops > 0
-        no_direct = jnp.zeros((m_loc,), bool)
+        no_direct = jnp.zeros((m,), bool)
         a32 = jax.lax.bitcast_convert_type(ad, jnp.int32)
         (rows_sorted, e, q_sorted, el, ops_sorted, p0, su, sa, src, pend,
          _) = _plan_stream_impl(
             row_ops, stream_mask, no_direct, ai, ax, a32, b_start, b_len,
-            min_q=cfg.stream_min_q, m=m_loc, tight=True, w_fixed=W)
-        nnz_row = jnp.zeros((m_loc,), jnp.int32)
+            min_q=cfg.stream_min_q, m=m, tight=True, w_fixed=W)
+        nnz_row = jnp.zeros((m,), jnp.int32)
         rowend = jnp.where(q_sorted > 0, e + ops_sorted, -1)
-        zero = jnp.int32(0)
         staged = []
-        for c in range(n_chunks):
+        for c in range(n_ch):
             cs = jnp.int32(c * CP)
             nnz_row, stg = stream_chunk(
                 rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
@@ -107,14 +280,111 @@ def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
                 G=G, W=W, n_cols=n_cols, pack_bits=0, stage=True,
                 f64=False)
             staged.append(stg)
+        level_out = []
+        if rw_max > 0 and specs:
+            rid_in = wide_rid
+            wcol = jnp.concatenate([s[1] for s in staged])[:rw_max]
+            wval = jnp.concatenate([s[2] for s in staged])[:rw_max]
+            wcnt = jnp.concatenate([s[3] for s in staged])[:rw_max]
+            wcnt = jnp.where(rid_in >= 0, wcnt, 0)
+            for li, spec in enumerate(specs):
+                in_map = level_args[2 * li]
+                final = level_args[2 * li + 1]
+                nnz_row, (rid_out, col_c, val_c, counts) = stream_level(
+                    rows_sorted, rid_in, wcol, wval, wcnt,
+                    in_map, final, nnz_row,
+                    F=spec["F"], W_in=spec["W_in"], n_cols=n_cols,
+                    count=True, sort_impl=cfg.stream_sort_impl,
+                    compact_impl=cfg.stream_compact_impl)
+                level_out.append(
+                    (rid_out, col_c, val_c, jnp.where(final, counts, 0)))
+                rid_in, wcol, wval, wcnt = rid_out, col_c, val_c, counts
+        return nnz_row, rows_sorted, q_sorted, staged, level_out
+
+    def shard_body(ai, ax, ad, b_start, b_len, b_packed, wide_rid,
+                   *level_args):
+        zero = jnp.int32(0)
+        n_main = 2 * len(level_specs)
+        main_lv = [x[0] for x in level_args[:n_main]]
+        nnz_row, rows_sorted, q_sorted, staged, level_out = _pipeline(
+            ai, ax, ad, b_start, b_len, b_packed, wide_rid[0],
+            main_lv, level_specs, m_loc, n_chunks, r_wide_max)
+
+        # ---- k-split rows: local partials over the shard's OWN B rows,
+        # all_gather + one merge sort, owner counts/emits (the mesh form
+        # of the reference's global-map multi-pass for one row,
+        # spECK_HashSpGEMM.cuh:106-126) ----
+        merged = None
+        if ks is not None:
+            n_split, P, Wm = ks["n_split"], ks["P"], ks["Wm"]
+            rest = level_args[n_main:]
+            si, sx, sv = rest[0][0], rest[1][0], rest[2][0]
+            spl_tgt, spl_emit = rest[3][0], rest[4][0]
+            spl_wrid = rest[5]
+            spl_lv = [x[0] for x in rest[6:]]
+            _, rows_s, q_s, staged_s, lout_s = _pipeline(
+                si, sx, sv, b_start, b_len, b_packed, spl_wrid[0],
+                spl_lv, ks["specs"], n_split, ks["n_chunks"],
+                ks["rw_max"])
+            # partial buffers: row j's compacted entries at [j*P, +count)
+            offs_p = jnp.arange(n_split + 1, dtype=jnp.int32) * P
+            p_cols = jnp.full((n_split * P,), n_cols, jnp.int32)
+            p_vals = jnp.zeros((n_split * P,), jnp.float32)
+            ident_s = jnp.arange(n_split, dtype=jnp.int32)
+            nw_s = jnp.sum((q_s > W).astype(jnp.int32))
+            for stg in staged_s:
+                p_cols, p_vals = stream_emit(
+                    rows_s, stg[0], stg[1], stg[2], stg[3], nw_s,
+                    offs_p, p_cols, p_vals, contained_only=True)
+            for rid_out, col_c, val_c, fcnt in lout_s:
+                rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
+                p_cols, p_vals = stream_emit(
+                    rows_s, rid_b, col_c, val_c, fcnt, zero,
+                    offs_p, p_cols, p_vals, wide_only=True)
+            # exchange partials; merge with ONE sort+contract per row
+            g_c = jax.lax.all_gather(
+                p_cols.reshape(n_split, P), ROW_AXIS)   # (D, n_split, P)
+            g_v = jax.lax.all_gather(p_vals.reshape(n_split, P), ROW_AXIS)
+            D_ax = g_c.shape[0]
+            mc = jnp.transpose(g_c, (1, 0, 2)).reshape(n_split, D_ax * P)
+            mv = jnp.transpose(g_v, (1, 0, 2)).reshape(n_split, D_ax * P)
+            if Wm > D_ax * P:
+                mc = jnp.pad(mc, ((0, 0), (0, Wm - D_ax * P)),
+                             constant_values=n_cols)
+                mv = jnp.pad(mv, ((0, 0), (0, Wm - D_ax * P)))
+            col_s, val_s = _sort_cols(mc, mv, cfg.stream_sort_impl)
+            rid_bm = jax.lax.broadcasted_iota(jnp.int32, (n_split, Wm), 0)
+            last, run_sum = _contract_rect(rid_bm, col_s, val_s, n_cols)
+            _, col_m, val_m, cnt_m = _compact_rect(
+                last, rid_bm, col_s, run_sum,
+                compact_impl=cfg.stream_compact_impl)
+            nnz_row = nnz_row.at[spl_tgt].set(cnt_m, mode="drop",
+                                              unique_indices=True)
+            merged = (spl_emit, col_m, val_m, cnt_m)
+
         offs = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), cumsum1d(nnz_row)])
         c_cols = jnp.zeros((out_cap,), jnp.int32)
         c_vals = jnp.zeros((out_cap,), jnp.float32)
+        # wide rows sort first: sorted ids below n_wide are the ladder's,
+        # everything else is contained (per-shard device scalar)
+        n_wide_dev = jnp.sum((q_sorted > W).astype(jnp.int32))
         for stg in staged:
             c_cols, c_vals = stream_emit(
-                rows_sorted, stg[0], stg[1], stg[2], stg[3], zero,
+                rows_sorted, stg[0], stg[1], stg[2], stg[3], n_wide_dev,
                 offs, c_cols, c_vals, contained_only=True)
+        for rid_out, col_c, val_c, fcnt in level_out:
+            rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
+            c_cols, c_vals = stream_emit(
+                rows_sorted, rid_b, col_c, val_c, fcnt, zero,
+                offs, c_cols, c_vals, wide_only=True)
+        if merged is not None:
+            spl_emit, col_m, val_m, cnt_m = merged
+            rid_e = jnp.broadcast_to(spl_emit[:, None], col_m.shape)
+            ident = jnp.arange(m_loc, dtype=jnp.int32)
+            c_cols, c_vals = stream_emit(
+                ident, rid_e, col_m, val_m, cnt_m, zero,
+                offs, c_cols, c_vals, wide_only=True)
         return nnz_row[None], c_cols[None], c_vals[None]
 
     return shard_body
@@ -138,26 +408,32 @@ def mesh_stream_spgemm(
     D = mesh.devices.size
     n_cols = b.cols
 
-    ai_h, ax_h, ad_h, a_ranges = stack_row_shards(a, D, jnp.float32)
-    m_loc = ai_h.shape[1] - 1
     b_len_h = np.diff(np.asarray(b.row_offsets, np.int64))
+    # k-split rows (single-row sharding): removed from their owner's
+    # local A, their slots re-dealt by B-row owner (see _plan_ksplit)
+    k_locB = max(1, -(-b.rows // D))
+    ops_g = _host_row_ops(a, b_len_h)
+    ksp = _plan_ksplit(a, b_len_h, ops_g, D, k_locB,
+                       cfg.mesh_split_min_ops)
+    a_eff = ksp["a2"] if ksp is not None else a
+
+    ai_h, ax_h, ad_h, a_ranges = stack_row_shards(a_eff, D, jnp.float32)
+    m_loc = ai_h.shape[1] - 1
 
     # per-shard stream shape parameters (host analysis; SPMD needs one
-    # static shape across shards). W covers the widest row of any shard
-    # (no merge levels inside SPMD); the per-shard totals use the exact
-    # host twin of the device's tight layout (stream.tight_total_host).
+    # static shape across shards). W stays at the configured chunk width
+    # regardless of skew: rows wider than W own whole rectangle rows and
+    # the in-SPMD merge ladder finishes them (_mesh_wide_plans) — one
+    # 10^6-op row no longer inflates every shard's sort width. Per-shard
+    # totals use the exact host twin of the device's tight layout.
     min_q = cfg.stream_min_q
-    max_ops, shard_ops = min_q, []
+    shard_ops = []
     for r0, r1 in a_ranges:
-        ops = _host_row_ops(_slice_rows(a, r0, r1), b_len_h)
-        if ops.size and int(ops.max(initial=0)) > 2 ** 30:
-            raise ValueError(
-                f"row with {int(ops.max())} products exceeds the 2^30 "
-                "per-row int32 ceiling (shard rows {r0}:{r1})")
+        ops = _host_row_ops(_slice_rows(a_eff, r0, r1), b_len_h)
+        assert not ops.size or int(ops.max(initial=0)) <= 2 ** 30, \
+            "post-split row past 2^30 (unreachable: _plan_ksplit)"
         shard_ops.append(ops)
-        if ops.size:
-            max_ops = max(max_ops, int(ops.max(initial=min_q)))
-    W = max(cfg.stream_width, _pow2ceil(max_ops))
+    W = cfg.stream_width
     total_qs = []
     for (r0, r1), ops in zip(a_ranges, shard_ops):
         total_qs.append(tight_total_host(ops, W, min_q))
@@ -168,8 +444,43 @@ def mesh_stream_spgemm(
     G = max(1, cfg.product_budget // W)
     CP = G * W
     n_chunks = max(1, -(-max(total_qs + [1]) // CP))
-    out_cap = _pow2ceil(max(total_qs + [1]))
-    body = _make_shard_body(cfg, m_loc, W, G, n_chunks, out_cap, n_cols)
+    out_cap_base = max(total_qs + [1])
+    r_wide_max, wide_rid_h, level_specs = _mesh_wide_plans(
+        shard_ops, W, cfg.stream_level_factor, cfg.stream_max_width)
+
+    # ---- k-split static parameters ----
+    ks = None
+    if ksp is not None:
+        n_split = ksp["n_split"]
+        sub_ops = ksp["sub_ops"]
+        tq_s = [tight_total_host(sub_ops[s], W, min_q) for s in range(D)]
+        if max(tq_s) >= 2 ** 31:
+            raise ValueError(
+                f"a k-split shard packs to {max(tq_s)} stream slots, "
+                "past the 2^31 int32 ceiling; use more shards")
+        rw_max_s, spl_wide_rid_h, spl_specs = _mesh_wide_plans(
+            [sub_ops[s] for s in range(D)], W,
+            cfg.stream_level_factor, cfg.stream_max_width)
+        P_spl = _pow2ceil(max(1, min(n_cols, int(sub_ops.max(initial=1)))))
+        Wm = _pow2ceil(D * P_spl)
+        # owner shard / local row of each split row; non-owners drop
+        spl_tgt_h = np.full((D, n_split), m_loc, np.int32)
+        spl_emit_h = np.full((D, n_split), -1, np.int32)
+        out_extra = np.zeros(D, np.int64)
+        for j, r in enumerate(ksp["split_ids"]):
+            for s, (r0, r1) in enumerate(a_ranges):
+                if r0 <= r < r1:
+                    spl_tgt_h[s, j] = r - r0
+                    spl_emit_h[s, j] = r - r0
+                    out_extra[s] += min(n_cols, D * P_spl)
+        ks = dict(n_split=n_split, P=P_spl, Wm=Wm,
+                  n_chunks=max(1, -(-max(tq_s + [1]) // CP)),
+                  rw_max=rw_max_s, specs=spl_specs)
+        out_cap_base += int(out_extra.max(initial=0))
+    out_cap = _pow2ceil(out_cap_base)
+    body = _make_shard_body(cfg, m_loc, W, G, n_chunks, out_cap, n_cols,
+                            r_wide_max=r_wide_max,
+                            level_specs=level_specs, ks=ks)
 
     def put(x):
         # make_array_from_callback works identically under one controller
@@ -183,11 +494,33 @@ def mesh_stream_spgemm(
 
     stats = None
 
+    def extra_args(spl_cols_arr):
+        """wide_rid + main level maps (+ the split pipeline's inputs;
+        spl_cols_arr is mode-specific: global B row ids under allgather,
+        received-buffer slots under needset)."""
+        args = [put(wide_rid_h)]
+        for spec in level_specs:
+            args.append(put(spec["in_map"]))
+            args.append(put(spec["final"]))
+        if ksp is not None:
+            args += [put(ksp["spl_indptr"].astype(np.int32)),
+                     put(np.asarray(spl_cols_arr, np.int32)),
+                     put(ksp["spl_vals"]),
+                     put(spl_tgt_h), put(spl_emit_h),
+                     put(spl_wide_rid_h)]
+            for spec in ks["specs"]:
+                args.append(put(spec["in_map"]))
+                args.append(put(spec["final"]))
+        return args
+
+    n_ladder = (1 + 2 * len(level_specs)
+                + ((6 + 2 * len(ks["specs"])) if ksp is not None else 0))
+
     if exchange == "allgather":
         bi_h, bx_h, bd_h, _ = stack_row_shards(b, D, jnp.float32)
         bnnz_max = bx_h.shape[1]
 
-        def step(ai, ax, ad, bi, bx, bd):
+        def step(ai, ax, ad, bi, bx, bd, wide_rid, *lv):
             ai, ax, ad = ai[0], ax[0], ad[0]
             g_indptr = jax.lax.all_gather(bi[0], ROW_AXIS)   # (D, k_loc+1)
             g_packed = jax.lax.all_gather(
@@ -195,23 +528,32 @@ def mesh_stream_spgemm(
             base = jnp.arange(D, dtype=jnp.int32)[:, None] * bnnz_max
             b_start = (g_indptr[:, :-1] + base).reshape(-1)
             b_len = (g_indptr[:, 1:] - g_indptr[:, :-1]).reshape(-1)
-            return body(ai, ax, ad, b_start, b_len, g_packed)
+            return body(ai, ax, ad, b_start, b_len, g_packed, wide_rid,
+                        *lv)
 
         sharded = jax.jit(jax.shard_map(
-            step, mesh=mesh, in_specs=(P(ROW_AXIS),) * 6,
+            step, mesh=mesh, in_specs=(P(ROW_AXIS),) * (6 + n_ladder),
             out_specs=(P(ROW_AXIS),) * 3))
         nnz_row, cols, vals = sharded(
             put(ai_h), put(ax_h), put(ad_h), put(bi_h), put(bx_h),
-            put(bd_h))
+            put(bd_h),
+            *extra_args(ksp["spl_cols"] if ksp is not None else None))
     else:
         # ---- need-set exchange plan (host numpy) ----
         k_loc = max(1, -(-b.rows // D))
         b_off = np.asarray(b.row_offsets, np.int64)
         # need set per dst shard: unique B rows referenced by its A cols
+        # (plus its k-split slots' cols — those are always self-owned,
+        # so they only enlarge the zero-communication round 0)
         needs: List[np.ndarray] = []
-        for r0, r1 in a_ranges:
-            sl = _slice_rows(a, r0, r1)
-            needs.append(np.unique(np.asarray(sl.col_ids, np.int64)))
+        for s, (r0, r1) in enumerate(a_ranges):
+            sl = _slice_rows(a_eff, r0, r1)
+            cols_need = np.asarray(sl.col_ids, np.int64)
+            if ksp is not None:
+                nz_s = int(ksp["spl_indptr"][s, -1])
+                cols_need = np.concatenate(
+                    [cols_need, ksp["spl_cols"][s, :nz_s].astype(np.int64)])
+            needs.append(np.unique(cols_need))
         pair_rows = [[nd[(nd // k_loc) == s] for s in range(D)]
                      for nd in needs]
         pair_nnz = np.array([[int(b_len_h[pr].sum()) for pr in row]
@@ -236,6 +578,8 @@ def mesh_stream_spgemm(
         rb_start = np.zeros((D, RB), np.int32)
         rb_len = np.zeros((D, RB), np.int32)
         ax_remap = np.array(ax_h)
+        spl_cols_remap = (np.array(ksp["spl_cols"]) if ksp is not None
+                          else None)
         for src in range(D):
             for r in range(D):
                 dst = (src + r) % D
@@ -259,11 +603,16 @@ def mesh_stream_spgemm(
                 rb_len[dst, slots] = lens
                 lut[rows] = slots
             ax_remap[dst] = lut[np.asarray(ax_h[dst], np.int64)]
+            if spl_cols_remap is not None:
+                spl_cols_remap[dst] = lut[
+                    np.asarray(ksp["spl_cols"][dst], np.int64)]
 
         _, bx_h, bd_h, _ = stack_row_shards(b, D, jnp.float32)
         perms = [[(s, (s + r) % D) for s in range(D)] for r in range(D)]
 
-        def step(ai, axr, ad, bx, bd, rbs, rbl, *sends):
+        def step(ai, axr, ad, bx, bd, rbs, rbl, wide_rid, *rest):
+            lv = rest[: n_ladder - 1]
+            sends = rest[n_ladder - 1:]
             ai, axr, ad = ai[0], axr[0], ad[0]
             packed = pack_csr_arrays(bx[0], bd[0])
             segs = []
@@ -282,7 +631,8 @@ def mesh_stream_spgemm(
                                                  perms[r]))
             b_packed = (jnp.concatenate(segs) if segs
                         else jnp.zeros((1, 2), jnp.int32))
-            return body(ai, axr, ad, rbs[0], rbl[0], b_packed)
+            return body(ai, axr, ad, rbs[0], rbl[0], b_packed, wide_rid,
+                        *lv)
 
         live_sends = []
         for r in range(D):
@@ -290,13 +640,14 @@ def mesh_stream_spgemm(
                 continue
             live_sends.append(put(send_idx[r].astype(np.int32)))
             live_sends.append(put(send_valid[r]))
-        n_in = 7 + len(live_sends)
+        n_in = 7 + n_ladder + len(live_sends)
         sharded = jax.jit(jax.shard_map(
             step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
             out_specs=(P(ROW_AXIS),) * 3))
         nnz_row, cols, vals = sharded(
             put(ai_h), put(ax_remap), put(ad_h), put(bx_h), put(bd_h),
-            put(rb_start), put(rb_len), *live_sends)
+            put(rb_start), put(rb_len), *extra_args(spl_cols_remap),
+            *live_sends)
         stats = NeedsetStats(
             # per-shard volume actually moved over the interconnect:
             # all_gather replicates all of B's (col, val) records; the

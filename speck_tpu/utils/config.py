@@ -99,6 +99,21 @@ class SpgemmConfig:
     """
 
     product_budget: int = 1 << 22  # max stream slots per dispatch (~4M)
+    # mesh k-split (parallel/mesh_stream.py): rows with more products
+    # than this are split by B-row-owner shard — each shard computes the
+    # partial row over ITS OWN B rows (zero communication for the
+    # partials' inputs), partials are all_gathered and merged on the
+    # owner. Lifts the 2^30 per-row per-shard ceiling to D * 2^30 and
+    # spreads one giant row's work across the mesh. Rows past 2^30
+    # always split regardless of this knob.
+    mesh_split_min_ops: int = 1 << 28
+    # run the analysis pass + routing gate on host numpy when the input
+    # matrices still carry their HostCSR copies (device_put_csr attaches
+    # them): saves one device dispatch and the early-gate readback per
+    # plan — the planning decisions then cost zero device syncs. Off =
+    # always the device analysis (required for device-born inputs, e.g.
+    # chained spgemm outputs — those fall back automatically).
+    host_analysis: bool = True
     # stream ESC (ops/stream.py): rectangle-row width of the flat product
     # stream; rows with more products own whole rectangle rows and are
     # finished by merge levels growing the width by stream_level_factor
@@ -169,6 +184,18 @@ class SpgemmConfig:
     # dia_waste_cap of the true product count, plane working set within
     # dia_mem_budget bytes. Requires canonical A and B.
     enable_dia: bool = True
+    # sparse DIA (ops/dia.py sdia_conv): diagonal planes indexed by the
+    # explicit PRESENT-offset lists instead of a contiguous band — the
+    # 3-D stencil class (nlpkkt: 27 diagonals spread over a ~2G^2 band)
+    # that the contiguous gate rejects. Host-gated only (the offset
+    # lists come from the attached HostCSR via one O(nnz + span)
+    # bincount); work = m * nd_a * nd_b vector FMAs, gated by
+    # dia_waste_cap against the true product count like contiguous DIA.
+    enable_sdia: bool = True
+    # max diagonal RANGE (dmax - dmin + 1) the sparse gate will scan
+    sdia_span_cap: int = 1 << 22
+    # max nd_a * nd_b offset pairs (bounds trace size + FMA work)
+    sdia_pair_cap: int = 4096
     # decide the DIA route from a dedicated early readback of the 7 gate
     # scalars BEFORE dispatching the O(m log m) stream/dense planning:
     # a winning gate skips ~170 ms of discarded speculative planning
@@ -187,7 +214,10 @@ class SpgemmConfig:
     dia_uniform_emit: bool = True
     dia_span_cap: int = 512
     dia_waste_cap: float = 8.0
-    dia_mem_budget: int = 1 << 30
+    # plane working-set ceiling (contiguous AND sparse DIA). 4 GiB: a
+    # stencil-class input (m ~1e6, nd_c ~125) stages ~3.3 GiB of planes
+    # on a 16 GiB v5e — comfortably resident, far cheaper than streaming
+    dia_mem_budget: int = 1 << 32
     # per-ROW DIA split (the reference's per-block method auto-select,
     # spECK_HashSpGEMM.cuh:1761-1793, hoisted to per-row routing): when
     # the WHOLE-matrix gate fails because a few rows break the band, a
@@ -236,6 +266,8 @@ class SpgemmConfig:
 # Config.h:10-59 vs Multiply.cu); here the pipeline knobs are live.
 _INI_TUNING_KEYS = {
     "ProductBudget": ("product_budget", int),
+    "HostAnalysis": ("host_analysis", bool),
+    "MeshSplitMinOps": ("mesh_split_min_ops", int),
     "StreamWidth": ("stream_width", int),
     "StreamWidthCap": ("stream_width_cap", int),
     "BlockProducts": ("block_products", int),
@@ -251,6 +283,9 @@ _INI_TUNING_KEYS = {
     "DiaWasteCap": ("dia_waste_cap", float),
     "DiaMemBudget": ("dia_mem_budget", int),
     "DiaRows": ("dia_rows", bool),
+    "EnableSdia": ("enable_sdia", bool),
+    "SdiaSpanCap": ("sdia_span_cap", int),
+    "SdiaPairCap": ("sdia_pair_cap", int),
     "EnableAccum": ("enable_accum", bool),
     "AccumMinOps": ("accum_min_ops", int),
     "AccumSpanCap": ("accum_span_cap", int),

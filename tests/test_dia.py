@@ -100,18 +100,107 @@ def test_dia_numeric_rerun(rng):
 
 
 def test_dia_waste_gate_rejects_sparse_band(rng):
-    """A wide span with few populated diagonals fails the waste gate
-    (m*span_a*span_b >> true products) and falls back to the stream."""
+    """A wide span with few populated diagonals fails the CONTIGUOUS
+    waste gate (m*span_a*span_b >> true products) — and is exactly what
+    the sparse-DIA path exists for: with EnableSdia off it must stream;
+    on (default) the offset-list planes take it."""
     rs = np.random.RandomState(6)
     a = _band(400, [0, 200], rs)          # span 201, two diagonals
+    plan = _run(a, a, SpgemmConfig(enable_sdia=False))
+    assert plan.dia is None
+    plan2 = _run(a, a)
+    assert plan2.dia is not None and plan2.dia.off_a is not None
+
+
+def _stencil2d(g, offs_vals=None, seed=21):
+    """2-D 5-point stencil on a g x g grid: offsets {-g, -1, 0, 1, g} —
+    the (scaled-down) nlpkkt stencil class: few diagonals spread over a
+    band the contiguous gate rejects."""
+    rs = np.random.RandomState(seed)
+    n = g * g
+    offs = [-g, -1, 0, 1, g]
+    return sp.diags([rs.standard_normal(n - abs(o)) for o in offs], offs,
+                    shape=(n, n), format="csr")
+
+
+def test_sdia_stencil_square(rng):
+    """A 5-point stencil A·A routes through sparse DIA and matches the
+    oracle exactly in structure and values."""
+    a = _stencil2d(24)
+    plan = _run(a, a)
+    assert plan.dia is not None and plan.dia.off_a is not None
+    assert plan.dia.span_a == 5          # nd_a, not the band range
+
+
+def test_sdia_mixed_offsets(rng):
+    """A and B with DIFFERENT offset sets: off_c is the pairwise-sum
+    set; values and structure match the oracle."""
+    rs = np.random.RandomState(22)
+    a = _band(500, [-7, 0, 3], rs)
+    b = _band(500, [-40, 1, 90], rs)
+    plan = _run(a, b)
+    assert plan.dia is not None and plan.dia.off_a is not None
+    assert plan.dia.span_c <= 9
+
+
+def test_sdia_numeric_rerun(rng):
+    """Plan reuse on the sparse-DIA route: new values against the
+    stored structure."""
+    import dataclasses
+
+    a = _stencil2d(16, seed=23)
+    ah = HostCSR.from_scipy(a)
+    Ad = device_put_csr(ah, np.float32)
+    plan = plan_spgemm(Ad, Ad, SpgemmConfig())
+    assert plan.dia is not None and plan.dia.off_a is not None
+    A2 = dataclasses.replace(Ad, data=Ad.data * 0.5)
+    C2 = device_get_csr(plan.execute(A=A2, B=A2))
+    ah2 = HostCSR(ah.rows, ah.cols, ah.row_offsets, ah.col_ids,
+                  ah.data * 0.5)
+    ref2 = oracle_spgemm(ah2, ah2)
+    assert compare_csr(ref2, C2, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_sdia_pair_cap_rejects_random(rng):
+    """An unstructured matrix has ~span distinct offsets: the pair cap
+    rejects sparse DIA and the stream path still gets it right."""
+    rs = np.random.RandomState(24)
+    a = sp.random(300, 300, 0.03, format="csr", random_state=rs)
+    a.data = rs.standard_normal(a.nnz)
     plan = _run(a, a)
     assert plan.dia is None
+
+
+def test_sdia_rectangular(rng):
+    """Non-square sparse-DIA: A (m x k), B (k x n) with distinct offset
+    sets."""
+    rs = np.random.RandomState(25)
+
+    def diag_mat(m, k, offs):
+        rows, cols = [], []
+        for o in offs:
+            r = np.arange(max(0, -o), min(m, k - o))
+            rows.append(r)
+            cols.append(r + o)
+        rows, cols = np.concatenate(rows), np.concatenate(cols)
+        return sp.csr_matrix(
+            (rs.standard_normal(rows.size), (rows, cols)), shape=(m, k))
+
+    a = diag_mat(300, 280, [-30, 0, 17])
+    b = diag_mat(280, 320, [0, 9, -55])
+    plan = _run(a, b)
+    assert plan.dia is not None and plan.dia.off_a is not None
 
 
 def test_dia_span_cap_gate(rng):
     rs = np.random.RandomState(7)
     a = _band(300, range(-3, 4), rs)
+    # contiguous gate rejected (span 7 > 4); sparse DIA picks it up
     plan = _run(a, a, SpgemmConfig(dia_span_cap=4))
+    assert plan.dia is not None and plan.dia.off_a is not None
+    # with sparse DIA off too, the whole family falls back
+    plan = _run(a, a, SpgemmConfig(dia_span_cap=4, enable_sdia=False,
+                                   sdia_span_cap=4))
     assert plan.dia is None
 
 

@@ -189,3 +189,121 @@ def test_multihost_spgemm_single_process(rng):
     ref = oracle_spgemm(a, a)
     assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok
     assert scaling_efficiency(8.0, 1.25, 8) == 0.8
+
+
+@pytest.mark.parametrize("exchange", ["allgather", "needset"])
+def test_mesh_stream_wide_row_ladder(rng, exchange):
+    """Skewed input: one row with ~40x more products than the chunk
+    width. W stays at the configured width (no shard-wide inflation);
+    the in-SPMD merge ladder finishes the wide row. Oracle-exact."""
+    import dataclasses
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    m = 200
+    rs = np.random.RandomState(31)
+    base = sp.random(m, m, 0.05, format="csr", random_state=rs)
+    base.data = rs.standard_normal(base.nnz)
+    lil = base.tolil()
+    lil[3, :] = rs.standard_normal(m)       # ~200 * avg-B-row products
+    a = HostCSR.from_scipy(lil.tocsr())
+    cfg = SpgemmConfig(stream_width=64, product_budget=1 << 12,
+                       mesh_split_min_ops=1 << 30)
+    mesh = make_row_mesh(8)
+    nnz_row, cols, vals, meta = mesh_stream_spgemm(
+        a, a, mesh, cfg=cfg, exchange=exchange)
+    got = mesh_stream_to_host_csr(nnz_row, cols, vals, meta)
+    ref = oracle_spgemm(a, a)
+    r = compare_csr(ref, got, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+
+
+@pytest.mark.parametrize("exchange", ["allgather", "needset"])
+def test_mesh_stream_ksplit_small(rng, exchange):
+    """k-split smoke test: a row over the (lowered) split threshold is
+    removed from its owner, computed as per-B-shard partials, merged by
+    all_gather + one sort, and lands oracle-exact — in both exchange
+    modes."""
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    m = 240
+    rs = np.random.RandomState(33)
+    base = sp.random(m, m, 0.08, format="csr", random_state=rs)
+    base.data = rs.standard_normal(base.nnz)
+    lil = base.tolil()
+    lil[17, :] = rs.standard_normal(m)      # the row to split
+    lil[100, ::2] = rs.standard_normal(m // 2)
+    a = HostCSR.from_scipy(lil.tocsr())
+    cfg = SpgemmConfig(stream_width=64, product_budget=1 << 12,
+                       mesh_split_min_ops=900)
+    mesh = make_row_mesh(8)
+    nnz_row, cols, vals, meta = mesh_stream_spgemm(
+        a, a, mesh, cfg=cfg, exchange=exchange)
+    got = mesh_stream_to_host_csr(nnz_row, cols, vals, meta)
+    ref = oracle_spgemm(a, a)
+    r = compare_csr(ref, got, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+
+
+@pytest.mark.skipif("SPECK_RUN_GIANT" not in __import__("os").environ,
+                    reason="2^27-product capability run (~10 min CPU); "
+                           "set SPECK_RUN_GIANT=1")
+def test_mesh_stream_ksplit_giant_row_2e27():
+    """THE single-row sharding capability test: a row with 2^27
+    intermediate products — past what fits comfortably on one shard and
+    the class the round-3 repo could not multiply at 2^31 scale — runs
+    oracle-exact on the 8-device CPU mesh via k-split (per-B-shard
+    partials, zero-comm inputs, one all_gather merge). Match:
+    /root/reference/include/GPU/spECK_HashSpGEMM.cuh:106-126 (the
+    reference's any-size-row guarantee via global-map flush/restart)."""
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    H, L = 16384, 8192         # 16384 heavy B rows x 8192 nnz = 2^27
+    m = H + 16
+    rs = np.random.RandomState(35)
+    # A: row 0 references all heavy rows; one small sanity row
+    a_ip = np.zeros(m + 1, np.int64)
+    a_ip[1:] = H
+    a_ip[6:] += 1              # row 5 has one extra nonzero
+    a_cols = np.concatenate([np.arange(1, H + 1), [3]])
+    a_vals = rs.standard_normal(a_cols.size)
+    a = HostCSR(rows=m, cols=m, row_offsets=a_ip, col_ids=a_cols,
+                data=a_vals)
+    # B: rows 1..H full rows of width L (high duplication -> nnz(C row 0)
+    # = L, the global-map dedup regime)
+    b_ip = np.zeros(m + 1, np.int64)
+    b_ip[2: H + 2] = np.arange(1, H + 1, dtype=np.int64) * L
+    b_ip[H + 2:] = H * L
+    b_cols = np.tile(np.arange(L, dtype=np.int64), H)
+    b_vals = rs.standard_normal(b_cols.size).astype(np.float32)
+    b = HostCSR(rows=m, cols=L, row_offsets=b_ip, col_ids=b_cols,
+                data=b_vals)
+
+    cfg = SpgemmConfig(stream_width=65536)
+    mesh = make_row_mesh(8)
+    nnz_row, cols, vals, meta = mesh_stream_spgemm(
+        a, b, mesh, cfg=cfg, exchange="needset")
+    got = mesh_stream_to_host_csr(nnz_row, cols, vals, meta)
+
+    # oracle on the two nontrivial rows (full scipy product of a 134M-nnz
+    # B is slow; row structure is exact by construction)
+    As = sp.csr_matrix((a.data, a.col_ids, a.row_offsets), shape=(m, m))
+    Bs = sp.csr_matrix((b.data, b.col_ids, b.row_offsets), shape=(m, L))
+    ref_r0 = (As[[0]] @ Bs).toarray()[0]
+    ref_r5 = (As[[5]] @ Bs).toarray()[0]
+    gs = sp.csr_matrix((got.data, got.col_ids, got.row_offsets),
+                       shape=(m, L))
+    np.testing.assert_allclose(gs[[0]].toarray()[0], ref_r0,
+                               rtol=2e-3, atol=1e-4 * np.abs(ref_r0).max())
+    np.testing.assert_allclose(gs[[5]].toarray()[0], ref_r5, rtol=2e-3,
+                               atol=1e-6)
+    counts = np.diff(got.row_offsets)
+    assert counts[0] == L and counts.sum() == counts[0] + counts[5]

@@ -110,14 +110,26 @@ def host_analyze(ah, bh) -> HostAnalysis:
     INT_MAX = np.iinfo(np.int32).max
     m = int(ah.rows)
     ip = np.asarray(ah.row_offsets, np.int64)
-    ci = np.asarray(ah.col_ids)
+    # np.intp indices: uint32 fancy indexing pays a cast pass per gather
+    ci = np.asarray(ah.col_ids, np.intp)
     b_ip = np.asarray(bh.row_offsets, np.int64)
     b_len = b_ip[1:] - b_ip[:-1]
     a_len = ip[1:] - ip[:-1]
     nnz = ci.shape[0]
-    cse = np.zeros(nnz + 1, np.int64)
-    np.cumsum(b_len[ci], out=cse[1:])
-    row_ops = cse[ip[1:]] - cse[ip[:-1]]
+    blen_a = b_len[ci]
+    # segment sums via reduceat (~10x cheaper than a cumsum+diff over
+    # nnz): reduceat yields garbage (g[ip[i]]) for EMPTY rows and needs
+    # in-range indices, so clip and mask by a_len afterwards
+    if nnz:
+        # sentinel 0 keeps every start index in range (rows starting at
+        # nnz are empty; reduceat returns g2[start] for them — masked)
+        g2 = np.concatenate([blen_a, np.zeros(1, np.int64)])
+        row_ops = np.add.reduceat(g2, ip[:-1])
+        row_ops[a_len == 0] = 0
+        sum_products = float(blen_a.sum(dtype=np.int64))
+    else:
+        row_ops = np.zeros(m, np.int64)
+        sum_products = 0.0
 
     def band(ipx, cix, rows):
         n_r = int(rows)
@@ -137,10 +149,11 @@ def host_analyze(ah, bh) -> HostAnalysis:
     if bh is ah:
         b_dmin, b_dmax = a_dmin, a_dmax
     else:
-        b_dmin, b_dmax = band(b_ip, np.asarray(bh.col_ids), bh.rows)
+        b_dmin, b_dmax = band(b_ip, np.asarray(bh.col_ids, np.intp),
+                              bh.rows)
     return HostAnalysis(
         row_ops=row_ops, a_len=a_len,
-        sum_products=float(cse[-1]),
+        sum_products=sum_products,
         max_row_products=int(row_ops.max(initial=0)),
         a_dmin=a_dmin, a_dmax=a_dmax, b_dmin=b_dmin, b_dmax=b_dmax,
     )

@@ -1016,7 +1016,8 @@ def plan_spgemm(
     track = timings is not None and timings.measure_all
 
     hg = None
-    if cfg.host_analysis and m > 0 and A.nnz > 0:
+    if (cfg.host_analysis and m > 0
+            and 0 < A.nnz <= cfg.host_analysis_max_nnz):
         ah, bh = host_of(A), host_of(B)
         if ah is not None and (bh is not None or B is A):
             # analysis + gate scalars on host numpy (HostCSR copies kept
@@ -1456,7 +1457,8 @@ def _spgemm_blocked(
     # analysis when the HostCSR copies are attached, else the f32 twin
     # (rounding ~1e-7 relative, harmless for budget math)
     ah, bh = host_of(A), host_of(B)
-    if cfg.host_analysis and ah is not None and (bh is not None or B is A):
+    if (cfg.host_analysis and A.nnz <= cfg.host_analysis_max_nnz
+            and ah is not None and (bh is not None or B is A)):
         row_ops = host_analyze(ah, ah if (B is A or bh is ah) else bh
                                ).row_ops
     else:

@@ -114,6 +114,11 @@ class SpgemmConfig:
     # always the device analysis (required for device-born inputs, e.g.
     # chained spgemm outputs — those fall back automatically).
     host_analysis: bool = True
+    # nnz ceiling for the host analysis: past this the O(nnz) numpy
+    # gather costs more than the device pass it replaces (measured 5.2 s
+    # host vs 0.8 s device on the 50M-nnz giant-row bench) — large
+    # inputs take the device analysis + early-gate readback instead
+    host_analysis_max_nnz: int = 8 << 20
     # stream ESC (ops/stream.py): rectangle-row width of the flat product
     # stream; rows with more products own whole rectangle rows and are
     # finished by merge levels growing the width by stream_level_factor
@@ -267,6 +272,7 @@ class SpgemmConfig:
 _INI_TUNING_KEYS = {
     "ProductBudget": ("product_budget", int),
     "HostAnalysis": ("host_analysis", bool),
+    "HostAnalysisMaxNnz": ("host_analysis_max_nnz", int),
     "MeshSplitMinOps": ("mesh_split_min_ops", int),
     "StreamWidth": ("stream_width", int),
     "StreamWidthCap": ("stream_width_cap", int),

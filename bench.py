@@ -160,6 +160,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the bench is compile-heavy on a cold
+    # process (~10 min of XLA work across configs); cached executables
+    # cut reruns to seconds and make driver wall-clock stable. Measured
+    # iterations are warm either way (warmup runs eat the compiles).
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/speck_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     _wait_for_device()
     # warm the device->host channel: the first fetch in a process costs
     # ~99 s through the axon tunnel, later fetches ~27 ms. A failed

@@ -1141,10 +1141,13 @@ def plan_spgemm(
         # per-row DIA split (robust band + routed row count)
         (dr_dlo_a, dr_dhi_a, dr_dlo_b, dr_dhi_b, n_dia) = (
             int(x) for x in pack_h[4 * N_QCLASS + 12: 4 * N_QCLASS + 17])
+        # live A-slot counts (stream / accum regions): size build_srec
+        n_live, n_live2 = (
+            int(x) for x in pack_h[4 * N_QCLASS + 17: 4 * N_QCLASS + 19])
         # tight-layout tail (stream.py _plan_rows_impl): the rectangle
         # width (adaptive ladder computed on device), exact stream total,
         # and the wide rows' exact segment counts
-        tight_h = pack_h[4 * N_QCLASS + 17:]
+        tight_h = pack_h[4 * N_QCLASS + 19:]
         W, total_q, n_wide_t, r_wide_t = (int(x) for x in tight_h[:4])
 
         # ---- DIA fast path (ops/dia.py) and the int32 overflow guards.
@@ -1259,7 +1262,7 @@ def plan_spgemm(
             p0, su, sa, src, pend = build_srec(
                 A.indptr, A.indices, a32, B.indptr[:-1],
                 B.indptr[1:] - B.indptr[:-1], rows_sorted, e, q_sorted,
-                m=m)
+                m=m, nl=_pow2(max(n_live, 1)))
             cks = jnp.arange(max(layout.n_chunks, 1),
                              dtype=jnp.int32) * CP
             sid_bases = jnp.searchsorted(p0, cks).astype(jnp.int32)
@@ -1296,7 +1299,7 @@ def plan_spgemm(
             p02, su2, sa2, src2, pend2 = build_srec(
                 A.indptr, A.indices, a32, B.indptr[:-1],
                 B.indptr[1:] - B.indptr[:-1], rows_sorted, e2, q2_sorted,
-                m=m)
+                m=m, nl=_pow2(max(n_live2, 1)))
             cks = jnp.arange(max(n_chunks2, 1), dtype=jnp.int32) * CP
             ss.e2, ss.p02, ss.src2 = e2, p02, src2
             ss.su2, ss.sa2, ss.pend2 = su2, sa2, pend2

@@ -416,9 +416,9 @@ def _pow2ceil_arr(x: np.ndarray) -> np.ndarray:
     return 1 << np.ceil(np.log2(x.astype(np.float64))).astype(np.int64)
 
 
-@partial(jax.jit, static_argnames=("m",))
+@partial(jax.jit, static_argnames=("m", "nl"))
 def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
-               e, q_sorted, *, m: int):
+               e, q_sorted, *, m: int, nl: Optional[int] = None):
     """Per-sorted-A-slot stream records (the O(nnz) half of planning):
     (p0, su, sa, src, pend) — see _plan_stream_impl. Split out so
     matrices with no stream rows (pure dense / direct) skip it entirely.
@@ -435,29 +435,38 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     G*W + 2 records and the expand can scatter from a dynamic-slice
     window instead of all nnz records per chunk (O(nnz)-per-chunk was a
     13x blow-up on the 50M-nnz giant-row bench). The compacted tail is
-    p0 = INT_MAX sentinels, harmless to searchsorted and the window."""
+    p0 = INT_MAX sentinels, harmless to searchsorted and the window.
+
+    ``nl``: size of the record arrays AND of all internal per-slot work
+    — an upper bound on the LIVE (stream-routed) A slots, known to the
+    host from the planning pack before this runs. On inputs where most
+    nonzeros feed non-stream rows (the 50M-nnz giant-row bench routes
+    ~85k of 50M slots through the stream) this turns the ~8 O(nnz)
+    passes into O(live) ones. None = nnz (the SPMD mesh path, where no
+    readback is available)."""
     stream_mask_s = q_sorted > 0
     nnz = a_indices.shape[0]
+    NL = max(nnz if nl is None else min(nl, nnz), 1)
     alen = a_indptr[1:] - a_indptr[:-1]
     alen_eff = jnp.where(stream_mask_s, alen[rows_sorted], 0)
     ca = cumsum1d(alen_eff)            # inclusive; ca[-1] = live A-slots
     ca_excl = ca - alen_eff
     # sorted-slot s belongs to sorted row rid_s: run-length decode
-    sridb = jnp.zeros((max(nnz, 1),), jnp.int32).at[ca_excl].add(
+    sridb = jnp.zeros((NL,), jnp.int32).at[ca_excl].add(
         1, mode="drop")
     rid_s = cumsum1d(sridb) - 1
     rid_s = jnp.clip(rid_s, 0, m - 1)
     src = a_indptr[rows_sorted[rid_s]] + (
-        jnp.arange(max(nnz, 1), dtype=jnp.int32) - ca_excl[rid_s])
+        jnp.arange(NL, dtype=jnp.int32) - ca_excl[rid_s])
     src = jnp.clip(src, 0, max(nnz - 1, 0))
     acol = a_indices[src]
     blen = b_len[acol]
-    live_s = jnp.arange(max(nnz, 1), dtype=jnp.int32) < ca[-1]
+    live_s = jnp.arange(NL, dtype=jnp.int32) < ca[-1]
     blen = jnp.where(live_s, blen, 0)
     cb = cumsum1d(blen)
     # product start of sorted slot s: e[rid_s] + products of earlier slots
     # of the same row
-    row_first = jnp.clip(ca_excl[rid_s], 0, max(nnz - 1, 0))
+    row_first = jnp.clip(ca_excl[rid_s], 0, NL - 1)
     cb_excl = cb - blen
     cb_rowbase = cb_excl - jnp.take(cb_excl, row_first)
     p0 = jnp.where(live_s, e[rid_s] + cb_rowbase, jnp.int32(INT_MAX))
@@ -466,8 +475,8 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     # compact: keep only slots that own at least one product
     keep = live_s & (blen > 0)
     rank = cumsum1d(keep.astype(jnp.int32)) - 1
-    tgt = jnp.where(keep, rank, nnz)
-    size = (max(nnz, 1),)
+    tgt = jnp.where(keep, rank, NL)
+    size = (NL,)
 
     def compact(x, fill):
         return jnp.full(size, fill, jnp.int32).at[tgt].set(
@@ -510,6 +519,7 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
             a_dmin | a_dmax | b_dmin | b_dmax | sum_products_sat |
             max_row_products_sat | sum_products_exact |
             dia_dlo_a | dia_dhi_a | dia_dlo_b | dia_dhi_b | n_dia |
+            n_live_slots | n_live_slots_accum |
             W | total_q | n_wide | r_wide | wide_segs (N_WSEG_PACK)]
 
     The a/b_dmin/dmax + sp_sat scalars feed the DIA fast-path gate
@@ -688,11 +698,17 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     nnz_init = jnp.where(direct_mask, row_ops, 0)
     gate = _gate_scalars(a_indptr, a_indices, b_indptr, b_indices,
                          row_ops, row_ops_f, a_len, m=m)
+    # live A-slot counts of the stream / accumulator regions: lets the
+    # host size build_srec's record arrays to the LIVE slots instead of
+    # all of nnz(A) (the giant-row bench routes ~85k of 50M slots)
+    n_live = jnp.sum(jnp.where(stream_mask, a_len, 0))
+    n_live2 = jnp.sum(jnp.where(accum_mask, a_len, 0))
     pack = jnp.concatenate([
         hist,
         jnp.stack([n_elig, kw_eff, cw_eff, la_eff, lb_eff]).astype(jnp.int32),
         gate,
         dia_pack,
+        jnp.stack([n_live, n_live2]).astype(jnp.int32),
         tight_pack,
     ])
     return (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
@@ -886,16 +902,28 @@ def _expand_chunk(e, rowend, p0, su, sa, pend, b_packed, b_indices,
         a2 = (jnp.zeros((CP,), jnp.int32)
               .at[cidx].set(ch2[pidx], mode="drop")
               .at[tgt].set(aw, mode="drop"))
-        p2 = (jnp.zeros((CP,), jnp.int32)
-              .at[cidx].set(pend[pidx], mode="drop")
-              .at[tgt].set(pw, mode="drop"))
         f2 = (jnp.zeros((CP,), bool)
               .at[cidx].set(True, mode="drop")
               .at[tgt].set(True, mode="drop"))
-        (u, ach, pf), filled = _ffill_rows(
-            (u2.reshape(G, W), a2.reshape(G, W), p2.reshape(G, W)),
-            f2.reshape(G, W))
-        dead = (t >= pf) | ~filled | (rid < 0)
+        (u, ach), filled = _ffill_rows(
+            (u2.reshape(G, W), a2.reshape(G, W)), f2.reshape(G, W))
+        # live state: +1 at each run start (p0), -1 at its end (pend);
+        # runs never overlap (pend[i] <= p0[i+1]), so the running sum is
+        # 0/1 — this replaces forward-filling a third (pend) channel and
+        # the per-slot compare against it. The carry run contributes +1
+        # at slot 0 only while still live (its -1 lands in-window when
+        # its pend does).
+        rel_end = pw - chunk_start
+        end_tgt = jnp.where(winner & (rel_end > 0) & (rel_end < CP)
+                            & (rel < CP), rel_end, CP)
+        cidx_l = jnp.where((sid_base > 0) & (pend[pidx] > chunk_start),
+                           0, CP)
+        marks = (jnp.zeros((CP,), jnp.int32)
+                 .at[cidx_l].add(1, mode="drop")
+                 .at[tgt].add(1, mode="drop")
+                 .at[end_tgt].add(-1, mode="drop"))
+        live = _cumsum_rect(marks.reshape(G, W)) > 0
+        dead = ~live | (rid < 0)
         bsrc = jnp.where(dead, 0, u + t)
         if f64:
             aval = a_data[jnp.clip(ach, 0, a_data.shape[0] - 1)]

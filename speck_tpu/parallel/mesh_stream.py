@@ -39,6 +39,7 @@ per the BASELINE.json north star.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -53,7 +54,7 @@ from ..ops.stream import (_compact_rect, _contract_rect, _plan_stream_impl,
                           _pow2ceil, _sort_cols, stream_chunk,
                           stream_emit, stream_level, tight_total_host)
 from ..utils.config import SpgemmConfig
-from .dist import ROW_AXIS, _slice_rows, stack_row_shards
+from .dist import ROW_AXIS, _pad_to, _slice_rows
 
 
 def _mesh_wide_plans(shard_ops: List[np.ndarray], W: int, F: int,
@@ -152,6 +153,122 @@ def _host_row_ops(a: HostCSR, b_len: np.ndarray) -> np.ndarray:
     return ops
 
 
+# ---------------------------------------------------------------------------
+# Pre-sharded inputs (round-4 VERDICT item 6, second half): a process
+# only needs ITS OWN row shards' payloads. Everything cross-shard the
+# host planner consumes is per-shard metadata (row lengths, stream
+# totals, wide-row op lists, k-split candidates) exchanged as small
+# padded arrays; the payload arrays are assembled as zero-filled stacks
+# whose non-local entries are never materialized (make_array_from_
+# callback only asks for addressable shards) and the need-set exchange
+# plan itself is computed on device from the truly-sharded arrays.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RowShards:
+    """A row-sharded matrix for ``mesh_stream_spgemm``: shape (m, n),
+    rows dealt in ceil(m/D) contiguous blocks over D shards, with this
+    process holding the HostCSR row slices of the shards its devices
+    own (all of them under a single controller).
+
+    ``local``: dict shard-index -> HostCSR (rows == that shard's row
+    count, offsets rebased to the slice)."""
+
+    m: int
+    n: int
+    D: int
+    local: dict
+
+    @property
+    def ranges(self):
+        m_loc = max(1, -(-self.m // self.D))
+        return [(min(d * m_loc, self.m), min((d + 1) * m_loc, self.m))
+                for d in range(self.D)]
+
+    @classmethod
+    def from_global(cls, a: HostCSR, D: int) -> "RowShards":
+        sh = cls(m=a.rows, n=a.cols, D=D, local={})
+        sh.local = {d: _slice_rows(a, r0, r1)
+                    for d, (r0, r1) in enumerate(sh.ranges)}
+        return sh
+
+    @classmethod
+    def from_local(cls, m: int, n: int, D: int,
+                   local: dict) -> "RowShards":
+        """Multi-controller constructor: ``local`` holds only the shards
+        whose devices belong to this process."""
+        return cls(m=m, n=n, D=D, local=dict(local))
+
+    @property
+    def all_local(self) -> bool:
+        return len(self.local) == self.D
+
+
+def _combine_max(x: np.ndarray) -> np.ndarray:
+    """Elementwise max across processes (identity under one controller).
+    Per-shard metadata is zero-filled where non-local, so max recovers
+    the owner's values everywhere."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    return np.max(np.asarray(multihost_utils.process_allgather(x)),
+                  axis=0)
+
+
+def _stack_shards(ash: RowShards, dtype=jnp.float32):
+    """stack_row_shards over a RowShards: per-shard padded (D, m_loc+1)
+    indptr / (D, nnz_max) cols / data, zero-filled for non-local shards.
+    nnz_max is agreed across processes via one scalar combine."""
+    D = ash.D
+    m_loc = max(1, -(-ash.m // D))
+    nnz_loc = np.zeros(D, np.int64)
+    for d, sl in ash.local.items():
+        nnz_loc[d] = sl.nnz
+    nnz_loc = _combine_max(nnz_loc)
+    nnz_max = max(1, int(nnz_loc.max(initial=0)))
+    ai = np.zeros((D, m_loc + 1), np.int32)
+    ax = np.zeros((D, nnz_max), np.int32)
+    ad = np.zeros((D, nnz_max), np.dtype(dtype))
+    for d, sl in ash.local.items():
+        ai[d] = _pad_to(np.asarray(sl.row_offsets, np.int32), m_loc + 1,
+                        fill=int(sl.nnz))
+        ax[d, : sl.nnz] = np.asarray(sl.col_ids, np.int32)
+        ad[d, : sl.nnz] = np.asarray(sl.data, np.dtype(dtype))
+    return ai, ax, ad, ash.ranges
+
+
+def _shard_row_lens(bsh: RowShards) -> np.ndarray:
+    """Global B row lengths (the only O(b_rows) host metadata the
+    planner needs; payloads never cross hosts): per-shard diffs,
+    combined."""
+    D = bsh.D
+    k_loc = max(1, -(-bsh.m // D))
+    lens = np.zeros((D, k_loc), np.int64)
+    for d, sl in bsh.local.items():
+        ln = np.diff(np.asarray(sl.row_offsets, np.int64))
+        lens[d, : ln.shape[0]] = ln
+    return _combine_max(lens).reshape(-1)[: bsh.m]
+
+
+def _drop_rows(sl: HostCSR, local_ids: np.ndarray) -> HostCSR:
+    """Copy of a local shard with the given local rows emptied."""
+    ip = np.asarray(sl.row_offsets, np.int64)
+    drop = np.zeros(sl.nnz, bool)
+    for r in local_ids:
+        drop[ip[r]: ip[r + 1]] = True
+    lens = ip[1:] - ip[:-1]
+    lens2 = lens.copy()
+    lens2[local_ids] = 0
+    ip2 = np.zeros(sl.rows + 1, np.int64)
+    np.cumsum(lens2, out=ip2[1:])
+    keep = ~drop
+    return HostCSR(rows=sl.rows, cols=sl.cols, row_offsets=ip2,
+                   col_ids=np.asarray(sl.col_ids)[keep],
+                   data=np.asarray(sl.data)[keep])
+
+
 @dataclasses.dataclass
 class NeedsetStats:
     """Communication-volume accounting for the need-set exchange."""
@@ -165,51 +282,276 @@ class NeedsetStats:
         return self.allgather_bytes / max(self.needset_bytes, 1)
 
 
-def _plan_ksplit(a: HostCSR, b_len_h: np.ndarray, ops_g: np.ndarray,
-                 D: int, k_locB: int, split_min: int):
+# ---------------------------------------------------------------------------
+# Device-side need-set planning (round-4 VERDICT item 6)
+#
+# The host planner above this round did per-shard np.unique over all of
+# A's columns plus D^2 per-pair loops with per-row np.arange
+# concatenations -- O(nnz log nnz) host work that also required the FULL
+# A and B on every process. The device planner computes the
+# per-partition generalization of the reference's per-row column-range
+# analysis (toRowColMinMax, /root/reference/include/common.cuh:303-319)
+# as per-dst B-row need BITMAPS on device, reads back only the D^2
+# per-pair block counts (the only data-dependent static shapes), and
+# derives every table the exchange needs -- received-buffer slot map,
+# A-column remap, per-round send gather plans -- in one more jitted
+# pass. Per-shard cost is O(nnz/D + b_rows) vector work; the cross-shard
+# dependency is only the bitmap itself (b_rows bools), which under jit
+# moves as a collective instead of requiring replicated host copies.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("D", "k_loc"))
+def _needset_bitmaps(ax, nnz_d, spl_cols, spl_nnz, b_len_pad, *,
+                     D: int, k_loc: int):
+    """Phase A: per-dst need bitmap over (padded) B rows + per-(dst,src)
+    needed-row / needed-nnz counts.
+
+    ax (D, nnz_max) int32 padded A column ids; nnz_d (D,) live counts;
+    spl_cols (D, spl_cap) k-split slot columns (or a (D, 1) dummy with
+    spl_nnz = 0); b_len_pad (D*k_loc,) B row lengths.
+
+    Returns (need (D, D, k_loc) bool, rows_cnt (D, D) int32,
+    nnz_cnt (D, D) int32)."""
+    b_rows_pad = D * k_loc
+
+    def one(ax_d, n_s, spl_d, spl_n):
+        valid = jnp.arange(ax_d.shape[0], dtype=jnp.int32) < n_s
+        need = jnp.zeros((b_rows_pad,), bool).at[
+            jnp.where(valid, ax_d, b_rows_pad)].set(True, mode="drop")
+        vs = jnp.arange(spl_d.shape[0], dtype=jnp.int32) < spl_n
+        need = need.at[jnp.where(vs, spl_d, b_rows_pad)].set(
+            True, mode="drop")
+        return need.reshape(D, k_loc)
+
+    need = jax.vmap(one)(ax, nnz_d, spl_cols, spl_nnz)
+    rows_cnt = jnp.sum(need, axis=2, dtype=jnp.int32)
+    nnz_cnt = jnp.sum(
+        jnp.where(need, b_len_pad.reshape(1, D, k_loc), 0),
+        axis=2, dtype=jnp.int32)
+    return need, rows_cnt, nnz_cnt
+
+
+@partial(jax.jit, static_argnames=("D", "k_loc", "P_rows"))
+def _needset_recv_tables(need, b_len_pad, seg_off_by_r, *,
+                         D: int, k_loc: int, P_rows: int):
+    """Phase B1 (dst side): received-buffer row tables + the column LUT.
+
+    For dst d and source src, the needed rows of src's block occupy
+    received-buffer slots src*P_rows + rank (rank = order within the
+    block); their records land at seg_off[(d-src)%D] + running offset.
+    Returns (rb_start (D, D*P_rows), rb_len (D, D*P_rows),
+    lut (D, D*k_loc) int32 received-slot of every B row)."""
+    RB = D * P_rows
+    lens3 = jnp.broadcast_to(
+        b_len_pad.reshape(1, D, k_loc), (D, D, k_loc))
+    lens_n = jnp.where(need, lens3, 0)
+    rank = jnp.cumsum(need.astype(jnp.int32), axis=2) - need
+    start_in_pair = jnp.cumsum(lens_n, axis=2) - lens_n
+    src_ids = jnp.arange(D, dtype=jnp.int32)
+    slot = src_ids[None, :, None] * P_rows + rank          # (D, D, k_loc)
+    d_ids = jnp.arange(D, dtype=jnp.int32)
+    r_of = (d_ids[:, None] - src_ids[None, :]) % D          # (D, D)
+    base = seg_off_by_r[r_of][:, :, None]                   # (D, D, 1)
+    tgt = jnp.where(need, slot, RB).reshape(D, -1)
+
+    def scat(vals):
+        return jnp.zeros((D, RB), jnp.int32).at[
+            jnp.arange(D)[:, None], tgt].set(vals.reshape(D, -1),
+                                             mode="drop")
+
+    rb_start = scat(base + start_in_pair)
+    rb_len = scat(lens_n)
+    # LUT: global B row -> received slot (0 where not needed; such rows
+    # are never referenced by this dst's A columns)
+    row_tgt = jnp.where(need,
+                        jax.lax.broadcasted_iota(jnp.int32, (D, D, k_loc), 1)
+                        * k_loc
+                        + jax.lax.broadcasted_iota(
+                            jnp.int32, (D, D, k_loc), 2),
+                        D * k_loc).reshape(D, -1)
+    lut = jnp.zeros((D, D * k_loc), jnp.int32).at[
+        jnp.arange(D)[:, None], row_tgt].set(
+        jnp.where(need, slot, 0).reshape(D, -1), mode="drop")
+    return rb_start, rb_len, lut
+
+
+@partial(jax.jit, static_argnames=("r", "Rr", "D", "k_loc"))
+def _needset_send_plan(need, b_len_pad, *, r: int, Rr: int,
+                       D: int, k_loc: int):
+    """Phase B2 (src side), one round: the per-src gather plan moving the
+    B records dst=(src+r)%D needs. Returns (send_idx (D, Rr) int32
+    src-local record positions, send_valid (D, Rr) bool)."""
+    # need[dst=(s+r)%D, src=s, :] for every s = diagonal of the rolled cube
+    needr = jnp.roll(need, -r, axis=0)                      # [s] -> need[s+r]
+    blk = jnp.diagonal(needr, axis1=0, axis2=1).T           # (D, k_loc)
+    lens = jnp.broadcast_to(b_len_pad.reshape(D, k_loc), blk.shape)
+    lens_n = jnp.where(blk, lens, 0)
+    starts = jnp.cumsum(lens_n, axis=1) - lens_n            # excl, per src
+    total = jnp.sum(lens_n, axis=1)                         # (D,)
+    live = blk & (lens > 0)
+    # compact (row-in-block, payload start, local record base) by rank
+    rank = jnp.cumsum(live.astype(jnp.int32), axis=1) - live
+    tgt = jnp.where(live, rank, Rr)
+    loc_base = jnp.cumsum(lens, axis=1) - lens              # src-local CSR
+    arangeD = jnp.arange(D)[:, None]
+
+    def compact(vals):
+        return jnp.zeros((D, Rr), jnp.int32).at[
+            arangeD, tgt].set(vals, mode="drop")
+
+    starts_c = compact(starts)
+    base_c = compact(loc_base)
+    # run-length decode: segment id of each payload position
+    marks = jnp.zeros((D, Rr), jnp.int32).at[
+        arangeD, jnp.where(live, starts, Rr)].add(1, mode="drop")
+    seg = jnp.cumsum(marks, axis=1) - 1
+    segc = jnp.clip(seg, 0, Rr - 1)
+    i = jnp.arange(Rr, dtype=jnp.int32)[None, :]
+    idx = jnp.take_along_axis(base_c, segc, axis=1) + (
+        i - jnp.take_along_axis(starts_c, segc, axis=1))
+    valid = i < total[:, None]
+    return jnp.where(valid, idx, 0), valid
+
+
+@jax.jit
+def _lut_gather(lut, idx):
+    """Per-shard LUT remap: out[d, i] = lut[d, idx[d, i]]."""
+    return jnp.take_along_axis(
+        lut, jnp.clip(idx, 0, lut.shape[1] - 1), axis=1)
+
+
+def _plan_needset_device(ax_h, nnz_d_h, spl_cols_h, spl_nnz_h, b_len_h,
+                         D: int, k_loc: int, put):
+    """Run phases A/B and return the same plan products the host planner
+    yields: (pair_nnz (D,D) np, round_nnz list, ax lut (device, sharded),
+    rb_start, rb_len (device, sharded), send plan builder).
+
+    The ONLY host readback is the D^2 pair counts (static shapes for the
+    round padding) -- the reference's analogous sync is its 8-byte
+    analysis readback (/root/reference/source/GPU/Multiply.cu:249-252)."""
+    b_rows_pad = D * k_loc
+    b_len_pad = np.zeros(b_rows_pad, np.int32)
+    b_len_pad[: b_len_h.shape[0]] = b_len_h
+    b_len_dev = jnp.asarray(b_len_pad)
+    if spl_cols_h is None:
+        spl_cols_h = np.zeros((D, 1), np.int32)
+        spl_nnz_h = np.zeros((D,), np.int32)
+    need, rows_cnt, nnz_cnt = _needset_bitmaps(
+        put(np.asarray(ax_h, np.int32)), put(np.asarray(nnz_d_h, np.int32)),
+        put(np.asarray(spl_cols_h, np.int32)),
+        put(np.asarray(spl_nnz_h, np.int32)),
+        b_len_dev, D=D, k_loc=k_loc)
+    rows_cnt_h = _fetch_global(rows_cnt)
+    pair_nnz = _fetch_global(nnz_cnt).astype(np.int64)
+    P_rows = int(_pow2ceil(max(1, int(rows_cnt_h.max(initial=1)))))
+    round_nnz = []
+    for r in range(D):
+        mx = max(int(pair_nnz[(s + r) % D, s]) for s in range(D))
+        round_nnz.append(int(_pow2ceil(mx)) if mx > 0 else 0)
+    seg_off = np.concatenate([[0], np.cumsum(round_nnz)]).astype(np.int64)
+    if seg_off[-1] >= 2 ** 31:
+        raise ValueError(
+            f"need-set exchange would stage {int(seg_off[-1])} B records "
+            "per shard, past the 2^31 int32 ceiling; use more shards")
+    rb_start, rb_len, lut = _needset_recv_tables(
+        need, b_len_dev, jnp.asarray(seg_off[:-1].astype(np.int32)),
+        D=D, k_loc=k_loc, P_rows=P_rows)
+
+    def send_plans():
+        out = []
+        for r in range(D):
+            if round_nnz[r] == 0:
+                continue
+            si, sv = _needset_send_plan(
+                need, b_len_dev, r=r, Rr=round_nnz[r], D=D, k_loc=k_loc)
+            out.append((si, sv))
+        return out
+
+    return dict(pair_nnz=pair_nnz, round_nnz=round_nnz, seg_off=seg_off,
+                P_rows=P_rows, rb_start=rb_start, rb_len=rb_len, lut=lut,
+                send_plans=send_plans)
+
+
+def _plan_ksplit_shards(ash: RowShards, ops_sh: np.ndarray,
+                        b_len_h: np.ndarray, D: int, k_locB: int,
+                        split_min: int):
     """Host plan for k-split rows (single-row sharding): rows with more
     products than ``split_min`` (and ALWAYS rows past the 2^30 per-row
     int32 ceiling) are removed from their owner shard's local A and
     their nonzeros re-dealt BY B-ROW-OWNER: shard s gets the slots whose
     a_col lies in its B shard, so the partial products need no remote B
     rows at all (needset: pure self-need). Partials merge via one
-    all_gather + sort (see _make_shard_body). Returns None or a dict:
-    a2 (split rows emptied), split_ids, per-shard sub-CSR (padded) and
-    per-(shard,row) sub-op counts.
+    all_gather + sort (see _make_shard_body).
+
+    ``ops_sh`` (D, m_loc): per-shard row ops (globally combined).
+    Candidate rows' slot payloads are exchanged as small padded arrays
+    (<= 64 rows by construction), so pre-sharded multi-controller inputs
+    never ship full matrices. Returns (ash_eff, ops_sh_eff, ksp|None)
+    where ash_eff has the split rows emptied in their owner shards.
 
     The reference's analogue is the global-map flush/restart that lets
     ONE row's products span many passes of one GPU
     (spECK_HashSpGEMM.cuh:106-126); here the passes are mesh shards."""
     split_min = min(split_min, 1 << 30)
-    split_ids = np.flatnonzero(ops_g > split_min)
-    if split_ids.size == 0:
-        return None
-    if split_ids.size > 64:
+    ranges = ash.ranges
+    m_loc = ops_sh.shape[1]
+    hits = ops_sh > split_min                     # (D, m_loc), global info
+    n_split = int(hits.sum())
+    if n_split == 0:
+        return ash, ops_sh, None
+    if n_split > 64:
         raise ValueError(
-            f"{split_ids.size} rows exceed the k-split threshold "
+            f"{n_split} rows exceed the k-split threshold "
             f"({split_min}); raise MeshSplitMinOps or use more shards")
-    ip = np.asarray(a.row_offsets, np.int64)
-    drop = np.zeros(a.nnz, bool)
-    for r in split_ids:
-        drop[ip[r]: ip[r + 1]] = True
-    keep = ~drop
-    lens = ip[1:] - ip[:-1]
-    lens2 = lens.copy()
-    lens2[split_ids] = 0
-    ip2 = np.zeros(a.rows + 1, np.int64)
-    np.cumsum(lens2, out=ip2[1:])
-    a2 = HostCSR(rows=a.rows, cols=a.cols, row_offsets=ip2,
-                 col_ids=np.asarray(a.col_ids)[keep],
-                 data=np.asarray(a.data)[keep])
-    n_split = int(split_ids.size)
+    d_ids, j_ids = np.nonzero(hits)
+    split_ids = np.sort(np.array(
+        [ranges[d][0] + j for d, j in zip(d_ids, j_ids)], np.int64))
+    # exchange the split rows' slot payloads: owner fills, others zero
+    lens = np.zeros(n_split, np.int64)
+    for j, r in enumerate(split_ids):
+        d = min(int(r) // m_loc, D - 1)
+        if d in ash.local:
+            ip = np.asarray(ash.local[d].row_offsets, np.int64)
+            lr = int(r) - ranges[d][0]
+            lens[j] = ip[lr + 1] - ip[lr]
+    lens = _combine_max(lens)
+    L = max(1, int(lens.max(initial=1)))
+    scols = np.zeros((n_split, L), np.int64)
+    svals = np.zeros((n_split, L), np.float64)
+    for j, r in enumerate(split_ids):
+        d = min(int(r) // m_loc, D - 1)
+        if d in ash.local:
+            sl = ash.local[d]
+            ip = np.asarray(sl.row_offsets, np.int64)
+            lr = int(r) - ranges[d][0]
+            o0, o1 = int(ip[lr]), int(ip[lr + 1])
+            scols[j, : o1 - o0] = np.asarray(sl.col_ids[o0:o1], np.int64)
+            svals[j, : o1 - o0] = np.asarray(sl.data[o0:o1])
+    # owner-exclusive zero-filled data: sum-combine recovers it everywhere
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        scols = np.sum(multihost_utils.process_allgather(scols), axis=0)
+        svals = np.sum(multihost_utils.process_allgather(svals), axis=0)
+    # drop the split rows from their owner shards + zero their ops
+    ash_eff = RowShards(m=ash.m, n=ash.n, D=D, local=dict(ash.local))
+    ops_eff = ops_sh.copy()
+    for j, r in enumerate(split_ids):
+        d = min(int(r) // m_loc, D - 1)
+        ops_eff[d, int(r) - ranges[d][0]] = 0
+        if d in ash_eff.local:
+            ash_eff.local[d] = _drop_rows(
+                ash_eff.local[d],
+                np.array([int(r) - ranges[d][0]]))
     # per-shard sub-CSR: row j of shard s = split row j's slots whose
     # col is owned by B shard s
     sub_cols = [[None] * n_split for _ in range(D)]
     sub_vals = [[None] * n_split for _ in range(D)]
     sub_ops = np.zeros((D, n_split), np.int64)
-    for j, r in enumerate(split_ids):
-        cj = np.asarray(a.col_ids[ip[r]: ip[r + 1]], np.int64)
-        vj = np.asarray(a.data[ip[r]: ip[r + 1]])
+    for j in range(n_split):
+        cj = scols[j, : lens[j]]
+        vj = svals[j, : lens[j]]
         own = cj // k_locB
         for s in range(D):
             sel = own == s
@@ -234,9 +576,10 @@ def _plan_ksplit(a: HostCSR, b_len_h: np.ndarray, ops_g: np.ndarray,
             spl_vals[s, off: off + len(c)] = sub_vals[s][j]
             off += len(c)
             spl_indptr[s, j + 1] = off
-    return dict(a2=a2, split_ids=split_ids, n_split=n_split,
-                spl_indptr=spl_indptr, spl_cols=spl_cols,
-                spl_vals=spl_vals, sub_ops=sub_ops, spl_cap=spl_cap)
+    ksp = dict(split_ids=split_ids, n_split=n_split,
+               spl_indptr=spl_indptr, spl_cols=spl_cols,
+               spl_vals=spl_vals, sub_ops=sub_ops, spl_cap=spl_cap)
+    return ash_eff, ops_eff, ksp
 
 
 def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
@@ -391,33 +734,53 @@ def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
 
 
 def mesh_stream_spgemm(
-    a: HostCSR,
-    b: HostCSR,
+    a,
+    b,
     mesh: Mesh,
     cfg: Optional[SpgemmConfig] = None,
     exchange: str = "allgather",
 ):
     """C = A @ B as ONE jitted SPMD step over ``mesh`` (see module
     docstring). Returns (nnz_row, cols, vals, meta): padded row-major
-    per-shard outputs; assemble with ``mesh_stream_to_host_csr``."""
-    if a.cols != b.rows:
-        raise ValueError(f"dimension mismatch: A is {a.shape}, B is {b.shape}")
+    per-shard outputs; assemble with ``mesh_stream_to_host_csr``.
+
+    ``a`` / ``b``: HostCSR (full matrix on this host), or RowShards
+    (pre-sharded: this process holds only its own devices' row shards;
+    cross-shard host metadata is exchanged as small padded arrays and
+    the need-set exchange plan is computed on device, so no process
+    ever needs the full payloads)."""
+    D = mesh.devices.size
+    ash = a if isinstance(a, RowShards) else RowShards.from_global(a, D)
+    bsh = b if isinstance(b, RowShards) else RowShards.from_global(b, D)
+    if ash.D != D or bsh.D != D:
+        raise ValueError(
+            f"RowShards built for D={ash.D}/{bsh.D}, mesh has {D}")
+    if ash.n != bsh.m:
+        raise ValueError(
+            f"dimension mismatch: A is {(ash.m, ash.n)}, "
+            f"B is {(bsh.m, bsh.n)}")
     if exchange not in ("allgather", "needset"):
         raise ValueError(f"unknown exchange mode {exchange!r}")
     cfg = cfg or SpgemmConfig()
-    D = mesh.devices.size
-    n_cols = b.cols
+    n_cols = bsh.n
 
-    b_len_h = np.diff(np.asarray(b.row_offsets, np.int64))
+    b_len_h = _shard_row_lens(bsh)
+    b_nnz = int(b_len_h.sum())
+    # per-shard row ops (owners compute, combined): the host analysis
+    # all static shapes derive from — O(m) metadata, no payloads
+    m_locA = max(1, -(-ash.m // D))
+    ops_sh = np.zeros((D, m_locA), np.int64)
+    for d, sl in ash.local.items():
+        o = _host_row_ops(sl, b_len_h)
+        ops_sh[d, : o.shape[0]] = o
+    ops_sh = _combine_max(ops_sh)
     # k-split rows (single-row sharding): removed from their owner's
-    # local A, their slots re-dealt by B-row owner (see _plan_ksplit)
-    k_locB = max(1, -(-b.rows // D))
-    ops_g = _host_row_ops(a, b_len_h)
-    ksp = _plan_ksplit(a, b_len_h, ops_g, D, k_locB,
-                       cfg.mesh_split_min_ops)
-    a_eff = ksp["a2"] if ksp is not None else a
+    # local A, their slots re-dealt by B-row owner (_plan_ksplit_shards)
+    k_locB = max(1, -(-bsh.m // D))
+    ash_eff, ops_sh, ksp = _plan_ksplit_shards(
+        ash, ops_sh, b_len_h, D, k_locB, cfg.mesh_split_min_ops)
 
-    ai_h, ax_h, ad_h, a_ranges = stack_row_shards(a_eff, D, jnp.float32)
+    ai_h, ax_h, ad_h, a_ranges = _stack_shards(ash_eff, jnp.float32)
     m_loc = ai_h.shape[1] - 1
 
     # per-shard stream shape parameters (host analysis; SPMD needs one
@@ -428,10 +791,10 @@ def mesh_stream_spgemm(
     # totals use the exact host twin of the device's tight layout.
     min_q = cfg.stream_min_q
     shard_ops = []
-    for r0, r1 in a_ranges:
-        ops = _host_row_ops(_slice_rows(a_eff, r0, r1), b_len_h)
+    for d, (r0, r1) in enumerate(a_ranges):
+        ops = ops_sh[d, : r1 - r0]
         assert not ops.size or int(ops.max(initial=0)) <= 2 ** 30, \
-            "post-split row past 2^30 (unreachable: _plan_ksplit)"
+            "post-split row past 2^30 (unreachable: _plan_ksplit_shards)"
         shard_ops.append(ops)
     W = cfg.stream_width
     total_qs = []
@@ -504,7 +867,8 @@ def mesh_stream_spgemm(
             args.append(put(spec["final"]))
         if ksp is not None:
             args += [put(ksp["spl_indptr"].astype(np.int32)),
-                     put(np.asarray(spl_cols_arr, np.int32)),
+                     (spl_cols_arr if isinstance(spl_cols_arr, jax.Array)
+                      else put(np.asarray(spl_cols_arr, np.int32))),
                      put(ksp["spl_vals"]),
                      put(spl_tgt_h), put(spl_emit_h),
                      put(spl_wide_rid_h)]
@@ -517,7 +881,7 @@ def mesh_stream_spgemm(
                 + ((6 + 2 * len(ks["specs"])) if ksp is not None else 0))
 
     if exchange == "allgather":
-        bi_h, bx_h, bd_h, _ = stack_row_shards(b, D, jnp.float32)
+        bi_h, bx_h, bd_h, _ = _stack_shards(bsh, jnp.float32)
         bnnz_max = bx_h.shape[1]
 
         def step(ai, ax, ad, bi, bx, bd, wide_rid, *lv):
@@ -539,75 +903,119 @@ def mesh_stream_spgemm(
             put(bd_h),
             *extra_args(ksp["spl_cols"] if ksp is not None else None))
     else:
-        # ---- need-set exchange plan (host numpy) ----
-        k_loc = max(1, -(-b.rows // D))
-        b_off = np.asarray(b.row_offsets, np.int64)
-        # need set per dst shard: unique B rows referenced by its A cols
-        # (plus its k-split slots' cols — those are always self-owned,
-        # so they only enlarge the zero-communication round 0)
-        needs: List[np.ndarray] = []
-        for s, (r0, r1) in enumerate(a_ranges):
-            sl = _slice_rows(a_eff, r0, r1)
-            cols_need = np.asarray(sl.col_ids, np.int64)
-            if ksp is not None:
-                nz_s = int(ksp["spl_indptr"][s, -1])
-                cols_need = np.concatenate(
-                    [cols_need, ksp["spl_cols"][s, :nz_s].astype(np.int64)])
-            needs.append(np.unique(cols_need))
-        pair_rows = [[nd[(nd // k_loc) == s] for s in range(D)]
-                     for nd in needs]
-        pair_nnz = np.array([[int(b_len_h[pr].sum()) for pr in row]
-                             for row in pair_rows])
-        # round r moves pairs src -> dst=(src+r)%D; round 0 is the local
-        # self-need (no communication). Each round pads to its own max.
-        round_nnz = [int(_pow2ceil(max(1, max(
-            pair_nnz[(s + r) % D, s] for s in range(D)))))
-            if max(pair_nnz[(s + r) % D, s] for s in range(D)) > 0 else 0
-            for r in range(D)]
-        seg_off = np.concatenate([[0], np.cumsum(round_nnz)])
-        RB_total = int(seg_off[-1])
+        k_loc = max(1, -(-bsh.m // D))
+        if cfg.mesh_device_planning:
+            # ---- need-set exchange plan (DEVICE; see the planner
+            # section above). Host work is O(D^2) scalars only.
+            nnz_d_h = np.asarray(ai_h[:, -1], np.int32)
+            dp = _plan_needset_device(
+                ax_h, nnz_d_h,
+                ksp["spl_cols"] if ksp is not None else None,
+                ksp["spl_indptr"][:, -1] if ksp is not None else None,
+                b_len_h, D, k_loc, put)
+            pair_nnz = dp["pair_nnz"]
+            round_nnz = dp["round_nnz"]
+            rb_start_a, rb_len_a = dp["rb_start"], dp["rb_len"]
+            ax_remap_a = _lut_gather(dp["lut"], put(ax_h))
+            spl_cols_remap = (
+                _lut_gather(dp["lut"], put(ksp["spl_cols"].astype(
+                    np.int32))) if ksp is not None else None)
+            live_sends = []
+            for si, sv in dp["send_plans"]():
+                live_sends.append(si)
+                live_sends.append(sv)
+        else:
+            # ---- need-set exchange plan (host numpy fallback;
+            # requires every shard's payload on this host) ----
+            if not (ash_eff.all_local and bsh.all_local):
+                raise ValueError(
+                    "host need-set planning needs the full matrices on "
+                    "every process; pre-sharded RowShards inputs require "
+                    "MeshDevicePlanning=true (the default)")
+            b_off = np.concatenate(
+                [[0], np.cumsum(b_len_h)]).astype(np.int64)
+            # need set per dst shard: unique B rows referenced by its A
+            # cols (plus its k-split slots' cols — those are always
+            # self-owned, so they only enlarge the zero-communication
+            # round 0)
+            needs: List[np.ndarray] = []
+            for s, (r0, r1) in enumerate(a_ranges):
+                sl = ash_eff.local[s]
+                cols_need = np.asarray(sl.col_ids, np.int64)
+                if ksp is not None:
+                    nz_s = int(ksp["spl_indptr"][s, -1])
+                    cols_need = np.concatenate(
+                        [cols_need,
+                         ksp["spl_cols"][s, :nz_s].astype(np.int64)])
+                needs.append(np.unique(cols_need))
+            pair_rows = [[nd[(nd // k_loc) == s] for s in range(D)]
+                         for nd in needs]
+            pair_nnz = np.array([[int(b_len_h[pr].sum()) for pr in row]
+                                 for row in pair_rows])
+            # round r moves pairs src -> dst=(src+r)%D; round 0 is the
+            # local self-need (no communication). Each round pads to its
+            # own max.
+            round_nnz = [int(_pow2ceil(max(1, max(
+                pair_nnz[(s + r) % D, s] for s in range(D)))))
+                if max(pair_nnz[(s + r) % D, s] for s in range(D)) > 0
+                else 0
+                for r in range(D)]
+            seg_off = np.concatenate([[0], np.cumsum(round_nnz)])
 
-        # per-round send gather plan (src-local nnz positions) and, per
-        # dst, the received-buffer (start, len) of every needed row
-        send_idx = [np.zeros((D, round_nnz[r]), np.int64)
-                    for r in range(D)]
-        send_valid = [np.zeros((D, round_nnz[r]), bool) for r in range(D)]
-        P_rows = int(_pow2ceil(max(1, max(len(pr) for row in pair_rows
-                                          for pr in row))))
-        RB = D * P_rows
-        rb_start = np.zeros((D, RB), np.int32)
-        rb_len = np.zeros((D, RB), np.int32)
-        ax_remap = np.array(ax_h)
-        spl_cols_remap = (np.array(ksp["spl_cols"]) if ksp is not None
-                          else None)
-        for src in range(D):
-            for r in range(D):
-                dst = (src + r) % D
-                rows = pair_rows[dst][src]
-                lens = b_len_h[rows]
-                nz = int(lens.sum())
-                if nz:
-                    pos = np.concatenate(
-                        [np.arange(b_off[q], b_off[q + 1]) for q in rows])
-                    send_idx[r][src, :nz] = pos - b_off[src * k_loc]
-                    send_valid[r][src, :nz] = True
-        for dst in range(D):
-            lut = np.zeros(b.rows, np.int64)
+            # per-round send gather plan (src-local nnz positions) and,
+            # per dst, the received-buffer (start, len) of every needed
+            # row
+            send_idx = [np.zeros((D, round_nnz[r]), np.int64)
+                        for r in range(D)]
+            send_valid = [np.zeros((D, round_nnz[r]), bool)
+                          for r in range(D)]
+            P_rows = int(_pow2ceil(max(1, max(
+                len(pr) for row in pair_rows for pr in row))))
+            RB = D * P_rows
+            rb_start = np.zeros((D, RB), np.int32)
+            rb_len = np.zeros((D, RB), np.int32)
+            ax_remap = np.array(ax_h)
+            spl_cols_remap = (np.array(ksp["spl_cols"])
+                              if ksp is not None else None)
             for src in range(D):
-                r = (dst - src) % D
-                rows = pair_rows[dst][src]
-                lens = b_len_h[rows]
-                starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
-                slots = src * P_rows + np.arange(len(rows))
-                rb_start[dst, slots] = seg_off[r] + starts
-                rb_len[dst, slots] = lens
-                lut[rows] = slots
-            ax_remap[dst] = lut[np.asarray(ax_h[dst], np.int64)]
+                for r in range(D):
+                    dst = (src + r) % D
+                    rows = pair_rows[dst][src]
+                    lens = b_len_h[rows]
+                    nz = int(lens.sum())
+                    if nz:
+                        pos = np.concatenate(
+                            [np.arange(b_off[q], b_off[q + 1])
+                             for q in rows])
+                        send_idx[r][src, :nz] = pos - b_off[src * k_loc]
+                        send_valid[r][src, :nz] = True
+            for dst in range(D):
+                lut = np.zeros(bsh.m, np.int64)
+                for src in range(D):
+                    r = (dst - src) % D
+                    rows = pair_rows[dst][src]
+                    lens = b_len_h[rows]
+                    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+                    slots = src * P_rows + np.arange(len(rows))
+                    rb_start[dst, slots] = seg_off[r] + starts
+                    rb_len[dst, slots] = lens
+                    lut[rows] = slots
+                ax_remap[dst] = lut[np.asarray(ax_h[dst], np.int64)]
+                if spl_cols_remap is not None:
+                    spl_cols_remap[dst] = lut[
+                        np.asarray(ksp["spl_cols"][dst], np.int64)]
+            rb_start_a, rb_len_a = put(rb_start), put(rb_len)
+            ax_remap_a = put(ax_remap)
             if spl_cols_remap is not None:
-                spl_cols_remap[dst] = lut[
-                    np.asarray(ksp["spl_cols"][dst], np.int64)]
+                spl_cols_remap = np.asarray(spl_cols_remap, np.int32)
+            live_sends = []
+            for r in range(D):
+                if round_nnz[r] == 0:
+                    continue
+                live_sends.append(put(send_idx[r].astype(np.int32)))
+                live_sends.append(put(send_valid[r]))
 
-        _, bx_h, bd_h, _ = stack_row_shards(b, D, jnp.float32)
+        _, bx_h, bd_h, _ = _stack_shards(bsh, jnp.float32)
         perms = [[(s, (s + r) % D) for s in range(D)] for r in range(D)]
 
         def step(ai, axr, ad, bx, bd, rbs, rbl, wide_rid, *rest):
@@ -634,31 +1042,25 @@ def mesh_stream_spgemm(
             return body(ai, axr, ad, rbs[0], rbl[0], b_packed, wide_rid,
                         *lv)
 
-        live_sends = []
-        for r in range(D):
-            if round_nnz[r] == 0:
-                continue
-            live_sends.append(put(send_idx[r].astype(np.int32)))
-            live_sends.append(put(send_valid[r]))
         n_in = 7 + n_ladder + len(live_sends)
         sharded = jax.jit(jax.shard_map(
             step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
             out_specs=(P(ROW_AXIS),) * 3))
         nnz_row, cols, vals = sharded(
-            put(ai_h), put(ax_remap), put(ad_h), put(bx_h), put(bd_h),
-            put(rb_start), put(rb_len), *extra_args(spl_cols_remap),
+            put(ai_h), ax_remap_a, put(ad_h), put(bx_h), put(bd_h),
+            rb_start_a, rb_len_a, *extra_args(spl_cols_remap),
             *live_sends)
         stats = NeedsetStats(
             # per-shard volume actually moved over the interconnect:
             # all_gather replicates all of B's (col, val) records; the
             # need-set rounds move only the padded non-self rounds
-            allgather_bytes=int(b.nnz) * 8,
+            allgather_bytes=b_nnz * 8,
             needset_bytes=int(sum(round_nnz[1:])) * 8,
             pairs_nnz=pair_nnz,
         )
 
     meta = {"ranges": a_ranges, "out_cap": out_cap, "m_loc": m_loc,
-            "shape": (a.rows, b.cols), "stats": stats}
+            "shape": (ash.m, bsh.n), "stats": stats}
     return nnz_row, cols, vals, meta
 
 

@@ -107,6 +107,13 @@ class SpgemmConfig:
     # spreads one giant row's work across the mesh. Rows past 2^30
     # always split regardless of this knob.
     mesh_split_min_ops: int = 1 << 28
+    # need-set exchange planning on device (parallel/mesh_stream.py):
+    # per-dst B-row need bitmaps + all exchange tables computed in two
+    # jitted passes with ONE D^2 block-count readback, O(nnz/D + b_rows)
+    # per shard — replaces the host numpy planner (np.unique over all A
+    # columns + D^2 per-pair loops needing full A/B on every host).
+    # Off = the host planner (kept for A/B comparison and debugging).
+    mesh_device_planning: bool = True
     # run the analysis pass + routing gate on host numpy when the input
     # matrices still carry their HostCSR copies (device_put_csr attaches
     # them): saves one device dispatch and the early-gate readback per
@@ -274,6 +281,7 @@ _INI_TUNING_KEYS = {
     "HostAnalysis": ("host_analysis", bool),
     "HostAnalysisMaxNnz": ("host_analysis_max_nnz", int),
     "MeshSplitMinOps": ("mesh_split_min_ops", int),
+    "MeshDevicePlanning": ("mesh_device_planning", bool),
     "StreamWidth": ("stream_width", int),
     "StreamWidthCap": ("stream_width_cap", int),
     "BlockProducts": ("block_products", int),

@@ -14,6 +14,12 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite is compile-dominated (hundreds of
+# jit specializations); caching across runs cuts a full run by minutes.
+_cache_dir = os.environ.get(
+    "SPECK_TEST_CACHE", "/tmp/speck_tpu_test_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -50,6 +50,25 @@ for exchange in ("needset", "allgather"):
     r = compare_csr(ref, got, compare_data=True, rel_tol=1e-2)
     assert r.ok, f"p{pid} {exchange}: {r.message}"
     print(f"p{pid} {exchange} OK", flush=True)
+
+# pre-sharded inputs: each process passes ONLY the row shards its own
+# devices hold (round-4: no process needs the full A/B payloads; the
+# need-set plan is computed on device, host metadata via allgather)
+from speck_tpu.parallel.mesh_stream import RowShards
+from speck_tpu.parallel.multihost import global_row_mesh
+mesh = global_row_mesh()
+D = mesh.devices.size
+full = RowShards.from_global(a, D)
+owned = {i for i, dev in enumerate(mesh.devices.flat)
+         if dev.process_index == jax.process_index()}
+assert len(owned) == 2, owned
+ash = RowShards.from_local(a.rows, a.cols, D,
+                           {d: full.local[d] for d in owned})
+out = multihost_spgemm(ash, ash, exchange="needset")
+got = mesh_stream_to_host_csr(*out)
+r = compare_csr(ref, got, compare_data=True, rel_tol=1e-2)
+assert r.ok, f"p{pid} presharded: {r.message}"
+print(f"p{pid} presharded OK", flush=True)
 print(f"p{pid} DONE", flush=True)
 """
 
@@ -89,4 +108,5 @@ def test_two_process_multihost_spgemm(tmp_path):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"p{pid} needset OK" in out, out
         assert f"p{pid} allgather OK" in out, out
+        assert f"p{pid} presharded OK" in out, out
         assert f"p{pid} DONE" in out, out

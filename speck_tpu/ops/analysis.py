@@ -104,6 +104,76 @@ class HostAnalysis:
         )
 
 
+def _host_band(ipx, cix, rows):
+    """Exact (dmin, dmax) of (col - row) over a CANONICAL CSR: a row's
+    diagonal extremes are its first/last column ids — O(rows), no
+    per-nonzero work."""
+    INT_MAX = np.iinfo(np.int32).max
+    n_r = int(rows)
+    nz = cix.shape[0]
+    if nz == 0 or n_r == 0:
+        return INT_MAX, -INT_MAX
+    lenx = ipx[1:] - ipx[:-1]
+    ne = lenx > 0
+    if not ne.any():
+        return INT_MAX, -INT_MAX
+    ridx = np.arange(n_r, dtype=np.int64)
+    first = cix[np.minimum(ipx[:-1], nz - 1)] - ridx
+    last = cix[np.maximum(ipx[1:] - 1, 0)] - ridx
+    return int(first[ne].min()), int(last[ne].max())
+
+
+@dataclasses.dataclass(frozen=True)
+class HostGateLite:
+    """Whole-matrix gate scalars WITHOUT the per-row analysis: band
+    extremes via first/last columns (O(m)) and exact sum_products via a
+    column-count bincount dotted with B's row lengths (O(nnz),
+    gather-free — numpy gathers at tens of millions of indices cost
+    seconds on weak hosts, a bincount does not). Lets large banded /
+    stencil inputs (nnz past host_analysis_max_nnz) still take the
+    (s)DIA fast paths with zero device syncs; lacks row_ops, so a lite
+    gate MISS falls through to the device analysis unchanged."""
+
+    a_dmin: int
+    a_dmax: int
+    b_dmin: int
+    b_dmax: int
+    sum_products: float    # exact
+
+    @property
+    def sp_sat(self) -> int:
+        return int(min(self.sum_products, 2.0 ** 31 - 2))
+
+
+def host_band_extremes(ah, bh):
+    """(a_dmin, a_dmax, b_dmin, b_dmax) — the O(rows) half of the lite
+    gate, so hopeless (wide-band) inputs never pay the bincount."""
+    a_dmin, a_dmax = _host_band(
+        np.asarray(ah.row_offsets, np.int64),
+        np.asarray(ah.col_ids, np.int64), ah.rows)
+    if bh is ah:
+        return a_dmin, a_dmax, a_dmin, a_dmax
+    b_dmin, b_dmax = _host_band(
+        np.asarray(bh.row_offsets, np.int64),
+        np.asarray(bh.col_ids, np.int64), bh.rows)
+    return a_dmin, a_dmax, b_dmin, b_dmax
+
+
+def host_gate_lite(ah, bh, extremes=None) -> HostGateLite:
+    if extremes is None:
+        extremes = host_band_extremes(ah, bh)
+    a_dmin, a_dmax, b_dmin, b_dmax = extremes
+    ci = np.asarray(ah.col_ids, np.int64)
+    b_ip = np.asarray(bh.row_offsets, np.int64)
+    cnt_a = np.bincount(ci, minlength=int(bh.rows)) if ci.size else \
+        np.zeros(int(bh.rows), np.int64)
+    b_len = b_ip[1:] - b_ip[:-1]
+    sum_products = float(np.dot(cnt_a[: b_len.shape[0]].astype(np.int64),
+                                b_len))
+    return HostGateLite(a_dmin=a_dmin, a_dmax=a_dmax, b_dmin=b_dmin,
+                        b_dmax=b_dmax, sum_products=sum_products)
+
+
 def host_analyze(ah, bh) -> HostAnalysis:
     """Analysis + gate scalars on host numpy (see HostAnalysis). ``ah``/
     ``bh`` are HostCSR; mirrors _analyze_impl + stream._gate_scalars."""
@@ -131,26 +201,12 @@ def host_analyze(ah, bh) -> HostAnalysis:
         row_ops = np.zeros(m, np.int64)
         sum_products = 0.0
 
-    def band(ipx, cix, rows):
-        n_r = int(rows)
-        nz = cix.shape[0]
-        if nz == 0 or n_r == 0:
-            return INT_MAX, -INT_MAX
-        lenx = ipx[1:] - ipx[:-1]
-        ne = lenx > 0
-        if not ne.any():
-            return INT_MAX, -INT_MAX
-        ridx = np.arange(n_r, dtype=np.int64)
-        first = cix[np.minimum(ipx[:-1], nz - 1)] - ridx
-        last = cix[np.maximum(ipx[1:] - 1, 0)] - ridx
-        return int(first[ne].min()), int(last[ne].max())
-
-    a_dmin, a_dmax = band(ip, ci, m)
+    a_dmin, a_dmax = _host_band(ip, ci, m)
     if bh is ah:
         b_dmin, b_dmax = a_dmin, a_dmax
     else:
-        b_dmin, b_dmax = band(b_ip, np.asarray(bh.col_ids, np.intp),
-                              bh.rows)
+        b_dmin, b_dmax = _host_band(b_ip, np.asarray(bh.col_ids, np.intp),
+                                    bh.rows)
     return HostAnalysis(
         row_ops=row_ops, a_len=a_len,
         sum_products=sum_products,

@@ -248,6 +248,92 @@ def sdia_plane_bytes(m: int, k: int, nd_a: int, nd_b: int, nd_c: int,
     )
 
 
+@partial(jax.jit, static_argnames=("off_a", "off_b", "off_c", "blk",
+                                   "win", "pad_l", "with_hit"))
+def _sdia_conv_block(a_val, a_hit, bp, bph, r0, *, off_a: tuple,
+                     off_b: tuple, off_c: tuple, blk: int, win: int,
+                     pad_l: int, with_hit: bool):
+    """One row block [r0, r0+blk) of the list-offset convolution: the
+    unrolled pair FMAs run over block-length vectors, so XLA's temp
+    working set is O(pairs * blk) instead of O(pairs * m) — the
+    whole-matrix form compile-OOMs at stencil scale (63 G modeled HBM
+    for 729 pairs x 1.06M rows). bp/bph are the FULL padded B planes;
+    the block's window is one dynamic_slice."""
+    min_da = min(off_a)
+    oc_index = {d: i for i, d in enumerate(off_c)}
+    groups: dict = {}
+    for ia, da in enumerate(off_a):
+        for ib, db in enumerate(off_b):
+            groups.setdefault(oc_index[da + db], []).append((ia, da, ib))
+    a_blk = jax.lax.dynamic_slice(a_val, (0, r0), (a_val.shape[0], blk))
+    ah_blk = (jax.lax.dynamic_slice(a_hit, (0, r0),
+                                    (a_hit.shape[0], blk))
+              if with_hit else a_blk)
+    w0 = pad_l + min_da + r0
+    bp_win = jax.lax.dynamic_slice(bp, (0, w0), (bp.shape[0], win))
+    bph_win = (jax.lax.dynamic_slice(bph, (0, w0), (bph.shape[0], win))
+               if with_hit else bp_win)
+    acc_v = []
+    acc_h = []
+    for oc in range(len(off_c)):
+        av = jnp.zeros((blk,), a_val.dtype)
+        ah = jnp.zeros((blk,), jnp.float32) if with_hit else None
+        for ia, da, ib in groups.get(oc, ()):
+            s0 = da - min_da
+            bw = jax.lax.slice(bp_win, (ib, s0), (ib + 1, s0 + blk))[0]
+            av = av + a_blk[ia] * bw
+            if with_hit:
+                bwh = jax.lax.slice(bph_win, (ib, s0),
+                                    (ib + 1, s0 + blk))[0]
+                ah = ah + ah_blk[ia] * bwh
+        acc_v.append(av)
+        if with_hit:
+            acc_h.append(ah)
+    c_val = jnp.stack(acc_v) if acc_v else jnp.zeros((0, blk), a_val.dtype)
+    c_cnt = (jnp.stack(acc_h) if with_hit and acc_h else None)
+    return c_val, c_cnt
+
+
+# row-block size for the blocked sparse-DIA convolution: bounds the
+# unrolled pair FMAs' temp working set (pairs * SDIA_ROW_BLOCK floats)
+SDIA_ROW_BLOCK = 1 << 17
+
+
+def sdia_conv_blocked(a_val, a_hit, b_val, b_hit, *, off_a: tuple,
+                      off_b: tuple, off_c: tuple, m: int, k: int,
+                      with_hit: bool, row_block: int = SDIA_ROW_BLOCK):
+    """sdia_conv in row blocks: ~m/row_block dispatches of ONE compiled
+    block kernel + a concatenate. Memory-bounded at any m."""
+    if m <= row_block:
+        return sdia_conv(a_val, a_hit, b_val, b_hit, off_a=off_a,
+                         off_b=off_b, off_c=off_c, m=m, k=k,
+                         with_hit=with_hit)
+    blk = row_block
+    nblk = -(-m // blk)
+    m_pad = nblk * blk
+    pad_l, pad_r = sdia_pad(off_a, m_pad, k)
+    bp = jnp.pad(b_val, ((0, 0), (pad_l, pad_r)))
+    bph = jnp.pad(b_hit, ((0, 0), (pad_l, pad_r))) if with_hit else bp
+    if m_pad > m:
+        a_val = jnp.pad(a_val, ((0, 0), (0, m_pad - m)))
+        a_hit = (jnp.pad(a_hit, ((0, 0), (0, m_pad - m)))
+                 if with_hit else a_val)
+    win = blk + (max(off_a) - min(off_a))
+    pieces_v = []
+    pieces_h = []
+    for bidx in range(nblk):
+        cv, ch = _sdia_conv_block(
+            a_val, a_hit, bp, bph, jnp.int32(bidx * blk),
+            off_a=tuple(off_a), off_b=tuple(off_b), off_c=tuple(off_c),
+            blk=blk, win=win, pad_l=pad_l, with_hit=with_hit)
+        pieces_v.append(cv)
+        pieces_h.append(ch)
+    c_val = jnp.concatenate(pieces_v, axis=1)[:, :m]
+    c_cnt = (jnp.concatenate(pieces_h, axis=1)[:, :m]
+             if with_hit else None)
+    return c_val, c_cnt
+
+
 @partial(jax.jit, static_argnames=("off_a", "off_b", "off_c", "m", "k",
                                    "with_hit"))
 def sdia_conv(a_val, a_hit, b_val, b_hit, *, off_a: tuple, off_b: tuple,

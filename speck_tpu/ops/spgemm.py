@@ -45,7 +45,8 @@ import numpy as np
 
 from ..utils.config import ProductOverflow, SpgemmConfig
 from ..utils.timings import Timings, StageTimer
-from .analysis import analyze, cumsum1d, host_analyze
+from .analysis import (analyze, cumsum1d, host_analyze,
+                       host_band_extremes, host_gate_lite)
 from .dense import dense_emit, dense_gather_emit, dense_tiles
 from .device_csr import DeviceCSR, host_of
 from .dia import (
@@ -60,7 +61,7 @@ from .dia import (
     dia_scatter_emit,
     dia_slots,
     plane_bytes,
-    sdia_conv,
+    sdia_conv_blocked,
     sdia_lut,
     sdia_pad,
     sdia_plane_bytes,
@@ -485,7 +486,7 @@ class SpgemmPlan:
                     # sparse-DIA flavor: list-offset convolution
                     off_c = tuple(sorted({a + b for a in d.off_a
                                           for b in d.off_b}))
-                    c_val, _ = sdia_conv(
+                    c_val, _ = sdia_conv_blocked(
                         av, ah, bv, bh, off_a=d.off_a, off_b=d.off_b,
                         off_c=off_c, m=m, k=k, with_hit=False)
                     cols_s, vals_s = dia_numeric_stage(
@@ -926,8 +927,9 @@ def _plan_sdia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
                                 rows=k)
             av, ah_p = dia_planes(slot_a, A.data, span=nd_a, rows=m)
             bv, bh_p = dia_planes(slot_b, B.data, span=nd_b, rows=k)
-        c_val, c_cnt = sdia_conv(av, ah_p, bv, bh_p, off_a=ta, off_b=tb,
-                                 off_c=tc, m=m, k=k, with_hit=True)
+        c_val, c_cnt = sdia_conv_blocked(av, ah_p, bv, bh_p, off_a=ta,
+                                         off_b=tb, off_c=tc, m=m, k=k,
+                                         with_hit=True)
         doffs = jnp.asarray(off_c.astype(np.int32))
         counts, present, cols_s, vals_s = dia_count_stage(
             c_val, c_cnt, doffs, sc=nd_c, m=m, n_cols=n, base_c=0,
@@ -1015,29 +1017,27 @@ def plan_spgemm(
     m, n = A.shape[0], B.shape[1]
     track = timings is not None and timings.measure_all
 
-    hg = None
-    if (cfg.host_analysis and m > 0
-            and 0 < A.nnz <= cfg.host_analysis_max_nnz):
-        ah, bh = host_of(A), host_of(B)
-        if ah is not None and (bh is not None or B is A):
-            # analysis + gate scalars on host numpy (HostCSR copies kept
-            # by device_put_csr): no analysis dispatch, no gate readback
-            # — every planning decision below needs ZERO device syncs
-            with StageTimer(timings, "countProducts", track):
-                hg = host_analyze(ah, ah if (B is A or bh is ah) else bh)
-    if hg is None:
-        with StageTimer(timings, "countProducts", track) as st:
-            stats = analyze(A, B)
-            st.stop(stats.row_ops)
-
     if m == 0 or A.nnz == 0:
         # empty product: C has m all-empty rows (early exit parity with
         # sumProducts == 0, Multiply.cu:256-261)
         return SpgemmPlan(
             A=A, B=B, cfg=cfg,
             row_offsets=jnp.zeros((m + 1,), jnp.int32), nnz=0,
-            sum_products=stats.sum_products,
+            sum_products=np.asarray(0.0, jnp.result_type(float)),
         )
+
+    hg = None
+    ah = bh = None
+    if cfg.host_analysis and m > 0 and A.nnz > 0:
+        ah, bh = host_of(A), host_of(B)
+        if ah is None or (bh is None and B is not A):
+            ah = bh = None
+    if ah is not None and A.nnz <= cfg.host_analysis_max_nnz:
+        # analysis + gate scalars on host numpy (HostCSR copies kept
+        # by device_put_csr): no analysis dispatch, no gate readback
+        # — every planning decision below needs ZERO device syncs
+        with StageTimer(timings, "countProducts", track):
+            hg = host_analyze(ah, ah if (B is A or bh is ah) else bh)
 
     dia_possible = bool(
         cfg.enable_dia and A.canonical and B.canonical
@@ -1052,6 +1052,47 @@ def plan_spgemm(
         A.nnz <= m * cfg.dia_span_cap
         and B.nnz <= max(B.shape[0], 1) * cfg.dia_span_cap)
     gate_done = False
+    dia_lite_rejected = False
+    if hg is None and ah is not None and dia_possible:
+        # LITE host gate for inputs past host_analysis_max_nnz: band
+        # extremes are O(rows) (first/last columns) and sum_products is
+        # one gather-free bincount dot — so a 28M-nnz 27-point stencil
+        # still takes the sparse-DIA route (measured 146 s through the
+        # stream vs the plane convolution) without the O(nnz) host
+        # gather the full analysis would pay. A lite MISS is exact
+        # (same band math, exact product total), so the device early
+        # gate below is skipped as redundant.
+        with StageTimer(timings, "loadBalanceCounting", track):
+            bh_eff = ah if (B is A or bh is ah) else bh
+            ext = host_band_extremes(ah, bh_eff)
+            a0, a1, b0, b1 = ext
+            sa_l, sb_l = a1 - a0 + 1, b1 - b0 + 1
+            contig_ok = bool(
+                a0 <= a1 and b0 <= b1 and sa_l <= cfg.dia_span_cap
+                and sb_l <= cfg.dia_span_cap)
+            sdia_ok = bool(
+                cfg.enable_sdia and a0 <= a1 and b0 <= b1
+                and sa_l <= cfg.sdia_span_cap
+                and sb_l <= cfg.sdia_span_cap
+                and ah.nnz * bh_eff.nnz
+                <= cfg.sdia_pair_cap * m * bh_eff.rows)
+            if contig_ok or sdia_ok:
+                lite = host_gate_lite(ah, bh_eff, ext)
+                spans = _dia_spans(cfg, A, B, lite.a_dmin, lite.a_dmax,
+                                   lite.b_dmin, lite.b_dmax, lite.sp_sat)
+                if spans is not None:
+                    return _plan_dia(A, B, cfg, timings, lite,
+                                     lite.a_dmin, lite.b_dmin,
+                                     spans[0], spans[1], track)
+                sd = _sdia_gate(cfg, A, B, ah, bh_eff, lite)
+                if sd is not None:
+                    return _plan_sdia(A, B, cfg, timings, lite, *sd,
+                                      track=track)
+            dia_lite_rejected = True
+    if hg is None:
+        with StageTimer(timings, "countProducts", track) as st:
+            stats = analyze(A, B)
+            st.stop(stats.row_ops)
     if hg is not None:
         # host gate: same decisions as plan_gate, no device round trip
         with StageTimer(timings, "loadBalanceCounting", track):
@@ -1072,7 +1113,8 @@ def plan_spgemm(
             _check_limits(cfg, hg.sp_sat, hg.mxrow_sat)
             gate_done = True
             stats = hg.to_device()
-    elif dia_possible and cfg.dia_gate_early and band_plausible:
+    elif (dia_possible and cfg.dia_gate_early and band_plausible
+          and not dia_lite_rejected):
         # early routing gate: read back ONLY the 7 gate scalars before
         # dispatching the O(m log m) stream/dense planning. When DIA
         # wins, that speculative planning (measured ~170 ms device time

@@ -582,6 +582,67 @@ def _plan_ksplit_shards(ash: RowShards, ops_sh: np.ndarray,
     return ash_eff, ops_eff, ksp
 
 
+def _stream_pipeline(cfg, G: int, W: int, n_cols: int, ai, ax, ad,
+                     b_start, b_len, b_packed, wide_rid, level_args,
+                     specs, *, m: int, n_ch: int, rw_max: int,
+                     row_mask=None):
+    """One stream pipeline over a local CSR (traced inside shard_map):
+    plan, chunks, wide-row ladder. ``row_mask`` (m,) restricts the
+    pipeline to a subset of rows (ops forced to 0 elsewhere) — the
+    overlap mode runs one pipeline per exchange round over the rows
+    whose need is satisfied by that round's prefix of the received
+    buffer. Returns (nnz_row, rows_sorted, q_sorted, staged,
+    level_out)."""
+    CP = G * W
+    blen_a = b_len[ax]
+    cse = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), cumsum1d(blen_a)])
+    row_ops = cse[ai[1:]] - cse[ai[:-1]]
+    if row_mask is not None:
+        row_ops = jnp.where(row_mask, row_ops, 0)
+    stream_mask = row_ops > 0
+    no_direct = jnp.zeros((m,), bool)
+    a32 = jax.lax.bitcast_convert_type(ad, jnp.int32)
+    (rows_sorted, e, q_sorted, el, ops_sorted, p0, su, sa, src, pend,
+     _) = _plan_stream_impl(
+        row_ops, stream_mask, no_direct, ai, ax, a32, b_start, b_len,
+        min_q=cfg.stream_min_q, m=m, tight=True, w_fixed=W)
+    nnz_row = jnp.zeros((m,), jnp.int32)
+    rowend = jnp.where(q_sorted > 0, e + ops_sorted, -1)
+    staged = []
+    for c in range(n_ch):
+        cs = jnp.int32(c * CP)
+        nnz_row, stg = stream_chunk(
+            rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
+            su, sa, pend, b_packed, b_packed[:, 0], ad, ad, src,
+            nnz_row, cs,
+            jnp.searchsorted(e, cs).astype(jnp.int32),
+            jnp.searchsorted(p0, cs).astype(jnp.int32),
+            G=G, W=W, n_cols=n_cols, pack_bits=0, stage=True,
+            f64=False)
+        staged.append(stg)
+    level_out = []
+    if rw_max > 0 and specs:
+        rid_in = wide_rid
+        wcol = jnp.concatenate([s[1] for s in staged])[:rw_max]
+        wval = jnp.concatenate([s[2] for s in staged])[:rw_max]
+        wcnt = jnp.concatenate([s[3] for s in staged])[:rw_max]
+        wcnt = jnp.where(rid_in >= 0, wcnt, 0)
+        for li, spec in enumerate(specs):
+            in_map = level_args[2 * li]
+            final = level_args[2 * li + 1]
+            nnz_row, (rid_out, col_c, val_c, counts) = stream_level(
+                rows_sorted, rid_in, wcol, wval, wcnt,
+                in_map, final, nnz_row,
+                F=spec["F"], W_in=spec["W_in"], n_cols=n_cols,
+                count=True, sort_impl=cfg.stream_sort_impl,
+                compact_impl=cfg.stream_compact_impl)
+            level_out.append(
+                (rid_out, col_c, val_c, jnp.where(final, counts, 0)))
+            rid_in, wcol, wval, wcnt = rid_out, col_c, val_c, counts
+    return nnz_row, rows_sorted, q_sorted, staged, level_out
+
+
 def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
                      n_chunks: int, out_cap: int, n_cols: int,
                      r_wide_max: int = 0, level_specs=(), ks=None):
@@ -595,54 +656,12 @@ def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
     CP = G * W
 
     def _pipeline(ai, ax, ad, b_start, b_len, b_packed, wide_rid,
-                  level_args, specs, m: int, n_ch: int, rw_max: int):
-        """One stream pipeline over a local CSR: plan, chunks, ladder.
-        Returns (nnz_row, rows_sorted, q_sorted, staged, level_out)."""
-        blen_a = b_len[ax]
-        cse = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), cumsum1d(blen_a)])
-        row_ops = cse[ai[1:]] - cse[ai[:-1]]
-        stream_mask = row_ops > 0
-        no_direct = jnp.zeros((m,), bool)
-        a32 = jax.lax.bitcast_convert_type(ad, jnp.int32)
-        (rows_sorted, e, q_sorted, el, ops_sorted, p0, su, sa, src, pend,
-         _) = _plan_stream_impl(
-            row_ops, stream_mask, no_direct, ai, ax, a32, b_start, b_len,
-            min_q=cfg.stream_min_q, m=m, tight=True, w_fixed=W)
-        nnz_row = jnp.zeros((m,), jnp.int32)
-        rowend = jnp.where(q_sorted > 0, e + ops_sorted, -1)
-        staged = []
-        for c in range(n_ch):
-            cs = jnp.int32(c * CP)
-            nnz_row, stg = stream_chunk(
-                rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
-                su, sa, pend, b_packed, b_packed[:, 0], ad, ad, src,
-                nnz_row, cs,
-                jnp.searchsorted(e, cs).astype(jnp.int32),
-                jnp.searchsorted(p0, cs).astype(jnp.int32),
-                G=G, W=W, n_cols=n_cols, pack_bits=0, stage=True,
-                f64=False)
-            staged.append(stg)
-        level_out = []
-        if rw_max > 0 and specs:
-            rid_in = wide_rid
-            wcol = jnp.concatenate([s[1] for s in staged])[:rw_max]
-            wval = jnp.concatenate([s[2] for s in staged])[:rw_max]
-            wcnt = jnp.concatenate([s[3] for s in staged])[:rw_max]
-            wcnt = jnp.where(rid_in >= 0, wcnt, 0)
-            for li, spec in enumerate(specs):
-                in_map = level_args[2 * li]
-                final = level_args[2 * li + 1]
-                nnz_row, (rid_out, col_c, val_c, counts) = stream_level(
-                    rows_sorted, rid_in, wcol, wval, wcnt,
-                    in_map, final, nnz_row,
-                    F=spec["F"], W_in=spec["W_in"], n_cols=n_cols,
-                    count=True, sort_impl=cfg.stream_sort_impl,
-                    compact_impl=cfg.stream_compact_impl)
-                level_out.append(
-                    (rid_out, col_c, val_c, jnp.where(final, counts, 0)))
-                rid_in, wcol, wval, wcnt = rid_out, col_c, val_c, counts
-        return nnz_row, rows_sorted, q_sorted, staged, level_out
+                  level_args, specs, m: int, n_ch: int, rw_max: int,
+                  row_mask=None):
+        return _stream_pipeline(
+            cfg, G, W, n_cols, ai, ax, ad, b_start, b_len, b_packed,
+            wide_rid, level_args, specs, m=m, n_ch=n_ch, rw_max=rw_max,
+            row_mask=row_mask)
 
     def shard_body(ai, ax, ad, b_start, b_len, b_packed, wide_rid,
                    *level_args):
@@ -759,7 +778,7 @@ def mesh_stream_spgemm(
         raise ValueError(
             f"dimension mismatch: A is {(ash.m, ash.n)}, "
             f"B is {(bsh.m, bsh.n)}")
-    if exchange not in ("allgather", "needset"):
+    if exchange not in ("allgather", "needset", "needset_overlap"):
         raise ValueError(f"unknown exchange mode {exchange!r}")
     cfg = cfg or SpgemmConfig()
     n_cols = bsh.n
@@ -915,6 +934,7 @@ def mesh_stream_spgemm(
                 b_len_h, D, k_loc, put)
             pair_nnz = dp["pair_nnz"]
             round_nnz = dp["round_nnz"]
+            seg_off = dp["seg_off"]
             rb_start_a, rb_len_a = dp["rb_start"], dp["rb_len"]
             ax_remap_a = _lut_gather(dp["lut"], put(ax_h))
             spl_cols_remap = (
@@ -1017,39 +1037,241 @@ def mesh_stream_spgemm(
 
         _, bx_h, bd_h, _ = _stack_shards(bsh, jnp.float32)
         perms = [[(s, (s + r) % D) for s in range(D)] for r in range(D)]
+        payload_rounds = [r for r in range(D) if round_nnz[r] > 0]
 
-        def step(ai, axr, ad, bx, bd, rbs, rbl, wide_rid, *rest):
-            lv = rest[: n_ladder - 1]
-            sends = rest[n_ladder - 1:]
-            ai, axr, ad = ai[0], axr[0], ad[0]
-            packed = pack_csr_arrays(bx[0], bd[0])
-            segs = []
-            si = 0
-            for r in range(D):
-                if round_nnz[r] == 0:
-                    continue
-                sidx, sval = sends[2 * si][0], sends[2 * si + 1][0]
-                si += 1
-                payload = packed[jnp.clip(sidx, 0, packed.shape[0] - 1)]
-                payload = jnp.where(sval[:, None], payload, 0)
-                if r == 0:
-                    segs.append(payload)        # self-need: no comm
-                else:
-                    segs.append(jax.lax.ppermute(payload, ROW_AXIS,
-                                                 perms[r]))
-            b_packed = (jnp.concatenate(segs) if segs
-                        else jnp.zeros((1, 2), jnp.int32))
-            return body(ai, axr, ad, rbs[0], rbl[0], b_packed, wide_rid,
-                        *lv)
+        if exchange == "needset_overlap":
+            # ---- comm/compute overlap (SURVEY §5.8 north star: "bin-k
+            # numeric compute overlaps bin-k+1 communication"). Every
+            # row is assigned to the LAST exchange round its columns
+            # need (max over its slots of (d - owner) % D); round group
+            # r runs as its own masked stream pipeline against the
+            # received-buffer PREFIX holding rounds <= r, built up by
+            # one dynamic_update_slice per payload round. The group-0
+            # pipeline depends only on the local self-need gather, so
+            # the scheduler can run it while every ppermute round is
+            # still in flight; group r's chunks start as soon as round
+            # r lands. Rows are computed exactly once — no cross-round
+            # merge is ever needed.
+            masks_h = np.zeros((D, D, m_loc), bool)  # [round, shard, row]
+            for d, sl in ash_eff.local.items():
+                alen = np.diff(np.asarray(sl.row_offsets, np.int64))
+                owner = np.asarray(sl.col_ids, np.int64) // k_loc
+                rnd = (d - owner) % D
+                rmax = np.zeros(sl.rows, np.int64)
+                np.maximum.at(rmax, np.repeat(np.arange(sl.rows), alen),
+                              rnd)
+                masks_h[rmax, d, np.arange(sl.rows)] = True
+            masks_h = _combine_max(masks_h.astype(np.uint8)).astype(bool)
+            rounds_live = [r for r in range(D)
+                           if bool((masks_h[r] & (ops_sh > 0)).any())]
+            if not rounds_live:
+                rounds_live = [0]
+            n_chunks_r, rw_max_r, wide_rid_r, specs_r = {}, {}, {}, {}
+            for r in rounds_live:
+                ops_list = [
+                    np.where(masks_h[r, d, : r1 - r0],
+                             ops_sh[d, : r1 - r0], 0)
+                    for d, (r0, r1) in enumerate(a_ranges)]
+                tqs = [tight_total_host(o, W, min_q) for o in ops_list]
+                n_chunks_r[r] = max(1, -(-max(tqs + [1]) // CP))
+                rw_max_r[r], wide_rid_r[r], specs_r[r] = _mesh_wide_plans(
+                    ops_list, W, cfg.stream_level_factor,
+                    cfg.stream_max_width)
 
-        n_in = 7 + n_ladder + len(live_sends)
-        sharded = jax.jit(jax.shard_map(
-            step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
-            out_specs=(P(ROW_AXIS),) * 3))
-        nnz_row, cols, vals = sharded(
-            put(ai_h), ax_remap_a, put(ad_h), put(bx_h), put(bd_h),
-            rb_start_a, rb_len_a, *extra_args(spl_cols_remap),
-            *live_sends)
+            overlap_extras = []
+            for r in rounds_live:
+                overlap_extras.append(put(masks_h[r]))
+                overlap_extras.append(put(wide_rid_r[r]))
+                for spec in specs_r[r]:
+                    overlap_extras.append(put(spec["in_map"]))
+                    overlap_extras.append(put(spec["final"]))
+            if ksp is not None:
+                overlap_extras += [
+                    put(ksp["spl_indptr"].astype(np.int32)),
+                    (spl_cols_remap
+                     if isinstance(spl_cols_remap, jax.Array)
+                     else put(np.asarray(spl_cols_remap, np.int32))),
+                    put(ksp["spl_vals"]),
+                    put(spl_tgt_h), put(spl_emit_h),
+                    put(spl_wide_rid_h)]
+                for spec in ks["specs"]:
+                    overlap_extras.append(put(spec["in_map"]))
+                    overlap_extras.append(put(spec["final"]))
+            n_extras = len(overlap_extras)
+            RBT = max(int(seg_off[-1]), 1)
+
+            def step(ai, axr, ad, bx, bd, rbs, rbl, *rest):
+                ex = rest[:n_extras]
+                sends = rest[n_extras:]
+                ai_, axr_, ad_ = ai[0], axr[0], ad[0]
+                b_start_, b_len_ = rbs[0], rbl[0]
+                packed = pack_csr_arrays(bx[0], bd[0])
+                base_buf = jnp.zeros((RBT, 2), jnp.int32)
+                chain = {}
+                buf = base_buf
+                si = 0
+                for r in payload_rounds:
+                    sidx, sval = sends[2 * si][0], sends[2 * si + 1][0]
+                    si += 1
+                    payload = packed[jnp.clip(sidx, 0,
+                                              packed.shape[0] - 1)]
+                    payload = jnp.where(sval[:, None], payload, 0)
+                    if r != 0:
+                        payload = jax.lax.ppermute(payload, ROW_AXIS,
+                                                   perms[r])
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, payload, (int(seg_off[r]), 0))
+                    chain[r] = buf
+
+                def buf_for(r):
+                    best = None
+                    for pr in payload_rounds:
+                        if pr <= r:
+                            best = pr
+                    return chain[best] if best is not None else base_buf
+
+                zero = jnp.int32(0)
+                nnz_row = jnp.zeros((m_loc,), jnp.int32)
+                pipes = []
+                idx = 0
+                for r in rounds_live:
+                    mask = ex[idx][0]
+                    wrid = ex[idx + 1]
+                    lv = [ex[idx + 2 + i][0]
+                          for i in range(2 * len(specs_r[r]))]
+                    idx += 2 + 2 * len(specs_r[r])
+                    res = _stream_pipeline(
+                        cfg, G, W, n_cols, ai_, axr_, ad_, b_start_,
+                        b_len_, buf_for(r), wrid[0], lv, specs_r[r],
+                        m=m_loc, n_ch=n_chunks_r[r], rw_max=rw_max_r[r],
+                        row_mask=mask)
+                    nnz_row = nnz_row + res[0]
+                    pipes.append(res)
+
+                merged = None
+                if ksp is not None:
+                    n_split, Pp, Wm = ks["n_split"], ks["P"], ks["Wm"]
+                    si_ = ex[idx][0]
+                    sx_ = ex[idx + 1][0]
+                    sv_ = ex[idx + 2][0]
+                    spl_tgt = ex[idx + 3][0]
+                    spl_emit = ex[idx + 4][0]
+                    spl_wrid = ex[idx + 5]
+                    spl_lv = [x[0] for x in
+                              ex[idx + 6: idx + 6 + 2 * len(ks["specs"])]]
+                    # k-split slots are self-owned by construction:
+                    # their records live in the round-0 prefix
+                    _, rows_s, q_s, staged_s, lout_s = _stream_pipeline(
+                        cfg, G, W, n_cols, si_, sx_, sv_, b_start_,
+                        b_len_, buf_for(0), spl_wrid[0], spl_lv,
+                        ks["specs"], m=n_split, n_ch=ks["n_chunks"],
+                        rw_max=ks["rw_max"])
+                    offs_p = jnp.arange(n_split + 1,
+                                        dtype=jnp.int32) * Pp
+                    p_cols = jnp.full((n_split * Pp,), n_cols, jnp.int32)
+                    p_vals = jnp.zeros((n_split * Pp,), jnp.float32)
+                    nw_s = jnp.sum((q_s > W).astype(jnp.int32))
+                    for stg in staged_s:
+                        p_cols, p_vals = stream_emit(
+                            rows_s, stg[0], stg[1], stg[2], stg[3], nw_s,
+                            offs_p, p_cols, p_vals, contained_only=True)
+                    for rid_out, col_c, val_c, fcnt in lout_s:
+                        rid_b = jnp.broadcast_to(rid_out[:, None],
+                                                 col_c.shape)
+                        p_cols, p_vals = stream_emit(
+                            rows_s, rid_b, col_c, val_c, fcnt, zero,
+                            offs_p, p_cols, p_vals, wide_only=True)
+                    g_c = jax.lax.all_gather(
+                        p_cols.reshape(n_split, Pp), ROW_AXIS)
+                    g_v = jax.lax.all_gather(
+                        p_vals.reshape(n_split, Pp), ROW_AXIS)
+                    D_ax = g_c.shape[0]
+                    mc = jnp.transpose(g_c, (1, 0, 2)).reshape(
+                        n_split, D_ax * Pp)
+                    mv = jnp.transpose(g_v, (1, 0, 2)).reshape(
+                        n_split, D_ax * Pp)
+                    if Wm > D_ax * Pp:
+                        mc = jnp.pad(mc, ((0, 0), (0, Wm - D_ax * Pp)),
+                                     constant_values=n_cols)
+                        mv = jnp.pad(mv, ((0, 0), (0, Wm - D_ax * Pp)))
+                    col_s, val_s = _sort_cols(mc, mv,
+                                              cfg.stream_sort_impl)
+                    rid_bm = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_split, Wm), 0)
+                    last, run_sum = _contract_rect(rid_bm, col_s, val_s,
+                                                   n_cols)
+                    _, col_m, val_m, cnt_m = _compact_rect(
+                        last, rid_bm, col_s, run_sum,
+                        compact_impl=cfg.stream_compact_impl)
+                    nnz_row = nnz_row.at[spl_tgt].set(
+                        cnt_m, mode="drop", unique_indices=True)
+                    merged = (spl_emit, col_m, val_m, cnt_m)
+
+                offs = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), cumsum1d(nnz_row)])
+                c_cols = jnp.zeros((out_cap,), jnp.int32)
+                c_vals = jnp.zeros((out_cap,), jnp.float32)
+                for (_, rows_p, q_p, staged_p, lout_p) in pipes:
+                    nw = jnp.sum((q_p > W).astype(jnp.int32))
+                    for stg in staged_p:
+                        c_cols, c_vals = stream_emit(
+                            rows_p, stg[0], stg[1], stg[2], stg[3], nw,
+                            offs, c_cols, c_vals, contained_only=True)
+                    for rid_out, col_c, val_c, fcnt in lout_p:
+                        rid_b = jnp.broadcast_to(rid_out[:, None],
+                                                 col_c.shape)
+                        c_cols, c_vals = stream_emit(
+                            rows_p, rid_b, col_c, val_c, fcnt, zero,
+                            offs, c_cols, c_vals, wide_only=True)
+                if merged is not None:
+                    spl_emit_m, col_m, val_m, cnt_m = merged
+                    rid_e = jnp.broadcast_to(spl_emit_m[:, None],
+                                             col_m.shape)
+                    ident = jnp.arange(m_loc, dtype=jnp.int32)
+                    c_cols, c_vals = stream_emit(
+                        ident, rid_e, col_m, val_m, cnt_m, zero,
+                        offs, c_cols, c_vals, wide_only=True)
+                return nnz_row[None], c_cols[None], c_vals[None]
+
+            n_in = 7 + n_extras + len(live_sends)
+            sharded = jax.jit(jax.shard_map(
+                step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
+                out_specs=(P(ROW_AXIS),) * 3))
+            nnz_row, cols, vals = sharded(
+                put(ai_h), ax_remap_a, put(ad_h), put(bx_h), put(bd_h),
+                rb_start_a, rb_len_a, *overlap_extras, *live_sends)
+        else:
+            def step(ai, axr, ad, bx, bd, rbs, rbl, wide_rid, *rest):
+                lv = rest[: n_ladder - 1]
+                sends = rest[n_ladder - 1:]
+                ai, axr, ad = ai[0], axr[0], ad[0]
+                packed = pack_csr_arrays(bx[0], bd[0])
+                segs = []
+                si = 0
+                for r in payload_rounds:
+                    sidx, sval = sends[2 * si][0], sends[2 * si + 1][0]
+                    si += 1
+                    payload = packed[jnp.clip(sidx, 0,
+                                              packed.shape[0] - 1)]
+                    payload = jnp.where(sval[:, None], payload, 0)
+                    if r == 0:
+                        segs.append(payload)        # self-need: no comm
+                    else:
+                        segs.append(jax.lax.ppermute(payload, ROW_AXIS,
+                                                     perms[r]))
+                b_packed = (jnp.concatenate(segs) if segs
+                            else jnp.zeros((1, 2), jnp.int32))
+                return body(ai, axr, ad, rbs[0], rbl[0], b_packed,
+                            wide_rid, *lv)
+
+            n_in = 7 + n_ladder + len(live_sends)
+            sharded = jax.jit(jax.shard_map(
+                step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
+                out_specs=(P(ROW_AXIS),) * 3))
+            nnz_row, cols, vals = sharded(
+                put(ai_h), ax_remap_a, put(ad_h), put(bx_h), put(bd_h),
+                rb_start_a, rb_len_a, *extra_args(spl_cols_remap),
+                *live_sends)
         stats = NeedsetStats(
             # per-shard volume actually moved over the interconnect:
             # all_gather replicates all of B's (col, val) records; the

@@ -463,3 +463,67 @@ def test_dia_rows_rectangular(rng):
     ref = oracle_spgemm(ah, ph)
     r = compare_csr(ref, C, compare_data=True, rel_tol=2e-3)
     assert r.ok, r.message
+
+
+def test_lite_gate_routes_large_stencil(rng):
+    """Inputs past HostAnalysisMaxNnz must STILL take the (s)DIA routes
+    via the lite host gate (band extremes O(rows) + one bincount dot):
+    round-4 regression — the 28M-nnz stencil fell onto the stream and
+    cost 146 s. Forced here by a tiny cap on a small stencil."""
+    g = 10
+    n = g ** 3
+    offs = sorted(dz * g * g + dy * g + dx
+                  for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+                  for dx in (-1, 0, 1))
+    rs = np.random.RandomState(3)
+    a = sp.diags([rs.standard_normal(n - abs(o)) for o in offs], offs,
+                 shape=(n, n), format="csr")
+    plan = _run(a, a, SpgemmConfig(host_analysis_max_nnz=16))
+    assert plan.dia is not None   # sparse-DIA route engaged
+
+    # contiguous band past the cap: lite gate -> contiguous DIA
+    band = sp.diags([rs.standard_normal(512 - abs(o))
+                     for o in range(-3, 4)], range(-3, 4),
+                    shape=(512, 512), format="csr")
+    plan2 = _run(band, band, SpgemmConfig(host_analysis_max_nnz=16))
+    assert plan2.dia is not None
+
+    # non-banded input past the cap: lite gate must REJECT and fall
+    # through to the device analysis unchanged
+    r = sp.random(400, 400, 0.03, format="csr", random_state=rs)
+    r.data = rs.standard_normal(r.nnz)
+    plan3 = _run(r, r, SpgemmConfig(host_analysis_max_nnz=16))
+    assert plan3.dia is None
+
+
+def test_sdia_conv_blocked_matches_whole(rng):
+    """The row-blocked sparse-DIA convolution (memory-bounded form that
+    avoids the whole-matrix compile OOM at stencil scale) must produce
+    the same planes as the one-shot form, including the padded tail
+    block."""
+    import jax.numpy as jnp
+    from speck_tpu.ops.dia import sdia_conv, sdia_conv_blocked
+
+    rs = np.random.RandomState(7)
+    m = k = 300
+    off_a = (-9, -1, 0, 2, 11)
+    off_b = (-4, 0, 5)
+    off_c = tuple(sorted({a + b for a in off_a for b in off_b}))
+    av = jnp.asarray(rs.standard_normal((len(off_a), m)).astype(np.float32))
+    ah = jnp.asarray((rs.rand(len(off_a), m) > 0.3).astype(np.float32))
+    bv = jnp.asarray(rs.standard_normal((len(off_b), k)).astype(np.float32))
+    bh = jnp.asarray((rs.rand(len(off_b), k) > 0.3).astype(np.float32))
+    ref_v, ref_c = sdia_conv(av, ah, bv, bh, off_a=off_a, off_b=off_b,
+                             off_c=off_c, m=m, k=k, with_hit=True)
+    got_v, got_c = sdia_conv_blocked(av, ah, bv, bh, off_a=off_a,
+                                     off_b=off_b, off_c=off_c, m=m, k=k,
+                                     with_hit=True, row_block=128)
+    assert np.allclose(np.asarray(ref_v), np.asarray(got_v), atol=1e-5)
+    assert np.array_equal(np.asarray(ref_c), np.asarray(got_c))
+    # no-hit flavor (the numeric rerun path)
+    ref_v2, _ = sdia_conv(av, ah, bv, bh, off_a=off_a, off_b=off_b,
+                          off_c=off_c, m=m, k=k, with_hit=False)
+    got_v2, _ = sdia_conv_blocked(av, ah, bv, bh, off_a=off_a,
+                                  off_b=off_b, off_c=off_c, m=m, k=k,
+                                  with_hit=False, row_block=128)
+    assert np.allclose(np.asarray(ref_v2), np.asarray(got_v2), atol=1e-5)

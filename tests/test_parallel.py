@@ -170,7 +170,7 @@ def _powerlaw_host(rng, m=512, avg=6):
     return HostCSR.from_scipy(mat)
 
 
-@pytest.mark.parametrize("exchange", ["allgather", "needset"])
+@pytest.mark.parametrize("exchange", ["allgather", "needset", "needset_overlap"])
 def test_mesh_stream_powerlaw(rng, exchange):
     from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
                                     mesh_stream_to_host_csr)
@@ -249,7 +249,7 @@ def test_multihost_spgemm_single_process(rng):
     assert scaling_efficiency(8.0, 1.25, 8) == 0.8
 
 
-@pytest.mark.parametrize("exchange", ["allgather", "needset"])
+@pytest.mark.parametrize("exchange", ["allgather", "needset", "needset_overlap"])
 def test_mesh_stream_wide_row_ladder(rng, exchange):
     """Skewed input: one row with ~40x more products than the chunk
     width. W stays at the configured width (no shard-wide inflation);
@@ -278,7 +278,7 @@ def test_mesh_stream_wide_row_ladder(rng, exchange):
     assert r.ok, r.message
 
 
-@pytest.mark.parametrize("exchange", ["allgather", "needset"])
+@pytest.mark.parametrize("exchange", ["allgather", "needset", "needset_overlap"])
 def test_mesh_stream_ksplit_small(rng, exchange):
     """k-split smoke test: a row over the (lowered) split threshold is
     removed from its owner, computed as per-B-shard partials, merged by

@@ -55,6 +55,15 @@ def main():
     if "powerlaw3" in want:
         a = make_powerlaw(262144, seed=7)
         run("config3 powerlaw 262k", a, a)
+    if "rect" in want:
+        from bench import make_prolongation
+
+        a = make_banded()
+        run("config4 rect 65kx16k", a, make_prolongation(65536, 16384))
+    if "stencil" in want:
+        from bench import make_stencil27
+
+        run("stencil27 1.06M rows", make_stencil27(), None, iters=2)
     if "giant" in want:
         import scipy.sparse as sp
         from speck_tpu.formats.csr import HostCSR

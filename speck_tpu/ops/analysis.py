@@ -88,19 +88,22 @@ class HostAnalysis:
         return int(min(self.max_row_products, 2 ** 31 - 2))
 
     def to_device(self) -> AnalysisResult:
-        """Upload the per-row arrays (3 small H2D transfers; int32 cast
-        wraps exactly like the device twin for rows past 2^31 — callers
-        check mxrow_sat first)."""
-        row_ops = jnp.asarray(self.row_ops.astype(np.int32))
-        a_len = jnp.asarray(self.a_len.astype(np.int32))
-        work = np.maximum(self.row_ops, self.a_len)
+        """Upload ONE per-row array (row_ops int32). a_len / row_ops_f /
+        work are None — the consuming jits derive them on device
+        (a_len from A's indptr, row_ops_f from row_ops, which is exact
+        here because _check_limits already proved no row wrapped int32).
+        Each H2D transfer costs a ~27 ms round trip through the axon
+        tunnel; the round-3 form paid FOUR of them per plan."""
+        work_max = int(np.maximum(self.row_ops, self.a_len)
+                       .max(initial=0))
         return AnalysisResult(
-            row_ops=row_ops, a_len=a_len,
-            work=jnp.asarray(work.astype(np.int32)),
+            row_ops=jnp.asarray(self.row_ops.astype(np.int32)),
+            a_len=None,
+            work=None,
             sum_products=np.asarray(self.sum_products,
                                     jnp.result_type(float)),
-            max_work=np.int32(min(int(work.max(initial=0)), 2 ** 31 - 1)),
-            row_ops_f=jnp.asarray(self.row_ops.astype(np.float32)),
+            max_work=np.int32(min(work_max, 2 ** 31 - 1)),
+            row_ops_f=None,
         )
 
 

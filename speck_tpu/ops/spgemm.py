@@ -955,6 +955,65 @@ def _plan_sdia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
     )
 
 
+def _host_dia_rows_plausible(ah, bh, cfg: SpgemmConfig) -> bool:
+    """O(rows) host twin of the per-row DIA split's robust-band gate
+    (stream.plan_device_stream, 5%-per-side order statistics of the
+    per-row diagonal extents): when even the robust band blows the span
+    cap, the split provably cannot engage, and the O(nnz) device
+    machinery (extent sorts + the all-B-rows-in-band segment_min over
+    every A slot) is pure waste — measured seconds of the giant bench's
+    5.4 s planning stage at 50M nnz."""
+
+    def robust(ipx, cix, rows):
+        ip = np.asarray(ipx, np.int64)
+        ci = np.asarray(cix, np.int64)
+        lens = ip[1:] - ip[:-1]
+        ne = lens > 0
+        n_ne = int(ne.sum())
+        if n_ne == 0:
+            return 0, -1
+        rid = np.arange(int(rows), dtype=np.int64)
+        first = ci[np.minimum(ip[:-1], max(ci.size - 1, 0))] - rid
+        last = ci[np.maximum(ip[1:] - 1, 0)] - rid
+        pad = n_ne // 20
+        fs = np.sort(first[ne])
+        ls = np.sort(last[ne])
+        return int(fs[min(pad, n_ne - 1)]), int(ls[max(n_ne - 1 - pad, 0)])
+
+    dlo_a, dhi_a = robust(ah.row_offsets, ah.col_ids, ah.rows)
+    dlo_b, dhi_b = robust(bh.row_offsets, bh.col_ids, bh.rows)
+    return bool(dhi_a >= dlo_a and dhi_b >= dlo_b
+                and dhi_a - dlo_a + 1 <= cfg.dia_span_cap
+                and dhi_b - dlo_b + 1 <= cfg.dia_span_cap)
+
+
+def _host_dense_plausible(ah, tile_rows: int, kw_max: int) -> bool:
+    """O(rows) host pre-reject for the MXU dense-tile route: a row tile
+    is eligible only if its A column RANGE fits the k-window, and the
+    range of a tile is min/max of its rows' first/last columns
+    (canonical CSR). When NO tile passes even this necessary condition,
+    the device tile_stats pass (O(nnz) k-range scans — measured 2.45 s
+    of the giant bench's planning dispatch at 50M nnz) is skipped."""
+    ip = np.asarray(ah.row_offsets, np.int64)
+    ci = np.asarray(ah.col_ids, np.int64)
+    m = int(ah.rows)
+    if m == 0 or ci.size == 0:
+        return False
+    lens = ip[1:] - ip[:-1]
+    ne = lens > 0
+    INTM = np.iinfo(np.int64).max
+    first = np.where(ne, ci[np.minimum(ip[:-1], ci.size - 1)], INTM)
+    last = np.where(ne, ci[np.maximum(ip[1:] - 1, 0)], -1)
+    nt = -(-m // tile_rows)
+    padn = nt * tile_rows - m
+    if padn:
+        first = np.concatenate([first, np.full(padn, INTM, np.int64)])
+        last = np.concatenate([last, np.full(padn, -1, np.int64)])
+    tmin = first.reshape(nt, tile_rows).min(axis=1)
+    tmax = last.reshape(nt, tile_rows).max(axis=1)
+    return bool(((tmax >= 0) & (tmax - tmin + 1 <= kw_max)).any())
+
+
 def _dia_spans(cfg: SpgemmConfig, A: DeviceCSR, B: DeviceCSR,
                a_dmin: int, a_dmax: int, b_dmin: int, b_dmax: int,
                sp_sat: int):
@@ -1145,12 +1204,18 @@ def plan_spgemm(
         )
         tr = cfg.dense_tile_rows
         max_tiles = max(0, cfg.fused_staging_budget // (tr * cfg.dense_cw))
+        if use_dense and ah is not None:
+            use_dense = _host_dense_plausible(ah, tr, cfg.dense_kw)
         f64 = not packable(A.data)
         a32 = (jnp.zeros_like(A.indices) if f64 else
                jax.lax.bitcast_convert_type(
                    A.data.astype(jnp.float32), jnp.int32))
         use_accum = bool(cfg.enable_accum and B.canonical and m > 0
                          and A.nnz > 0)
+        use_dia_rows = bool(cfg.dia_rows and dia_possible)
+        if use_dia_rows and ah is not None:
+            use_dia_rows = _host_dia_rows_plausible(
+                ah, ah if (B is A or bh is ah) else bh, cfg)
         (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
          cmin_sorted, nnz_init, t_r0, t_kb, t_cb, t_valid, dia_mask,
          pack) = plan_device_stream(
@@ -1164,7 +1229,7 @@ def plan_spgemm(
             accum_min_ops=cfg.accum_min_ops,
             accum_span_cap=cfg.accum_span_cap, w0=cfg.stream_width,
             w_cap=cfg.stream_width_cap,
-            use_dia_rows=bool(cfg.dia_rows and dia_possible),
+            use_dia_rows=use_dia_rows,
             dia_span_cap=cfg.dia_span_cap,
             dia_waste_cap=cfg.dia_waste_cap,
             dia_mem_budget=cfg.dia_mem_budget,

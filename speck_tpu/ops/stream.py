@@ -535,6 +535,14 @@ def plan_device_stream(a_indptr, a_indices, a_data32, b_indptr, b_indices,
     """
     from .dense import tile_stats
 
+    # host-analysis path ships ONLY row_ops (one H2D instead of four);
+    # the companions are derived here. row_ops_f from int32 is exact on
+    # that path because _check_limits already proved no row wrapped.
+    if a_len is None:
+        a_len = a_indptr[1:] - a_indptr[:-1]
+    if row_ops_f is None:
+        row_ops_f = row_ops.astype(jnp.float32)
+
     # ---- per-row DIA split (cfg.dia_rows): robust band + row mask ----
     # The whole-matrix DIA gate fails when a few rows break the band;
     # here a band with a 5%-per-side outlier allowance (k-th order
@@ -974,12 +982,17 @@ def _bitonic_call(key, vals, sort_impl: str):
     return bitonic_sort_pairs(key, vals)
 
 
-# width at which XLA's variadic row sort leaves its fast regime: measured
-# on v5e the per-element cost at W=65536 is ~9x the W=8192 cost
-# (BASELINE.md round-3 giant profile), while the blocked merge sort
+# width at which the "auto" policy switches to the blocked merge sort
 # (8192-wide lax.sort runs + log2(W/8192) bitonic merge rounds of pure
-# elementwise selects) stays bandwidth-bound
-_BLOCKED_SORT_MIN_W = 16384
+# elementwise selects). Round-4 on-chip A/B at W=65536 (giant_probe,
+# post expand-diet): the CHUNK sort FUSES with the expand under
+# lax.sort (+2 ms on a 112 ms expand) while the multi-op blocked form
+# breaks the fusion (full chunk 131 ms xla vs 166 ms blocked) — the
+# round-3 9x-per-element blow-up was the pre-diet expand, not the sort.
+# lax.sort's genuinely slow regime is standalone multi-megawide rows
+# (measured 52M elem/s at width 16M vs 117-131M at <=262k), so the
+# blocked form now engages only there (the wide-row finish).
+_BLOCKED_SORT_MIN_W = 1 << 20
 
 
 def _resolve_sort(sort_impl: str, width: int) -> str:

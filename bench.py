@@ -218,8 +218,9 @@ def main():
             msg = str(e).replace("\n", " ")[:300]
             print(f"# {tag} FAILED: {type(e).__name__}: {msg}", flush=True)
 
-    # ---- config 1b: banded + clustered outlier rows (dense MXU tiles
-    # for the banded bulk, stream for the outliers; DIA gate rejected) ----
+    # ---- config 1b: banded + clustered outlier rows (per-row DIA split:
+    # diagonal planes for the banded bulk, stream for the outliers; the
+    # whole-matrix DIA gate rejects this input) ----
     guarded("config1b", lambda: bench_pair(
         "config1b_mixed_banded_outliers_AxA", make_mixed(), None, iters=2))
 

@@ -372,6 +372,38 @@ def sdia_conv(a_val, a_hit, b_val, b_hit, *, off_a: tuple, off_b: tuple,
     return c_val, c_cnt
 
 
+@partial(jax.jit, static_argnames=("sa", "sb", "m", "k", "dmin_a", "sc",
+                                   "n_cols", "base_c", "impl", "same"))
+def dia_count_pipeline(slot_a, a_data, slot_b, b_data, *, sa: int,
+                       sb: int, m: int, k: int, dmin_a: int, sc: int,
+                       n_cols: int, base_c: int, impl: str, same: bool):
+    """planes + convolution + count/stage as ONE dispatch (round-5
+    dispatch diet: per-launch transport overhead was ~1/3 of the banded
+    config's complete call). The reference's analogue is one fused
+    kernel launch per bin (spECK_HashSpGEMM.cuh:1800)."""
+    av, ah = dia_planes(slot_a, a_data, span=sa, rows=m)
+    bv, bh = (av, ah) if same else dia_planes(slot_b, b_data, span=sb,
+                                              rows=k)
+    c_val, c_cnt = dia_conv(av, ah, bv, bh, sa=sa, sb=sb, m=m, k=k,
+                            dmin_a=dmin_a, with_hit=True)
+    return dia_count_stage(c_val, c_cnt, sc=sc, m=m, n_cols=n_cols,
+                           base_c=base_c, impl=impl)
+
+
+@partial(jax.jit, static_argnames=("sa", "sb", "m", "k", "dmin_a",
+                                   "with_hit", "same"))
+def dia_rows_conv_fused(slot_a, a_data, slot_b, b_data, *, sa: int,
+                        sb: int, m: int, k: int, dmin_a: int,
+                        with_hit: bool, same: bool = False):
+    """planes + convolution in ONE dispatch for the per-row DIA split
+    (cfg.dia_rows — configs 1b/4's banded bulk)."""
+    av, ah = dia_planes(slot_a, a_data, span=sa, rows=m)
+    bv, bh = (av, ah) if same else dia_planes(slot_b, b_data, span=sb,
+                                              rows=k)
+    return dia_conv(av, ah, bv, bh, sa=sa, sb=sb, m=m, k=k,
+                    dmin_a=dmin_a, with_hit=with_hit)
+
+
 def _rank_compact(cvT, present, *, sc: int, m: int, n_cols: int,
                   base_c: int, impl: str, doffs=None):
     """Compact each row's present entries to the front, in diagonal

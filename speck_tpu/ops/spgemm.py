@@ -52,12 +52,14 @@ from .device_csr import DeviceCSR, host_of
 from .dia import (
     DiaState,
     dia_conv,
+    dia_count_pipeline,
     dia_count_stage,
     dia_emit_edge,
     dia_numeric_stage,
     dia_offsets_meta,
     dia_planes,
     dia_row_inband,
+    dia_rows_conv_fused,
     dia_scatter_emit,
     dia_slots,
     plane_bytes,
@@ -441,14 +443,10 @@ class SpgemmPlan:
                 else:
                     # new values: rebuild the value planes against the
                     # stored (masked) slots and re-convolve
-                    av, ah = dia_planes(dg.slot_a, A.data,
-                                        span=dg.span_a, rows=m)
-                    bv, bh = dia_planes(dg.slot_b, B.data,
-                                        span=dg.span_b, rows=B.shape[0])
-                    c_val, _ = dia_conv(
-                        av, ah, bv, bh, sa=dg.span_a, sb=dg.span_b,
-                        m=m, k=A.shape[1], dmin_a=dg.dmin_a,
-                        with_hit=False)
+                    c_val, _ = dia_rows_conv_fused(
+                        dg.slot_a, A.data, dg.slot_b, B.data,
+                        sa=dg.span_a, sb=dg.span_b, m=m,
+                        k=A.shape[1], dmin_a=dg.dmin_a, with_hit=False)
                     cvT = c_val.T
                 c_cols, c_vals = dia_scatter_emit(
                     cvT, dg.present, self.row_offsets, c_cols, c_vals,
@@ -805,23 +803,17 @@ def _plan_dia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
     k = A.shape[1]
     sc = sa + sb - 1
     with StageTimer(timings, "spGEMMCounting", track) as st:
+        same = (B.indices is A.indices and B.data is A.data
+                and B.shape == A.shape)
         slot_a = dia_slots(A.indptr, A.indices, dmin=dmin_a, span=sa,
                            rows=m)
-        if (B.indices is A.indices and B.data is A.data
-                and B.shape == A.shape):
-            slot_b = slot_a
-            av, ah = dia_planes(slot_a, A.data, span=sa, rows=m)
-            bv, bh = av, ah
-        else:
-            slot_b = dia_slots(B.indptr, B.indices, dmin=dmin_b, span=sb,
-                               rows=k)
-            av, ah = dia_planes(slot_a, A.data, span=sa, rows=m)
-            bv, bh = dia_planes(slot_b, B.data, span=sb, rows=k)
-        c_val, c_cnt = dia_conv(av, ah, bv, bh, sa=sa, sb=sb, m=m, k=k,
-                                dmin_a=dmin_a, with_hit=True)
-        counts, present, cols_s, vals_s = dia_count_stage(
-            c_val, c_cnt, sc=sc, m=m, n_cols=n, base_c=dmin_a + dmin_b,
-            impl=cfg.stream_compact_impl)
+        slot_b = slot_a if same else dia_slots(
+            B.indptr, B.indices, dmin=dmin_b, span=sb, rows=k)
+        # planes + conv + stage in ONE dispatch (dispatch diet)
+        counts, present, cols_s, vals_s = dia_count_pipeline(
+            slot_a, A.data, slot_b, B.data, sa=sa, sb=sb, m=m, k=k,
+            dmin_a=dmin_a, sc=sc, n_cols=n, base_c=dmin_a + dmin_b,
+            impl=cfg.stream_compact_impl, same=same)
         st.stop(counts)
     with StageTimer(timings, "allocC", track):
         row_offsets, meta = dia_offsets_meta(counts, sc=sc)
@@ -987,13 +979,18 @@ def _host_dia_rows_plausible(ah, bh, cfg: SpgemmConfig) -> bool:
                 and dhi_b - dlo_b + 1 <= cfg.dia_span_cap)
 
 
-def _host_dense_plausible(ah, tile_rows: int, kw_max: int) -> bool:
-    """O(rows) host pre-reject for the MXU dense-tile route: a row tile
-    is eligible only if its A column RANGE fits the k-window, and the
-    range of a tile is min/max of its rows' first/last columns
-    (canonical CSR). When NO tile passes even this necessary condition,
-    the device tile_stats pass (O(nnz) k-range scans — measured 2.45 s
-    of the giant bench's planning dispatch at 50M nnz) is skipped."""
+def _host_dense_plausible(ah, tile_rows: int, kw_max: int,
+                          bh=None, cw_max: int = 0) -> bool:
+    """O(rows) (+ one O(nnz) gather when ``bh`` is given) host
+    pre-reject for the MXU dense-tile route: a row tile is eligible
+    only if its A column RANGE fits the k-window AND its OUTPUT column
+    range (union of referenced B rows' col ranges) fits the c-window;
+    tile ranges are min/max of per-row first/last columns (canonical
+    CSR). When NO tile passes these necessary conditions, the device
+    tile_stats pass (O(nnz) k-range scans — measured 2.45 s of the
+    giant bench's planning dispatch at 50M nnz, ~0.1 s on the rect
+    config where random P columns make every tile's output span blow
+    the window) is skipped."""
     ip = np.asarray(ah.row_offsets, np.int64)
     ci = np.asarray(ah.col_ids, np.int64)
     m = int(ah.rows)
@@ -1002,16 +999,47 @@ def _host_dense_plausible(ah, tile_rows: int, kw_max: int) -> bool:
     lens = ip[1:] - ip[:-1]
     ne = lens > 0
     INTM = np.iinfo(np.int64).max
+
+    def tiles(first, last):
+        nt = -(-m // tile_rows)
+        padn = nt * tile_rows - m
+        f = (np.concatenate([first, np.full(padn, INTM, np.int64)])
+             if padn else first)
+        la = (np.concatenate([last, np.full(padn, -1, np.int64)])
+              if padn else last)
+        return (f.reshape(nt, tile_rows).min(axis=1),
+                la.reshape(nt, tile_rows).max(axis=1))
+
     first = np.where(ne, ci[np.minimum(ip[:-1], ci.size - 1)], INTM)
     last = np.where(ne, ci[np.maximum(ip[1:] - 1, 0)], -1)
-    nt = -(-m // tile_rows)
-    padn = nt * tile_rows - m
-    if padn:
-        first = np.concatenate([first, np.full(padn, INTM, np.int64)])
-        last = np.concatenate([last, np.full(padn, -1, np.int64)])
-    tmin = first.reshape(nt, tile_rows).min(axis=1)
-    tmax = last.reshape(nt, tile_rows).max(axis=1)
-    return bool(((tmax >= 0) & (tmax - tmin + 1 <= kw_max)).any())
+    tmin, tmax = tiles(first, last)
+    ok = (tmax >= 0) & (tmax - tmin + 1 <= kw_max)
+    if not ok.any():
+        return False
+    if bh is None or cw_max <= 0:
+        return True
+    # output-span necessary condition: per-A-row out range = min/max of
+    # referenced B rows' first/last columns (one O(nnz) host gather)
+    bip = np.asarray(bh.row_offsets, np.int64)
+    bci = np.asarray(bh.col_ids, np.int64)
+    if bci.size == 0:
+        return False
+    bne = (bip[1:] - bip[:-1]) > 0
+    bfirst = np.where(bne, bci[np.minimum(bip[:-1], bci.size - 1)], INTM)
+    blast = np.where(bne, bci[np.maximum(bip[1:] - 1, 0)], -1)
+    cmin = np.full(m, INTM, np.int64)
+    cmax = np.full(m, -1, np.int64)
+    starts = np.minimum(ip[:-1], max(ci.size - 1, 0))
+    vf = bfirst[ci]
+    vl = blast[ci]
+    if ci.size:
+        rmin = np.minimum.reduceat(vf, starts)
+        rmax = np.maximum.reduceat(vl, starts)
+        cmin = np.where(ne, rmin, INTM)
+        cmax = np.where(ne, rmax, -1)
+    cmin_t, cmax_t = tiles(cmin, cmax)
+    return bool((ok & (cmax_t >= 0)
+                 & (cmax_t - cmin_t + 1 <= cw_max)).any())
 
 
 def _dia_spans(cfg: SpgemmConfig, A: DeviceCSR, B: DeviceCSR,
@@ -1205,7 +1233,12 @@ def plan_spgemm(
         tr = cfg.dense_tile_rows
         max_tiles = max(0, cfg.fused_staging_budget // (tr * cfg.dense_cw))
         if use_dense and ah is not None:
-            use_dense = _host_dense_plausible(ah, tr, cfg.dense_kw)
+            bh_d = ah if (B is A or bh is ah) else bh
+            use_dense = _host_dense_plausible(
+                ah, tr, cfg.dense_kw,
+                bh=(bh_d if A.nnz <= cfg.host_analysis_max_nnz
+                    else None),
+                cw_max=cfg.dense_cw)
         f64 = not packable(A.data)
         a32 = (jnp.zeros_like(A.indices) if f64 else
                jax.lax.bitcast_convert_type(
@@ -1366,10 +1399,16 @@ def plan_spgemm(
         # O(nnz) A-slot records only when stream rows exist (pure dense /
         # direct matrices skip the whole build)
         if layout.total_q > 0:
+            nl_eff = min(_pow2(max(n_live, 1)), A.nnz)
+            # single-window regime: every record is visible to every
+            # chunk, so the zero-product-slot compaction is skippable
+            # (equal-p0 winner logic resolves them) — ~40% of this pass
+            single_win = nl_eff <= G * W + 2
             p0, su, sa, src, pend = build_srec(
                 A.indptr, A.indices, a32, B.indptr[:-1],
                 B.indptr[1:] - B.indptr[:-1], rows_sorted, e, q_sorted,
-                m=m, nl=_pow2(max(n_live, 1)))
+                m=m, nl=_pow2(max(n_live, 1)), compact=not single_win,
+                pack_gathers=nl_eff <= (1 << 23))
             cks = jnp.arange(max(layout.n_chunks, 1),
                              dtype=jnp.int32) * CP
             sid_bases = jnp.searchsorted(p0, cks).astype(jnp.int32)
@@ -1424,12 +1463,10 @@ def plan_spgemm(
         raw_chunks: List[int] = []
         if dia_grp is not None:
             dg = dia_grp
-            av, ah = dia_planes(dg.slot_a, A.data, span=dg.span_a, rows=m)
-            bv, bh = dia_planes(dg.slot_b, B.data, span=dg.span_b,
-                                rows=B.shape[0])
-            c_val, c_cnt = dia_conv(
-                av, ah, bv, bh, sa=dg.span_a, sb=dg.span_b, m=m,
-                k=A.shape[1], dmin_a=dg.dmin_a, with_hit=True)
+            c_val, c_cnt = dia_rows_conv_fused(
+                dg.slot_a, A.data, dg.slot_b, B.data, sa=dg.span_a,
+                sb=dg.span_b, m=m, k=A.shape[1], dmin_a=dg.dmin_a,
+                with_hit=True)
             dg.present = c_cnt.T > 0.5   # exact: fp32 counts of 1.0 adds
             dg.cvT = c_val.T
             nnz_row = nnz_row + jnp.sum(
@@ -1455,6 +1492,11 @@ def plan_spgemm(
             b_packed = (jnp.zeros((1, 2), jnp.int32) if f64 else
                         pack_csr_arrays(B.indices,
                                         B.data.astype(jnp.float32)))
+            # per-chunk dispatches (measured round 5: dispatch enqueue
+            # through the tunnel is ~0.2 ms and fully pipelined — only
+            # SYNCS cost ~24 ms — and a fused all-chunks mega-jit
+            # segfaulted the XLA:CPU compiler on the forced-blocked-sort
+            # test, so one launch per chunk stays)
             staged = []
             for c in range(layout.n_chunks):
                 has_wide = c * G < layout.r_wide

@@ -416,9 +416,10 @@ def _pow2ceil_arr(x: np.ndarray) -> np.ndarray:
     return 1 << np.ceil(np.log2(x.astype(np.float64))).astype(np.int64)
 
 
-@partial(jax.jit, static_argnames=("m", "nl"))
+@partial(jax.jit, static_argnames=("m", "nl", "compact", "pack_gathers"))
 def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
-               e, q_sorted, *, m: int, nl: Optional[int] = None):
+               e, q_sorted, *, m: int, nl: Optional[int] = None,
+               compact: bool = True, pack_gathers: bool = False):
     """Per-sorted-A-slot stream records (the O(nnz) half of planning):
     (p0, su, sa, src, pend) — see _plan_stream_impl. Split out so
     matrices with no stream rows (pure dense / direct) skip it entirely.
@@ -443,7 +444,18 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     nonzeros feed non-stream rows (the 50M-nnz giant-row bench routes
     ~85k of 50M slots through the stream) this turns the ~8 O(nnz)
     passes into O(live) ones. None = nnz (the SPMD mesh path, where no
-    readback is available)."""
+    readback is available).
+
+    ``compact=False`` (round-5): skip the 5 compaction scatters — SAFE
+    iff every chunk's expand can see ALL records (NL <= one chunk's
+    G*W + 2, so the dynamic-slice window never engages): zero-product
+    slots then merely duplicate a p0 value and the expand's
+    equal-p0-winner logic already resolves those. At config-4 shapes
+    the scatters were ~40% of this pass.
+    ``pack_gathers`` (round-5): gather (b_start, b_len) and
+    (a_col, a_val) as 8-byte records — 2 random reads instead of 4
+    (gathers are index-latency-bound; keep it off past ~8M slots where
+    the (N, 2) tiling transient bites, see the round-2 OOM note)."""
     stream_mask_s = q_sorted > 0
     nnz = a_indices.shape[0]
     NL = max(nnz if nl is None else min(nl, nnz), 1)
@@ -459,9 +471,19 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     src = a_indptr[rows_sorted[rid_s]] + (
         jnp.arange(NL, dtype=jnp.int32) - ca_excl[rid_s])
     src = jnp.clip(src, 0, max(nnz - 1, 0))
-    acol = a_indices[src]
-    blen = b_len[acol]
     live_s = jnp.arange(NL, dtype=jnp.int32) < ca[-1]
+    if pack_gathers:
+        arec = jnp.stack([a_indices, a_data32], axis=-1)[src]
+        acol = arec[..., 0]
+        a32s = arec[..., 1]
+        brec = jnp.stack([b_start, b_len], axis=-1)[acol]
+        bst = brec[..., 0]
+        blen = brec[..., 1]
+    else:
+        acol = a_indices[src]
+        a32s = a_data32[src]
+        bst = b_start[acol]
+        blen = b_len[acol]
     blen = jnp.where(live_s, blen, 0)
     cb = cumsum1d(blen)
     # product start of sorted slot s: e[rid_s] + products of earlier slots
@@ -470,20 +492,23 @@ def build_srec(a_indptr, a_indices, a_data32, b_start, b_len, rows_sorted,
     cb_excl = cb - blen
     cb_rowbase = cb_excl - jnp.take(cb_excl, row_first)
     p0 = jnp.where(live_s, e[rid_s] + cb_rowbase, jnp.int32(INT_MAX))
-    u = jnp.where(live_s, b_start[acol] - p0, 0)
+    u = jnp.where(live_s, bst - p0, 0)
     pend = jnp.where(live_s, p0 + blen, 0)
+    if not compact:
+        return (p0, u, jnp.where(live_s, a32s, 0),
+                jnp.where(live_s, src, 0), pend)
     # compact: keep only slots that own at least one product
     keep = live_s & (blen > 0)
     rank = cumsum1d(keep.astype(jnp.int32)) - 1
     tgt = jnp.where(keep, rank, NL)
     size = (NL,)
 
-    def compact(x, fill):
+    def compact_(x, fill):
         return jnp.full(size, fill, jnp.int32).at[tgt].set(
             x, mode="drop", unique_indices=True)
 
-    return (compact(p0, INT_MAX), compact(u, 0),
-            compact(a_data32[src], 0), compact(src, 0), compact(pend, 0))
+    return (compact_(p0, INT_MAX), compact_(u, 0),
+            compact_(a32s, 0), compact_(src, 0), compact_(pend, 0))
 
 
 @partial(
@@ -1647,10 +1672,14 @@ def plan_layout(hist: np.ndarray, d_hist: np.ndarray, W: int,
         wide_segs = np.asarray(wide_segs, np.int64)
 
     G = max(1, product_budget // W)
-    # bounded pow4 ladder on G so tiny matrices compile small shapes
+    # exact-size G (round-5): when the whole stream fits one chunk, a
+    # pow2/pow4 G ladder left up to 2x dead slots in the single chunk
+    # (config 4: 2.18M live in a 4M-slot chunk, every per-slot cost
+    # inflated 1.8x). Round need up to a multiple of 8 rect rows —
+    # bounded shape diversity, near-exact fill.
     need = -(-max(total_q, 1) // W)
-    while G > 1 and G // 4 >= need:
-        G //= 4
+    if need < G:
+        G = max(8, -(-need // 8) * 8) if need > 8 else max(1, need)
     n_chunks = -(-total_q // (G * W)) if total_q else 0
 
     n_direct = int(d_hist.sum())

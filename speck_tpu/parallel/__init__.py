@@ -8,6 +8,7 @@ from .dist import (
 from .mesh_stream import (
     NeedsetStats,
     RowShards,
+    balanced_row_ranges,
     mesh_stream_spgemm,
     mesh_stream_to_host_csr,
 )
@@ -16,7 +17,7 @@ from .multihost import global_row_mesh, initialize, local_row_range
 __all__ = [
     "ShardedCSR", "distributed_spgemm", "make_row_mesh",
     "mesh_spgemm_fixed_cap", "partition_rows",
-    "NeedsetStats", "RowShards", "mesh_stream_spgemm",
-    "mesh_stream_to_host_csr",
+    "NeedsetStats", "RowShards", "balanced_row_ranges",
+    "mesh_stream_spgemm", "mesh_stream_to_host_csr",
     "initialize", "global_row_mesh", "local_row_range",
 ]

@@ -175,6 +175,14 @@ def mesh_spgemm_fixed_cap(
 ):
     """C = A @ B as ONE jitted SPMD step over ``mesh``.
 
+    .. deprecated:: round 5
+        LEGACY round-1 path, retired from the dryrun surface and kept
+        only for its tests: the global fixed row cap makes every row
+        pay the widest row's rectangle (documented skew explosion).
+        Use ``parallel.mesh_stream.mesh_stream_spgemm`` — the stream
+        formulation with tight packing, the wide-row ladder, k-split
+        and need-set exchange.
+
     A and B are row-sharded over the mesh axis; each device all_gathers the
     B row shards (the collective rides ICI on a real slice), then runs the
     uniform fused ESC kernel on its local A rows. Returns

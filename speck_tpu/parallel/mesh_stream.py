@@ -5,9 +5,15 @@ paid the widest row's rectangle on every row of every shard) with the
 stream formulation: each shard runs the full stream pipeline on its local
 A rows -- planning sort, tight packing, (G, W) chunks, sort/contract,
 device-side offsets, emission into a padded output -- entirely inside ONE
-jitted ``shard_map``. Per-shard working memory is bounded by the chunk
-budget (G*W slots), NOT by max-row-work times rows, so skewed matrices
-shard cleanly.
+jitted ``shard_map``. Per-shard working memory is bounded: transient
+chunk work is G*W slots; RETAINED staging is capped by
+``cfg.fused_staging_budget`` (past it, contained chunks run count-only
+and re-expand straight into C in the emission pass, the single-chip
+two-phase analogue), ladder levels retain only rows that finish there,
+and rows past ``cfg.mesh_split_min_ops`` products leave the ladder
+entirely via k-split. Skewed matrices shard cleanly; ops-balanced A
+ranges (``balanced_row_ranges``) keep the shared chunk count off the
+heaviest shard.
 
 The rectangle width W stays at the configured chunk width regardless of
 skew: rows wider than W own whole rectangle rows and are finished by a
@@ -52,14 +58,25 @@ from ..ops.analysis import cumsum1d
 from ..ops.esc import pack_csr_arrays
 from ..ops.stream import (_compact_rect, _contract_rect, _plan_stream_impl,
                           _pow2ceil, _sort_cols, stream_chunk,
-                          stream_emit, stream_level, tight_total_host)
+                          stream_chunk_numeric, stream_emit, stream_level,
+                          tight_total_host)
 from ..utils.config import SpgemmConfig
 from .dist import ROW_AXIS, _pad_to, _slice_rows
 
 
 def _mesh_wide_plans(shard_ops: List[np.ndarray], W: int, F: int,
-                     max_width: int):
+                     max_width: int, n_cols: Optional[int] = None):
     """Host ladder plans for the in-SPMD wide-row merge levels.
+
+    Buffer-width cap (round-5, the giant-mesh OOM fix): every level's
+    input/output buffers are truncated to pow2ceil(n_cols) columns —
+    a compacted segment never holds more than n_cols distinct columns,
+    so the truncation is lossless, and the VIRTUAL width ladder (which
+    fixes the level structure) no longer materializes multi-megawide
+    buffers whose compile-time constant folding OOMed the CPU mesh at
+    2^27 products (pred[1, 2^24] constants, one per doubling-loop
+    step). Specs carry W_buf_in/W_buf_out; in_map structure is
+    unchanged.
 
     Per shard: wide rows (ops > W, device sort order = ops descending;
     ties have equal segment counts, so host order is interchangeable)
@@ -125,8 +142,10 @@ def _mesh_wide_plans(shard_ops: List[np.ndarray], W: int, F: int,
 
     # pad across shards to one common schedule (F/W_in agree by
     # construction: both derive only from W and the level index)
+    cap = _pow2ceil(n_cols) if n_cols else None
     specs = []
     W_in = W
+    w_buf = W if cap is None else min(W, cap)
     for li in range(depth):
         f_eff = min(F, max(max_width // W_in, 2))
         R_out = max((lv[li]["in_map"].shape[0]
@@ -139,9 +158,12 @@ def _mesh_wide_plans(shard_ops: List[np.ndarray], W: int, F: int,
                 k = lv[li]["in_map"].shape[0]
                 im[d, :k] = lv[li]["in_map"]
                 fm[d, :k] = lv[li]["final"]
+        w_out = f_eff * w_buf if cap is None else min(cap, f_eff * w_buf)
         specs.append(dict(F=f_eff, W_in=W_in, R_out=R_out,
-                          in_map=im, final=fm))
+                          in_map=im, final=fm,
+                          W_buf_in=w_buf, W_buf_out=w_out))
         W_in *= f_eff
+        w_buf = w_out
     return r_wide_max, wide_rid, specs
 
 
@@ -168,9 +190,11 @@ def _host_row_ops(a: HostCSR, b_len: np.ndarray) -> np.ndarray:
 @dataclasses.dataclass
 class RowShards:
     """A row-sharded matrix for ``mesh_stream_spgemm``: shape (m, n),
-    rows dealt in ceil(m/D) contiguous blocks over D shards, with this
-    process holding the HostCSR row slices of the shards its devices
-    own (all of them under a single controller).
+    rows dealt in contiguous blocks over D shards — equal ceil(m/D)
+    counts by default, or explicit ``ranges_`` (the ops-balanced A
+    partition, ``balanced_row_ranges``). This process holds the HostCSR
+    row slices of the shards its devices own (all of them under a
+    single controller).
 
     ``local``: dict shard-index -> HostCSR (rows == that shard's row
     count, offsets rebased to the slice)."""
@@ -179,16 +203,21 @@ class RowShards:
     n: int
     D: int
     local: dict
+    ranges_: Optional[list] = None
 
     @property
     def ranges(self):
+        if self.ranges_ is not None:
+            return self.ranges_
         m_loc = max(1, -(-self.m // self.D))
         return [(min(d * m_loc, self.m), min((d + 1) * m_loc, self.m))
                 for d in range(self.D)]
 
     @classmethod
-    def from_global(cls, a: HostCSR, D: int) -> "RowShards":
-        sh = cls(m=a.rows, n=a.cols, D=D, local={})
+    def from_global(cls, a: HostCSR, D: int,
+                    ranges: Optional[list] = None) -> "RowShards":
+        sh = cls(m=a.rows, n=a.cols, D=D, local={},
+                 ranges_=(list(ranges) if ranges is not None else None))
         sh.local = {d: _slice_rows(a, r0, r1)
                     for d, (r0, r1) in enumerate(sh.ranges)}
         return sh
@@ -203,6 +232,49 @@ class RowShards:
     @property
     def all_local(self) -> bool:
         return len(self.local) == self.D
+
+
+def _tight_weights(row_ops: np.ndarray, W: int, min_q: int) -> np.ndarray:
+    """Per-row stream allocation under the tight layout (ops/stream.py
+    _tight_layout): wide rows take exact W-multiples, mid-size rows
+    (q > W/8) their pow2 quantum, small rows max(ops, min_q). The
+    balance weight must match the real allocation or pow2-quantized
+    heavy rows systematically overload their shards."""
+    from ..ops.stream import _pow2ceil_arr
+
+    ops = np.asarray(row_ops, np.int64)
+    qe = np.maximum(ops, min_q)
+    return np.where(ops > W, (-(-ops // W)) * W,
+                    np.where(qe > W // 8, _pow2ceil_arr(qe), qe))
+
+
+def balanced_row_ranges(row_ops: np.ndarray, D: int, min_q: int = 8,
+                        W: int = 8192) -> list:
+    """Contiguous shard boundaries equalizing cumulative per-row stream
+    allocation (the tight layout's quantized weight, _tight_weights)
+    instead of row counts: the mesh-axis form of the reference's
+    load-balanced row binning (spECK_HashLoadBalancer.cuh:205-305).
+    O(m) host work on metadata the planner already has."""
+    w = _tight_weights(row_ops, W, min_q)
+    m = w.shape[0]
+    if m == 0:
+        return [(0, 0)] * D
+    c = np.cumsum(w)
+    total = int(c[-1])
+    bounds = np.searchsorted(c, [total * d // D for d in range(1, D)],
+                             side="left")
+    bounds = np.concatenate([[0], np.minimum(bounds + 1, m), [m]])
+    bounds = np.maximum.accumulate(bounds)
+    return [(int(bounds[d]), int(bounds[d + 1])) for d in range(D)]
+
+
+def _owner_of(r: int, ranges) -> int:
+    """Owner shard of global row r under contiguous (possibly
+    ops-balanced) ranges."""
+    for d, (r0, r1) in enumerate(ranges):
+        if r0 <= r < r1:
+            return d
+    raise ValueError(f"row {r} outside sharded ranges {ranges}")
 
 
 def _combine_max(x: np.ndarray) -> np.ndarray:
@@ -220,9 +292,10 @@ def _combine_max(x: np.ndarray) -> np.ndarray:
 def _stack_shards(ash: RowShards, dtype=jnp.float32):
     """stack_row_shards over a RowShards: per-shard padded (D, m_loc+1)
     indptr / (D, nnz_max) cols / data, zero-filled for non-local shards.
+    m_loc is the LARGEST shard's row count (ranges may be ops-balanced);
     nnz_max is agreed across processes via one scalar combine."""
     D = ash.D
-    m_loc = max(1, -(-ash.m // D))
+    m_loc = max([1] + [r1 - r0 for r0, r1 in ash.ranges])
     nnz_loc = np.zeros(D, np.int64)
     for d, sl in ash.local.items():
         nnz_loc[d] = sl.nnz
@@ -276,10 +349,22 @@ class NeedsetStats:
     allgather_bytes: int   # (col, val) bytes every shard receives via all_gather
     needset_bytes: int     # padded (col, val) bytes exchanged per shard
     pairs_nnz: np.ndarray  # (D, D) true nnz needed dst<-src
+    # executed exchange: "needset", "needset_overlap", or
+    # "allgather(auto)" when the auto gate fell back because the padded
+    # plan would move more bytes than replication
+    mode: str = "needset"
+
+    @property
+    def zero_comm(self) -> bool:
+        """True when no bytes cross the interconnect at all (pure
+        block-diagonal need: every non-self round empty)."""
+        return self.needset_bytes == 0
 
     @property
     def reduction(self) -> float:
-        return self.allgather_bytes / max(self.needset_bytes, 1)
+        if self.needset_bytes == 0:
+            return float("inf")
+        return self.allgather_bytes / self.needset_bytes
 
 
 # ---------------------------------------------------------------------------
@@ -473,44 +558,71 @@ def _plan_needset_device(ax_h, nnz_d_h, spl_cols_h, spl_nnz_h, b_len_h,
                 send_plans=send_plans)
 
 
+# at most this many rows take the k-split path per call (bounds the
+# padded host-exchange arrays); excess candidates DEGRADE to the
+# in-SPMD wide-row ladder instead of raising (rows past the int32
+# stream ceiling always split and are never dropped)
+_KSPLIT_MAX_ROWS = 64
+
+
 def _plan_ksplit_shards(ash: RowShards, ops_sh: np.ndarray,
                         b_len_h: np.ndarray, D: int, k_locB: int,
-                        split_min: int):
+                        split_min: int, subrow_max: int = 1 << 30,
+                        np_dtype=np.float32):
     """Host plan for k-split rows (single-row sharding): rows with more
-    products than ``split_min`` (and ALWAYS rows past the 2^30 per-row
-    int32 ceiling) are removed from their owner shard's local A and
-    their nonzeros re-dealt BY B-ROW-OWNER: shard s gets the slots whose
+    products than ``split_min`` (and ALWAYS rows a single shard cannot
+    hold) are removed from their owner shard's local A and their
+    nonzeros re-dealt BY B-ROW-OWNER: shard s gets the slots whose
     a_col lies in its B shard, so the partial products need no remote B
     rows at all (needset: pure self-need). Partials merge via one
     all_gather + sort (see _make_shard_body).
 
+    Degrade paths (round-5, VERDICT item 9 — the reference degrades to
+    slower kernels, never refuses):
+    - more than _KSPLIT_MAX_ROWS candidates: only the heaviest 64 (plus
+      every must-split row) take this path; the rest ride the ladder.
+    - a sub-row past ``subrow_max`` products on one shard: SECONDARY
+      split into consecutive slot parts, each its own pipeline row; all
+      of a row's partials still merge in the owner's one sort (the
+      merge width grows by max_parts instead of raising).
+
     ``ops_sh`` (D, m_loc): per-shard row ops (globally combined).
-    Candidate rows' slot payloads are exchanged as small padded arrays
-    (<= 64 rows by construction), so pre-sharded multi-controller inputs
-    never ship full matrices. Returns (ash_eff, ops_sh_eff, ksp|None)
-    where ash_eff has the split rows emptied in their owner shards.
+    Candidate rows' slot payloads are exchanged as small padded arrays,
+    so pre-sharded multi-controller inputs never ship full matrices.
+    Returns (ash_eff, ops_sh_eff, ksp|None) where ash_eff has the split
+    rows emptied in their owner shards.
 
     The reference's analogue is the global-map flush/restart that lets
     ONE row's products span many passes of one GPU
     (spECK_HashSpGEMM.cuh:106-126); here the passes are mesh shards."""
-    split_min = min(split_min, 1 << 30)
+    subrow_max = min(subrow_max, 1 << 30)
+    # a row no single shard can ladder must split regardless of knobs
+    must_min = 1 << 30
+    split_min = min(split_min, must_min)
     ranges = ash.ranges
-    m_loc = ops_sh.shape[1]
     hits = ops_sh > split_min                     # (D, m_loc), global info
     n_split = int(hits.sum())
     if n_split == 0:
         return ash, ops_sh, None
-    if n_split > 64:
-        raise ValueError(
-            f"{n_split} rows exceed the k-split threshold "
-            f"({split_min}); raise MeshSplitMinOps or use more shards")
     d_ids, j_ids = np.nonzero(hits)
-    split_ids = np.sort(np.array(
-        [ranges[d][0] + j for d, j in zip(d_ids, j_ids)], np.int64))
+    cand = np.array(
+        [(ranges[d][0] + j, ops_sh[d, j])
+         for d, j in zip(d_ids, j_ids)], np.int64)
+    if n_split > _KSPLIT_MAX_ROWS:
+        must = cand[cand[:, 1] > must_min]
+        opt = cand[cand[:, 1] <= must_min]
+        room = max(_KSPLIT_MAX_ROWS - must.shape[0], 0)
+        # heaviest first; deterministic tie-break on row id
+        order = np.lexsort((opt[:, 0], -opt[:, 1]))
+        cand = np.concatenate([must, opt[order[:room]]])
+        n_split = cand.shape[0]
+        if n_split == 0:
+            return ash, ops_sh, None
+    split_ids = np.sort(cand[:, 0])
     # exchange the split rows' slot payloads: owner fills, others zero
     lens = np.zeros(n_split, np.int64)
     for j, r in enumerate(split_ids):
-        d = min(int(r) // m_loc, D - 1)
+        d = _owner_of(int(r), ranges)
         if d in ash.local:
             ip = np.asarray(ash.local[d].row_offsets, np.int64)
             lr = int(r) - ranges[d][0]
@@ -520,7 +632,7 @@ def _plan_ksplit_shards(ash: RowShards, ops_sh: np.ndarray,
     scols = np.zeros((n_split, L), np.int64)
     svals = np.zeros((n_split, L), np.float64)
     for j, r in enumerate(split_ids):
-        d = min(int(r) // m_loc, D - 1)
+        d = _owner_of(int(r), ranges)
         if d in ash.local:
             sl = ash.local[d]
             ip = np.asarray(sl.row_offsets, np.int64)
@@ -535,64 +647,125 @@ def _plan_ksplit_shards(ash: RowShards, ops_sh: np.ndarray,
         scols = np.sum(multihost_utils.process_allgather(scols), axis=0)
         svals = np.sum(multihost_utils.process_allgather(svals), axis=0)
     # drop the split rows from their owner shards + zero their ops
-    ash_eff = RowShards(m=ash.m, n=ash.n, D=D, local=dict(ash.local))
+    ash_eff = RowShards(m=ash.m, n=ash.n, D=D, local=dict(ash.local),
+                        ranges_=ash.ranges_)
     ops_eff = ops_sh.copy()
     for j, r in enumerate(split_ids):
-        d = min(int(r) // m_loc, D - 1)
+        d = _owner_of(int(r), ranges)
         ops_eff[d, int(r) - ranges[d][0]] = 0
         if d in ash_eff.local:
             ash_eff.local[d] = _drop_rows(
                 ash_eff.local[d],
                 np.array([int(r) - ranges[d][0]]))
-    # per-shard sub-CSR: row j of shard s = split row j's slots whose
-    # col is owned by B shard s
+    # per-shard sub-CSR: split row j's slots whose col is owned by B
+    # shard s, secondary-split into max_parts consecutive part-rows of
+    # <= subrow_max products each (part p of row j = pipeline row
+    # j * max_parts + p; empty parts contribute nothing)
     sub_cols = [[None] * n_split for _ in range(D)]
     sub_vals = [[None] * n_split for _ in range(D)]
-    sub_ops = np.zeros((D, n_split), np.int64)
+    sub_parts = np.ones((D, n_split), np.int64)
     for j in range(n_split):
         cj = scols[j, : lens[j]]
         vj = svals[j, : lens[j]]
         own = cj // k_locB
         for s in range(D):
             sel = own == s
-            sub_cols[s][j] = cj[sel]
-            sub_vals[s][j] = vj[sel]
-            sub_ops[s, j] = int(b_len_h[cj[sel]].sum())
-    if sub_ops.max(initial=0) > 2 ** 30:
-        raise ValueError(
-            f"a k-split sub-row still has {int(sub_ops.max())} products "
-            "on one shard, past the 2^30 per-shard ceiling; use more "
-            "shards")
+            cs, vs = cj[sel], vj[sel]
+            sub_cols[s][j] = cs
+            sub_vals[s][j] = vs
+            ops_slots = b_len_h[cs]
+            if int(ops_slots.max(initial=0)) > subrow_max:
+                raise ValueError(
+                    f"one B row has {int(ops_slots.max())} nonzeros, "
+                    f"past the per-part ceiling {subrow_max}; cannot "
+                    "split below one (A-slot, B-row) product block")
+            if int(ops_slots.sum()) > subrow_max:
+                # greedy consecutive grouping under the ceiling
+                acc, parts = 0, 1
+                for o in ops_slots:
+                    if acc + int(o) > subrow_max:
+                        parts += 1
+                        acc = int(o)
+                    else:
+                        acc += int(o)
+                sub_parts[s, j] = parts
+    max_parts = int(sub_parts.max(initial=1))
+    n_rows = n_split * max_parts
+    # part slot slices + per-part ops
+    sub_ops = np.zeros((D, n_rows), np.int64)
+    part_slice = {}
+    for s in range(D):
+        for j in range(n_split):
+            ops_slots = b_len_h[sub_cols[s][j]]
+            cuts = [0]
+            acc = 0
+            for i, o in enumerate(ops_slots):
+                if acc + int(o) > subrow_max and acc > 0:
+                    cuts.append(i)
+                    acc = int(o)
+                else:
+                    acc += int(o)
+            cuts.append(len(ops_slots))
+            for p in range(len(cuts) - 1):
+                lo, hi = cuts[p], cuts[p + 1]
+                part_slice[(s, j, p)] = (lo, hi)
+                sub_ops[s, j * max_parts + p] = int(
+                    ops_slots[lo:hi].sum())
+    assert sub_ops.max(initial=0) <= subrow_max
     spl_cap = max(1, max(
         sum(len(c) for c in sub_cols[s]) for s in range(D)))
-    spl_indptr = np.zeros((D, n_split + 1), np.int64)
+    spl_indptr = np.zeros((D, n_rows + 1), np.int64)
     spl_cols = np.zeros((D, spl_cap), np.int64)
-    spl_vals = np.zeros((D, spl_cap), np.float32)
+    spl_vals = np.zeros((D, spl_cap), np_dtype)
     for s in range(D):
         off = 0
         for j in range(n_split):
-            c = sub_cols[s][j]
-            spl_cols[s, off: off + len(c)] = c
-            spl_vals[s, off: off + len(c)] = sub_vals[s][j]
-            off += len(c)
-            spl_indptr[s, j + 1] = off
-    ksp = dict(split_ids=split_ids, n_split=n_split,
-               spl_indptr=spl_indptr, spl_cols=spl_cols,
-               spl_vals=spl_vals, sub_ops=sub_ops, spl_cap=spl_cap)
+            for p in range(max_parts):
+                if (s, j, p) in part_slice:
+                    lo, hi = part_slice[(s, j, p)]
+                    c = sub_cols[s][j][lo:hi]
+                    spl_cols[s, off: off + len(c)] = c
+                    spl_vals[s, off: off + len(c)] = \
+                        sub_vals[s][j][lo:hi]
+                    off += len(c)
+                spl_indptr[s, j * max_parts + p + 1] = off
+    ksp = dict(split_ids=split_ids, n_split=n_split, n_rows=n_rows,
+               max_parts=max_parts, spl_indptr=spl_indptr,
+               spl_cols=spl_cols, spl_vals=spl_vals, sub_ops=sub_ops,
+               spl_cap=spl_cap)
     return ash_eff, ops_eff, ksp
 
 
 def _stream_pipeline(cfg, G: int, W: int, n_cols: int, ai, ax, ad,
-                     b_start, b_len, b_packed, wide_rid, level_args,
+                     b_start, b_len, b_payload, wide_rid, level_args,
                      specs, *, m: int, n_ch: int, rw_max: int,
-                     row_mask=None):
+                     row_mask=None, f64: bool = False, emit_to=None):
     """One stream pipeline over a local CSR (traced inside shard_map):
     plan, chunks, wide-row ladder. ``row_mask`` (m,) restricts the
     pipeline to a subset of rows (ops forced to 0 elsewhere) — the
     overlap mode runs one pipeline per exchange round over the rows
     whose need is satisfied by that round's prefix of the received
-    buffer. Returns (nnz_row, rows_sorted, q_sorted, staged,
-    level_out)."""
+    buffer.
+
+    Per-shard retained memory is BOUNDED (round-5, VERDICT item 1):
+
+    - ladder levels with no final row anywhere retain nothing — their
+      buffers are consumed by the next level and freed (specs[li]
+      carries the host-known "any final here" flag);
+    - when the full staged-chunk set would exceed
+      ``cfg.fused_staging_budget`` (3 int32 planes per slot, the
+      single-chip fused/two-phase bar, ops/spgemm.py), only chunks
+      holding wide-row segments stage; the rest run count-only here and
+      re-expand straight into C in the emission pass
+      (stream_chunk_numeric — nothing retained per chunk);
+    - with ``emit_to=(offsets, cols, vals)`` (static offsets, e.g. the
+      k-split partial buffers) every chunk/level emits IMMEDIATELY and
+      the return is just (nnz_row, cols, vals).
+
+    Without emit_to, returns (nnz_row, rows_sorted, q_sorted, staged,
+    level_out, state): staged entries are None for unstaged chunks and
+    ``state`` carries everything _emit_pipeline needs to re-expand
+    them."""
     CP = G * W
     blen_a = b_len[ax]
     cse = jnp.concatenate(
@@ -602,50 +775,167 @@ def _stream_pipeline(cfg, G: int, W: int, n_cols: int, ai, ax, ad,
         row_ops = jnp.where(row_mask, row_ops, 0)
     stream_mask = row_ops > 0
     no_direct = jnp.zeros((m,), bool)
-    a32 = jax.lax.bitcast_convert_type(ad, jnp.int32)
+    if f64:
+        a32 = jnp.zeros(ad.shape, jnp.int32)
+        b_ind = b_payload[:, 0]
+        b_dat = jax.lax.bitcast_convert_type(
+            b_payload[:, 1:3], jnp.float64)
+    else:
+        a32 = jax.lax.bitcast_convert_type(ad, jnp.int32)
+        b_ind = b_payload[:, 0]
+        b_dat = ad                       # unused on the packed f32 path
     (rows_sorted, e, q_sorted, el, ops_sorted, p0, su, sa, src, pend,
      _) = _plan_stream_impl(
         row_ops, stream_mask, no_direct, ai, ax, a32, b_start, b_len,
         min_q=cfg.stream_min_q, m=m, tight=True, w_fixed=W)
     nnz_row = jnp.zeros((m,), jnp.int32)
     rowend = jnp.where(q_sorted > 0, e + ops_sorted, -1)
+    n_wide_dev = jnp.sum((q_sorted > W).astype(jnp.int32))
+    fused = 3 * n_ch * CP <= cfg.fused_staging_budget
+    if emit_to is not None:
+        offs_e, cols_e, vals_e = emit_to
     staged = []
     for c in range(n_ch):
         cs = jnp.int32(c * CP)
+        # wide-row segments live in the first rw_max rectangle rows
+        # (descending sort); only those chunks must stage for the ladder
+        has_wide = c * G < rw_max
+        do_stage = emit_to is not None or fused or has_wide
         nnz_row, stg = stream_chunk(
             rows_sorted, e, rowend, q_sorted, el, ops_sorted, p0,
-            su, sa, pend, b_packed, b_packed[:, 0], ad, ad, src,
+            su, sa, pend, b_payload, b_ind, b_dat, ad, src,
             nnz_row, cs,
             jnp.searchsorted(e, cs).astype(jnp.int32),
             jnp.searchsorted(p0, cs).astype(jnp.int32),
-            G=G, W=W, n_cols=n_cols, pack_bits=0, stage=True,
-            f64=False)
-        staged.append(stg)
+            G=G, W=W, n_cols=n_cols, pack_bits=0, stage=do_stage,
+            f64=f64)
+        if emit_to is not None and not has_wide:
+            cols_e, vals_e = stream_emit(
+                rows_sorted, stg[0], stg[1], stg[2], stg[3],
+                n_wide_dev, offs_e, cols_e, vals_e,
+                contained_only=True)
+            stg = None
+        staged.append(stg if do_stage else None)
     level_out = []
     if rw_max > 0 and specs:
         rid_in = wide_rid
-        wcol = jnp.concatenate([s[1] for s in staged])[:rw_max]
-        wval = jnp.concatenate([s[2] for s in staged])[:rw_max]
-        wcnt = jnp.concatenate([s[3] for s in staged])[:rw_max]
+        wb0 = specs[0]["W_buf_in"]
+        wst = [s for s in staged[: -(-rw_max // G)] if s is not None]
+        # compacted segments hold <= min(W, n_cols) live entries, so the
+        # column truncation to the capped buffer width is lossless
+        wcol = jnp.concatenate([s[1] for s in wst])[:rw_max, :wb0]
+        wval = jnp.concatenate([s[2] for s in wst])[:rw_max, :wb0]
+        wcnt = jnp.concatenate([s[3] for s in wst])[:rw_max]
         wcnt = jnp.where(rid_in >= 0, wcnt, 0)
+        if emit_to is not None:
+            # wide chunks were retained only for the ladder; their
+            # contained rows still need emission
+            for stg in wst:
+                cols_e, vals_e = stream_emit(
+                    rows_sorted, stg[0], stg[1], stg[2], stg[3],
+                    n_wide_dev, offs_e, cols_e, vals_e,
+                    contained_only=True)
         for li, spec in enumerate(specs):
             in_map = level_args[2 * li]
             final = level_args[2 * li + 1]
             nnz_row, (rid_out, col_c, val_c, counts) = stream_level(
                 rows_sorted, rid_in, wcol, wval, wcnt,
                 in_map, final, nnz_row,
-                F=spec["F"], W_in=spec["W_in"], n_cols=n_cols,
+                F=spec["F"], W_in=spec["W_buf_in"], n_cols=n_cols,
                 count=True, sort_impl=cfg.stream_sort_impl,
                 compact_impl=cfg.stream_compact_impl)
-            level_out.append(
-                (rid_out, col_c, val_c, jnp.where(final, counts, 0)))
+            if spec["W_buf_out"] < col_c.shape[1]:
+                col_c = col_c[:, : spec["W_buf_out"]]
+                val_c = val_c[:, : spec["W_buf_out"]]
+            if bool(np.asarray(spec["final"]).any()):
+                fcnt = jnp.where(final, counts, 0)
+                if emit_to is not None:
+                    rid_b = jnp.broadcast_to(rid_out[:, None],
+                                             col_c.shape)
+                    cols_e, vals_e = stream_emit(
+                        rows_sorted, rid_b, col_c, val_c, fcnt,
+                        jnp.int32(0), offs_e, cols_e, vals_e,
+                        wide_only=True)
+                else:
+                    level_out.append((rid_out, col_c, val_c, fcnt))
             rid_in, wcol, wval, wcnt = rid_out, col_c, val_c, counts
-    return nnz_row, rows_sorted, q_sorted, staged, level_out
+    if emit_to is not None:
+        return nnz_row, cols_e, vals_e
+    state = dict(e=e, rowend=rowend, el=el, ops_sorted=ops_sorted,
+                 p0=p0, su=su, sa=sa, src=src, pend=pend,
+                 b_payload=b_payload, b_ind=b_ind, b_dat=b_dat, ad=ad,
+                 n_wide_dev=n_wide_dev)
+    return nnz_row, rows_sorted, q_sorted, staged, level_out, state
+
+
+def _emit_pipeline(cfg, G: int, W: int, n_cols: int, pipe, offs,
+                   c_cols, c_vals, *, f64: bool = False):
+    """Emission pass for one _stream_pipeline result: staged chunks
+    scatter their compacted entries (stream_emit); unstaged chunks
+    (two-phase, staging budget) re-expand straight into C
+    (stream_chunk_numeric — per-chunk transients only, nothing
+    retained); retained ladder levels emit their final rows."""
+    _, rows_sorted, q_sorted, staged, level_out, st = pipe
+    CP = G * W
+    zero = jnp.int32(0)
+    for c, stg in enumerate(staged):
+        if stg is not None:
+            c_cols, c_vals = stream_emit(
+                rows_sorted, stg[0], stg[1], stg[2], stg[3],
+                st["n_wide_dev"], offs, c_cols, c_vals,
+                contained_only=True)
+        else:
+            cs = jnp.int32(c * CP)
+            c_cols, c_vals, _ = stream_chunk_numeric(
+                rows_sorted, st["e"], st["rowend"], st["p0"], st["su"],
+                st["sa"], st["pend"], st["b_payload"], st["b_ind"],
+                st["b_dat"], st["ad"], st["src"], offs, c_cols, c_vals,
+                cs,
+                jnp.searchsorted(st["e"], cs).astype(jnp.int32),
+                jnp.searchsorted(st["p0"], cs).astype(jnp.int32),
+                st["n_wide_dev"], G=G, W=W, n_cols=n_cols, pack_bits=0,
+                stage_wide=False, f64=f64,
+                sort_impl=cfg.stream_sort_impl,
+                compact_impl=cfg.stream_compact_impl)
+    for rid_out, col_c, val_c, fcnt in level_out:
+        rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
+        c_cols, c_vals = stream_emit(
+            rows_sorted, rid_b, col_c, val_c, fcnt, zero,
+            offs, c_cols, c_vals, wide_only=True)
+    return c_cols, c_vals
+
+
+def _ksplit_merge(cfg, p_cols, p_vals, spl_tgt, spl_emit, nnz_row, *,
+                  n_split: int, PM: int, Wm: int, n_cols: int):
+    """Exchange the k-split partial rows and merge each with ONE
+    sort+contract (all of a row's part-rows across all shards land in
+    its Wm-wide merge row). The owner takes the counts; returns
+    (nnz_row, (spl_emit, col_m, val_m, cnt_m)) for emission."""
+    g_c = jax.lax.all_gather(
+        p_cols.reshape(n_split, PM), ROW_AXIS)   # (D, n_split, PM)
+    g_v = jax.lax.all_gather(p_vals.reshape(n_split, PM), ROW_AXIS)
+    D_ax = g_c.shape[0]
+    mc = jnp.transpose(g_c, (1, 0, 2)).reshape(n_split, D_ax * PM)
+    mv = jnp.transpose(g_v, (1, 0, 2)).reshape(n_split, D_ax * PM)
+    if Wm > D_ax * PM:
+        mc = jnp.pad(mc, ((0, 0), (0, Wm - D_ax * PM)),
+                     constant_values=n_cols)
+        mv = jnp.pad(mv, ((0, 0), (0, Wm - D_ax * PM)))
+    col_s, val_s = _sort_cols(mc, mv, cfg.stream_sort_impl)
+    rid_bm = jax.lax.broadcasted_iota(jnp.int32, (n_split, Wm), 0)
+    last, run_sum = _contract_rect(rid_bm, col_s, val_s, n_cols)
+    _, col_m, val_m, cnt_m = _compact_rect(
+        last, rid_bm, col_s, run_sum,
+        compact_impl=cfg.stream_compact_impl)
+    nnz_row = nnz_row.at[spl_tgt].set(cnt_m, mode="drop",
+                                      unique_indices=True)
+    return nnz_row, (spl_emit, col_m, val_m, cnt_m)
 
 
 def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
                      n_chunks: int, out_cap: int, n_cols: int,
-                     r_wide_max: int = 0, level_specs=(), ks=None):
+                     r_wide_max: int = 0, level_specs=(), ks=None,
+                     f64: bool = False):
     """The per-shard stream pipeline (traced inside shard_map): analysis,
     planning, chunked count+stage, the wide-row merge-level ladder
     (static depth, host-planned in_maps arrive as sharded args),
@@ -653,93 +943,58 @@ def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
     width regardless of skew — a wide row owns whole rectangle rows and
     the ladder finishes it, exactly like the single-chip path
     (ops/spgemm._run_wide) but with the level schedule shipped as data."""
-    CP = G * W
+    val_dtype = jnp.float64 if f64 else jnp.float32
 
-    def _pipeline(ai, ax, ad, b_start, b_len, b_packed, wide_rid,
+    def _pipeline(ai, ax, ad, b_start, b_len, b_payload, wide_rid,
                   level_args, specs, m: int, n_ch: int, rw_max: int,
-                  row_mask=None):
+                  row_mask=None, emit_to=None):
         return _stream_pipeline(
-            cfg, G, W, n_cols, ai, ax, ad, b_start, b_len, b_packed,
+            cfg, G, W, n_cols, ai, ax, ad, b_start, b_len, b_payload,
             wide_rid, level_args, specs, m=m, n_ch=n_ch, rw_max=rw_max,
-            row_mask=row_mask)
+            row_mask=row_mask, f64=f64, emit_to=emit_to)
 
-    def shard_body(ai, ax, ad, b_start, b_len, b_packed, wide_rid,
+    def shard_body(ai, ax, ad, b_start, b_len, b_payload, wide_rid,
                    *level_args):
         zero = jnp.int32(0)
         n_main = 2 * len(level_specs)
         main_lv = [x[0] for x in level_args[:n_main]]
-        nnz_row, rows_sorted, q_sorted, staged, level_out = _pipeline(
-            ai, ax, ad, b_start, b_len, b_packed, wide_rid[0],
-            main_lv, level_specs, m_loc, n_chunks, r_wide_max)
+        pipe = _pipeline(ai, ax, ad, b_start, b_len, b_payload,
+                         wide_rid[0], main_lv, level_specs, m_loc,
+                         n_chunks, r_wide_max)
+        nnz_row = pipe[0]
 
         # ---- k-split rows: local partials over the shard's OWN B rows,
         # all_gather + one merge sort, owner counts/emits (the mesh form
         # of the reference's global-map multi-pass for one row,
-        # spECK_HashSpGEMM.cuh:106-126) ----
+        # spECK_HashSpGEMM.cuh:106-126). The partial offsets are STATIC
+        # (row i at i*P), so the sub-pipeline emits incrementally —
+        # nothing staged beyond the partial buffers themselves. ----
         merged = None
         if ks is not None:
-            n_split, P, Wm = ks["n_split"], ks["P"], ks["Wm"]
+            n_split, n_rows = ks["n_split"], ks["n_rows"]
+            P, PM, Wm = ks["P"], ks["PM"], ks["Wm"]
             rest = level_args[n_main:]
             si, sx, sv = rest[0][0], rest[1][0], rest[2][0]
             spl_tgt, spl_emit = rest[3][0], rest[4][0]
             spl_wrid = rest[5]
             spl_lv = [x[0] for x in rest[6:]]
-            _, rows_s, q_s, staged_s, lout_s = _pipeline(
-                si, sx, sv, b_start, b_len, b_packed, spl_wrid[0],
-                spl_lv, ks["specs"], n_split, ks["n_chunks"],
-                ks["rw_max"])
-            # partial buffers: row j's compacted entries at [j*P, +count)
-            offs_p = jnp.arange(n_split + 1, dtype=jnp.int32) * P
-            p_cols = jnp.full((n_split * P,), n_cols, jnp.int32)
-            p_vals = jnp.zeros((n_split * P,), jnp.float32)
-            ident_s = jnp.arange(n_split, dtype=jnp.int32)
-            nw_s = jnp.sum((q_s > W).astype(jnp.int32))
-            for stg in staged_s:
-                p_cols, p_vals = stream_emit(
-                    rows_s, stg[0], stg[1], stg[2], stg[3], nw_s,
-                    offs_p, p_cols, p_vals, contained_only=True)
-            for rid_out, col_c, val_c, fcnt in lout_s:
-                rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
-                p_cols, p_vals = stream_emit(
-                    rows_s, rid_b, col_c, val_c, fcnt, zero,
-                    offs_p, p_cols, p_vals, wide_only=True)
-            # exchange partials; merge with ONE sort+contract per row
-            g_c = jax.lax.all_gather(
-                p_cols.reshape(n_split, P), ROW_AXIS)   # (D, n_split, P)
-            g_v = jax.lax.all_gather(p_vals.reshape(n_split, P), ROW_AXIS)
-            D_ax = g_c.shape[0]
-            mc = jnp.transpose(g_c, (1, 0, 2)).reshape(n_split, D_ax * P)
-            mv = jnp.transpose(g_v, (1, 0, 2)).reshape(n_split, D_ax * P)
-            if Wm > D_ax * P:
-                mc = jnp.pad(mc, ((0, 0), (0, Wm - D_ax * P)),
-                             constant_values=n_cols)
-                mv = jnp.pad(mv, ((0, 0), (0, Wm - D_ax * P)))
-            col_s, val_s = _sort_cols(mc, mv, cfg.stream_sort_impl)
-            rid_bm = jax.lax.broadcasted_iota(jnp.int32, (n_split, Wm), 0)
-            last, run_sum = _contract_rect(rid_bm, col_s, val_s, n_cols)
-            _, col_m, val_m, cnt_m = _compact_rect(
-                last, rid_bm, col_s, run_sum,
-                compact_impl=cfg.stream_compact_impl)
-            nnz_row = nnz_row.at[spl_tgt].set(cnt_m, mode="drop",
-                                              unique_indices=True)
-            merged = (spl_emit, col_m, val_m, cnt_m)
+            offs_p = jnp.arange(n_rows + 1, dtype=jnp.int32) * P
+            p_cols = jnp.full((n_rows * P,), n_cols, jnp.int32)
+            p_vals = jnp.zeros((n_rows * P,), val_dtype)
+            _, p_cols, p_vals = _pipeline(
+                si, sx, sv, b_start, b_len, b_payload, spl_wrid[0],
+                spl_lv, ks["specs"], n_rows, ks["n_chunks"],
+                ks["rw_max"], emit_to=(offs_p, p_cols, p_vals))
+            nnz_row, merged = _ksplit_merge(
+                cfg, p_cols, p_vals, spl_tgt, spl_emit, nnz_row,
+                n_split=n_split, PM=PM, Wm=Wm, n_cols=n_cols)
 
         offs = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), cumsum1d(nnz_row)])
         c_cols = jnp.zeros((out_cap,), jnp.int32)
-        c_vals = jnp.zeros((out_cap,), jnp.float32)
-        # wide rows sort first: sorted ids below n_wide are the ladder's,
-        # everything else is contained (per-shard device scalar)
-        n_wide_dev = jnp.sum((q_sorted > W).astype(jnp.int32))
-        for stg in staged:
-            c_cols, c_vals = stream_emit(
-                rows_sorted, stg[0], stg[1], stg[2], stg[3], n_wide_dev,
-                offs, c_cols, c_vals, contained_only=True)
-        for rid_out, col_c, val_c, fcnt in level_out:
-            rid_b = jnp.broadcast_to(rid_out[:, None], col_c.shape)
-            c_cols, c_vals = stream_emit(
-                rows_sorted, rid_b, col_c, val_c, fcnt, zero,
-                offs, c_cols, c_vals, wide_only=True)
+        c_vals = jnp.zeros((out_cap,), val_dtype)
+        c_cols, c_vals = _emit_pipeline(cfg, G, W, n_cols, pipe, offs,
+                                        c_cols, c_vals, f64=f64)
         if merged is not None:
             spl_emit, col_m, val_m, cnt_m = merged
             rid_e = jnp.broadcast_to(spl_emit[:, None], col_m.shape)
@@ -752,12 +1007,285 @@ def _make_shard_body(cfg: SpgemmConfig, m_loc: int, W: int, G: int,
     return shard_body
 
 
+# ---------------------------------------------------------------------------
+# Mesh (sparse-)DIA route: diagonal-plane convolution sharded over rows
+# with a fixed tiny halo exchange (round-5, VERDICT item 5)
+#
+# The single-chip (s)DIA fast path (ops/dia.py) is already row-blocked;
+# here the row blocks are mesh shards. Each shard builds its LOCAL A and
+# B diagonal planes, receives only the <= span_A halo rows of B's planes
+# from its two ring neighbors (two ppermutes of (nd_b, halo) slices —
+# fixed, tiny, data-independent), and runs the offset-list convolution
+# over its row block. No gathers, no sorts, no need-set machinery: the
+# banded/stencil class's whole exchange is the halo. This is the
+# reference's dense-mode selection (spECK_HashSpGEMM.cuh:1761-1793)
+# hoisted across devices; ineligible inputs fall through to the stream.
+# ---------------------------------------------------------------------------
+
+
+def _mesh_sdia_gate(ash: RowShards, bsh: RowShards, cfg: SpgemmConfig,
+                    total_ops: float, D: int):
+    """Host eligibility for the mesh DIA route, from per-shard local
+    metadata only (multi-controller safe: extremes and the offset
+    bitmaps combine across processes). Mirrors the single-chip gates
+    (ops/spgemm._sdia_gate): square same-sharding operands, band range
+    within sdia_span_cap, nd_a*nd_b within sdia_pair_cap, work within
+    dia_waste_cap of the true product count, halo from ring neighbors
+    only. Returns dict(off_a, off_b, dmin_a, dmin_b) or None."""
+    if not cfg.enable_sdia:
+        return None
+    m, k = ash.m, bsh.m
+    if m != k or ash.ranges_ is not None or bsh.ranges_ is not None:
+        return None            # square, equal-count sharding only
+    m_loc = max(1, -(-m // D))
+
+    def extremes(sh):
+        lo = np.full(1, np.iinfo(np.int64).max, np.int64)
+        hi = np.full(1, np.iinfo(np.int64).min, np.int64)
+        for d, sl in sh.local.items():
+            ip = np.asarray(sl.row_offsets, np.int64)
+            ln = ip[1:] - ip[:-1]
+            ne = ln > 0
+            if not ne.any():
+                continue
+            r0 = sh.ranges[d][0]
+            rid = np.arange(sl.rows, dtype=np.int64) + r0
+            ci = np.asarray(sl.col_ids, np.int64)
+            first = ci[np.minimum(ip[:-1], max(ci.size - 1, 0))] - rid
+            last = ci[np.maximum(ip[1:] - 1, 0)] - rid
+            lo[0] = min(lo[0], int(first[ne].min()))
+            hi[0] = max(hi[0], int(last[ne].max()))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            lo = -np.max(multihost_utils.process_allgather(-lo), axis=0)
+            hi = np.max(multihost_utils.process_allgather(hi), axis=0)
+        return int(lo[0]), int(hi[0])
+
+    a_dmin, a_dmax = extremes(ash)
+    b_dmin, b_dmax = extremes(bsh)
+    if a_dmin > a_dmax or b_dmin > b_dmax:
+        return None
+    span_a = a_dmax - a_dmin + 1
+    span_b = b_dmax - b_dmin + 1
+    if span_a > cfg.sdia_span_cap or span_b > cfg.sdia_span_cap:
+        return None
+    # halo must come from the immediate ring neighbors only
+    if max(0, -a_dmin) > m_loc or max(0, a_dmax) > m_loc:
+        return None
+
+    def offsets(sh, dmin, span):
+        bits = np.zeros(span, np.int64)
+        for d, sl in sh.local.items():
+            ip = np.asarray(sl.row_offsets, np.int64)
+            r0 = sh.ranges[d][0]
+            rid = np.repeat(np.arange(sl.rows, dtype=np.int64) + r0,
+                            ip[1:] - ip[:-1])
+            dd = np.asarray(sl.col_ids, np.int64) - rid - dmin
+            bits |= np.bincount(dd, minlength=span).astype(bool).astype(
+                np.int64)
+        bits = _combine_max(bits)
+        return np.flatnonzero(bits) + dmin
+
+    off_a = offsets(ash, a_dmin, span_a)
+    off_b = (off_a if bsh is ash
+             else offsets(bsh, b_dmin, span_b))
+    nd_a, nd_b = len(off_a), len(off_b)
+    if nd_a * nd_b > cfg.sdia_pair_cap:
+        return None
+    if m * nd_a * nd_b > cfg.dia_waste_cap * max(total_ops, 1.0):
+        return None
+    off_c = np.unique(off_a[:, None] + off_b[None, :])
+    nd_c = len(off_c)
+    # per-shard plane working set (value + hit planes, window, output,
+    # staged) within the memory budget and int32 flat-slot range
+    win = m_loc + span_a
+    if max(nd_a, nd_b, nd_c) * max(m_loc, win) >= 2 ** 31:
+        return None
+    per_shard = 4 * (2 * nd_a * m_loc + 2 * nd_b * win
+                     + 2 * nd_c * m_loc + 3 * nd_c * m_loc)
+    if per_shard > cfg.dia_mem_budget:
+        return None
+    return dict(off_a=tuple(int(x) for x in off_a),
+                off_b=tuple(int(x) for x in off_b),
+                off_c=tuple(int(x) for x in off_c),
+                dmin_a=a_dmin, dmin_b=b_dmin,
+                span_a=span_a, span_b=span_b)
+
+
+def _mesh_sdia_spgemm(ash: RowShards, bsh: RowShards, mesh: Mesh,
+                      cfg: SpgemmConfig, sd: dict, dtype, b_nnz: int):
+    """Execute the mesh DIA route (see section comment). Output format
+    matches the stream mesh ((nnz_row, cols, vals, meta), assembled by
+    mesh_stream_to_host_csr)."""
+    from ..ops.dia import _rank_compact, sdia_lut
+    from ..ops.dia import SDIA_ROW_BLOCK
+
+    D = mesh.devices.size
+    m, n = ash.m, bsh.n
+    m_loc = max(1, -(-m // D))
+    off_a, off_b, off_c = sd["off_a"], sd["off_b"], sd["off_c"]
+    nd_a, nd_b, nd_c = len(off_a), len(off_b), len(off_c)
+    dmin_a, dmin_b = sd["dmin_a"], sd["dmin_b"]
+    halo_l = max(0, -min(off_a))
+    halo_r = max(0, max(off_a))
+    win = halo_l + m_loc + halo_r
+    lut_a = np.asarray(sdia_lut(np.asarray(off_a), dmin_a,
+                                sd["span_a"]))
+    lut_b = np.asarray(sdia_lut(np.asarray(off_b), dmin_b,
+                                sd["span_b"]))
+    oc_index = {dd: i for i, dd in enumerate(off_c)}
+    groups: dict = {}
+    for ia, da in enumerate(off_a):
+        for ib, db in enumerate(off_b):
+            groups.setdefault(oc_index[da + db], []).append((ia, da, ib))
+    same = bsh is ash
+    ai_h, ax_h, ad_h, a_ranges = _stack_shards(ash, dtype)
+    bi_h, bx_h, bd_h, _ = ((ai_h, ax_h, ad_h, a_ranges) if same
+                           else _stack_shards(bsh, dtype))
+    r0s = np.array([r0 for r0, _ in a_ranges], np.int32).reshape(D, 1)
+    out_cap = _pow2ceil(max(m_loc * nd_c, 1))
+    # row blocks bound the unrolled pair FMAs' temps (ops/dia.py)
+    blk = min(m_loc, SDIA_ROW_BLOCK)
+    nblk = -(-m_loc // blk)
+
+    def put(x):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, P(ROW_AXIS))
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+
+    lutA_d = jnp.asarray(lut_a)
+    lutB_d = jnp.asarray(lut_b)
+    doffs = jnp.asarray(np.asarray(off_c, np.int32))
+
+    def planes(ip, cx, cd, r0_, lut, dmin, nd):
+        nnz_pad = cx.shape[0]
+        live = jnp.arange(nnz_pad, dtype=jnp.int32) < ip[-1]
+        marks = jnp.zeros((nnz_pad,), jnp.int32).at[ip[1:-1]].add(
+            1, mode="drop")
+        rid = cumsum1d(marks)
+        dd = jnp.clip(cx - (rid + r0_) - jnp.int32(dmin), 0,
+                      lut.shape[0] - 1)
+        slot = jnp.where(live, lut[dd] * jnp.int32(m_loc) + rid,
+                         jnp.int32(nd * m_loc))
+        val = jnp.zeros((nd * m_loc,), cd.dtype).at[slot].add(
+            jnp.where(live, cd, 0), mode="drop").reshape(nd, m_loc)
+        hit = jnp.zeros((nd * m_loc,), jnp.float32).at[slot].add(
+            jnp.where(live, 1.0, 0.0), mode="drop").reshape(nd, m_loc)
+        return val, hit
+
+    def step(ai, ax, ad, bi, bx, bd, r0):
+        ai_, ax_, ad_ = ai[0], ax[0], ad[0]
+        bi_, bx_, bd_ = bi[0], bx[0], bd[0]
+        r0_ = r0[0, 0]
+        av, ahit = planes(ai_, ax_, ad_, r0_, lutA_d, dmin_a, nd_a)
+        if same:
+            bv, bhit = av, ahit
+        else:
+            bv, bhit = planes(bi_, bx_, bd_, r0_, lutB_d, dmin_b, nd_b)
+
+        # ring halo exchange: left halo rows from shard d-1, right from
+        # d+1. Wrapped garbage at the mesh edges is harmless: it only
+        # ever multiplies zero A-plane entries (rows outside the band /
+        # pad rows have no A nonzeros).
+        def window(pl):
+            parts = []
+            if halo_l:
+                parts.append(jax.lax.ppermute(
+                    pl[:, m_loc - halo_l:], ROW_AXIS,
+                    [(s, (s + 1) % D) for s in range(D)]))
+            parts.append(pl)
+            if halo_r:
+                parts.append(jax.lax.ppermute(
+                    pl[:, :halo_r], ROW_AXIS,
+                    [(s, (s - 1) % D) for s in range(D)]))
+            return jnp.concatenate(parts, axis=1) if len(parts) > 1 \
+                else pl
+
+        bw_v = window(bv)
+        bw_h = window(bhit)
+        # pad to whole row blocks so every block slice is in range
+        m_pad = nblk * blk
+        if m_pad > m_loc:
+            pw = ((0, 0), (0, m_pad - m_loc))
+            av, ahit = jnp.pad(av, pw), jnp.pad(ahit, pw)
+            bw_v, bw_h = jnp.pad(bw_v, pw), jnp.pad(bw_h, pw)
+        # blocked list-offset convolution (ops/dia.py sdia_conv pattern):
+        # window position of C local row i, pair offset da = halo_l + i
+        # + da; all slice starts static per (block, pair)
+        pieces_v, pieces_h = [], []
+        for bidx in range(nblk):
+            rb0 = bidx * blk
+            acc_v, acc_h = [], []
+            a_blk = jax.lax.slice(av, (0, rb0), (nd_a, rb0 + blk))
+            ah_blk = jax.lax.slice(ahit, (0, rb0), (nd_a, rb0 + blk))
+            for oc in range(nd_c):
+                vv = jnp.zeros((blk,), ad_.dtype)
+                hh = jnp.zeros((blk,), jnp.float32)
+                for ia, da, ib in groups.get(oc, ()):
+                    s0 = halo_l + rb0 + da
+                    bwv = jax.lax.slice(bw_v, (ib, s0),
+                                        (ib + 1, s0 + blk))[0]
+                    bwh = jax.lax.slice(bw_h, (ib, s0),
+                                        (ib + 1, s0 + blk))[0]
+                    vv = vv + a_blk[ia] * bwv
+                    hh = hh + ah_blk[ia] * bwh
+                acc_v.append(vv)
+                acc_h.append(hh)
+            pieces_v.append(jnp.stack(acc_v))
+            pieces_h.append(jnp.stack(acc_h))
+        c_val = (jnp.concatenate(pieces_v, axis=1) if nblk > 1
+                 else pieces_v[0])[:, :m_loc]
+        c_cnt = (jnp.concatenate(pieces_h, axis=1) if nblk > 1
+                 else pieces_h[0])[:, :m_loc]
+
+        cvT = c_val.T
+        present = c_cnt.T > 0.5     # exact: fp32 counts of 1.0 adds
+        counts = jnp.sum(present, axis=1, dtype=jnp.int32)
+        # doffs gives the diagonal; the column is global row + diagonal
+        # = (r0 + i) + doffs — _rank_compact adds its LOCAL row iota i,
+        # so shift the offsets by r0 (traced scalar, shape-free)
+        cols_s, vals_s = _rank_compact(
+            cvT, present, sc=nd_c, m=m_loc, n_cols=n, base_c=0,
+            impl=cfg.stream_compact_impl, doffs=doffs + r0_)
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), cumsum1d(counts)])
+        j = jax.lax.broadcasted_iota(jnp.int32, (m_loc, nd_c), 1)
+        flat = jnp.where(j < counts[:, None], offs[:-1][:, None] + j,
+                         out_cap)
+        c_cols = jnp.zeros((out_cap,), jnp.int32).at[flat].set(
+            cols_s, mode="drop", unique_indices=True)
+        c_vals = jnp.zeros((out_cap,), ad_.dtype).at[flat].set(
+            vals_s, mode="drop", unique_indices=True)
+        return counts[None], c_cols[None], c_vals[None]
+
+    sharded = jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(P(ROW_AXIS),) * 7,
+        out_specs=(P(ROW_AXIS),) * 3))
+    nnz_row, cols, vals = sharded(
+        put(ai_h), put(ax_h), put(ad_h), put(bi_h), put(bx_h),
+        put(bd_h), put(r0s))
+    itemsize = jnp.dtype(dtype).itemsize
+    stats = NeedsetStats(
+        allgather_bytes=b_nnz * (4 + itemsize),
+        needset_bytes=(halo_l + halo_r) * nd_b * 2 * itemsize,
+        pairs_nnz=np.zeros((D, D), np.int64),
+        mode="dia_halo",
+    )
+    meta = {"ranges": a_ranges, "out_cap": out_cap, "m_loc": m_loc,
+            "shape": (m, n), "stats": stats, "ksplit": None,
+            "route": "sdia"}
+    return nnz_row, cols, vals, meta
+
+
 def mesh_stream_spgemm(
     a,
     b,
     mesh: Mesh,
     cfg: Optional[SpgemmConfig] = None,
     exchange: str = "allgather",
+    dtype=jnp.float32,
 ):
     """C = A @ B as ONE jitted SPMD step over ``mesh`` (see module
     docstring). Returns (nnz_row, cols, vals, meta): padded row-major
@@ -767,10 +1295,49 @@ def mesh_stream_spgemm(
     (pre-sharded: this process holds only its own devices' row shards;
     cross-shard host metadata is exchanged as small padded arrays and
     the need-set exchange plan is computed on device, so no process
-    ever needs the full payloads)."""
+    ever needs the full payloads).
+
+    ``dtype``: jnp.float32 (packed 8-byte B records) or jnp.float64
+    (12-byte records, requires jax x64 — the mesh form of the
+    reference's primary Executor<double>, source/runspECK.cpp:21)."""
     D = mesh.devices.size
-    ash = a if isinstance(a, RowShards) else RowShards.from_global(a, D)
+    cfg = cfg or SpgemmConfig()
+    f64 = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
+    np_dtype = np.float64 if f64 else np.float32
+    CH = 3 if f64 else 2           # payload channels: col + value words
+    rec_bytes = 4 * CH
     bsh = b if isinstance(b, RowShards) else RowShards.from_global(b, D)
+    if bsh.ranges_ is not None:
+        eq = RowShards(m=bsh.m, n=bsh.n, D=bsh.D, local={}).ranges
+        if list(map(tuple, bsh.ranges)) != eq:
+            raise ValueError(
+                "B must be sharded in equal ceil(m/D) row blocks (the "
+                "owner arithmetic col // k_loc depends on it); only A "
+                "supports ops-balanced ranges")
+    b_len_h = _shard_row_lens(bsh)
+    b_nnz = int(b_len_h.sum())
+    if isinstance(a, RowShards):
+        ash = a
+    elif cfg.mesh_balance_rows:
+        # ops-balanced contiguous A partition (VERDICT r4 item 3): the
+        # heavy rows of a power-law matrix no longer pin the shared
+        # n_chunks to one overloaded shard. Gate: only move boundaries
+        # when equal-count ranges are actually imbalanced (>1.25x max/
+        # mean) — aligned structure (block-diagonal inputs) keeps its
+        # zero-communication boundaries.
+        ops_full = _host_row_ops(a, b_len_h)
+        w = np.maximum(ops_full, cfg.stream_min_q)
+        eq = RowShards(m=a.rows, n=a.cols, D=D, local={}).ranges
+        eq_tot = np.array([int(w[r0:r1].sum()) for r0, r1 in eq])
+        mean_w = max(float(eq_tot.mean()), 1.0)
+        if float(eq_tot.max(initial=0)) > 1.25 * mean_w:
+            ash = RowShards.from_global(
+                a, D, ranges=balanced_row_ranges(ops_full, D,
+                                                 cfg.stream_min_q))
+        else:
+            ash = RowShards.from_global(a, D)
+    else:
+        ash = RowShards.from_global(a, D)
     if ash.D != D or bsh.D != D:
         raise ValueError(
             f"RowShards built for D={ash.D}/{bsh.D}, mesh has {D}")
@@ -780,27 +1347,42 @@ def mesh_stream_spgemm(
             f"B is {(bsh.m, bsh.n)}")
     if exchange not in ("allgather", "needset", "needset_overlap"):
         raise ValueError(f"unknown exchange mode {exchange!r}")
-    cfg = cfg or SpgemmConfig()
     n_cols = bsh.n
 
-    b_len_h = _shard_row_lens(bsh)
-    b_nnz = int(b_len_h.sum())
     # per-shard row ops (owners compute, combined): the host analysis
     # all static shapes derive from — O(m) metadata, no payloads
-    m_locA = max(1, -(-ash.m // D))
+    a_ranges0 = ash.ranges
+    m_locA = max([1] + [r1 - r0 for r0, r1 in a_ranges0])
     ops_sh = np.zeros((D, m_locA), np.int64)
     for d, sl in ash.local.items():
         o = _host_row_ops(sl, b_len_h)
         ops_sh[d, : o.shape[0]] = o
     ops_sh = _combine_max(ops_sh)
+
+    # ---- mesh (s)DIA route: banded/stencil inputs take the diagonal-
+    # plane convolution with a fixed tiny halo exchange instead of the
+    # stream (same host gates as the single-chip route; the ``exchange``
+    # argument is moot — the halo IS the exchange) ----
+    sd = _mesh_sdia_gate(ash, bsh, cfg, float(ops_sh.sum()), D)
+    if sd is not None:
+        return _mesh_sdia_spgemm(ash, bsh, mesh, cfg, sd, dtype, b_nnz)
+
     # k-split rows (single-row sharding): removed from their owner's
     # local A, their slots re-dealt by B-row owner (_plan_ksplit_shards)
     k_locB = max(1, -(-bsh.m // D))
     ash_eff, ops_sh, ksp = _plan_ksplit_shards(
-        ash, ops_sh, b_len_h, D, k_locB, cfg.mesh_split_min_ops)
+        ash, ops_sh, b_len_h, D, k_locB, cfg.mesh_split_min_ops,
+        cfg.mesh_subrow_max_ops, np_dtype)
 
-    ai_h, ax_h, ad_h, a_ranges = _stack_shards(ash_eff, jnp.float32)
+    ai_h, ax_h, ad_h, a_ranges = _stack_shards(ash_eff, dtype)
     m_loc = ai_h.shape[1] - 1
+
+    def _pack_payload(bx_, bd_):
+        if f64:
+            return jnp.concatenate(
+                [bx_[:, None],
+                 jax.lax.bitcast_convert_type(bd_, jnp.int32)], axis=-1)
+        return pack_csr_arrays(bx_, bd_)
 
     # per-shard stream shape parameters (host analysis; SPMD needs one
     # static shape across shards). W stays at the configured chunk width
@@ -828,13 +1410,15 @@ def mesh_stream_spgemm(
     n_chunks = max(1, -(-max(total_qs + [1]) // CP))
     out_cap_base = max(total_qs + [1])
     r_wide_max, wide_rid_h, level_specs = _mesh_wide_plans(
-        shard_ops, W, cfg.stream_level_factor, cfg.stream_max_width)
+        shard_ops, W, cfg.stream_level_factor, cfg.stream_max_width,
+        n_cols=n_cols)
 
     # ---- k-split static parameters ----
     ks = None
     if ksp is not None:
-        n_split = ksp["n_split"]
-        sub_ops = ksp["sub_ops"]
+        n_split, n_rows = ksp["n_split"], ksp["n_rows"]
+        max_parts = ksp["max_parts"]
+        sub_ops = ksp["sub_ops"]            # (D, n_rows) per part-row
         tq_s = [tight_total_host(sub_ops[s], W, min_q) for s in range(D)]
         if max(tq_s) >= 2 ** 31:
             raise ValueError(
@@ -842,9 +1426,11 @@ def mesh_stream_spgemm(
                 "past the 2^31 int32 ceiling; use more shards")
         rw_max_s, spl_wide_rid_h, spl_specs = _mesh_wide_plans(
             [sub_ops[s] for s in range(D)], W,
-            cfg.stream_level_factor, cfg.stream_max_width)
+            cfg.stream_level_factor, cfg.stream_max_width,
+            n_cols=n_cols)
         P_spl = _pow2ceil(max(1, min(n_cols, int(sub_ops.max(initial=1)))))
-        Wm = _pow2ceil(D * P_spl)
+        PM = max_parts * P_spl
+        Wm = _pow2ceil(D * PM)
         # owner shard / local row of each split row; non-owners drop
         spl_tgt_h = np.full((D, n_split), m_loc, np.int32)
         spl_emit_h = np.full((D, n_split), -1, np.int32)
@@ -854,15 +1440,15 @@ def mesh_stream_spgemm(
                 if r0 <= r < r1:
                     spl_tgt_h[s, j] = r - r0
                     spl_emit_h[s, j] = r - r0
-                    out_extra[s] += min(n_cols, D * P_spl)
-        ks = dict(n_split=n_split, P=P_spl, Wm=Wm,
-                  n_chunks=max(1, -(-max(tq_s + [1]) // CP)),
+                    out_extra[s] += min(n_cols, D * PM)
+        ks = dict(n_split=n_split, n_rows=n_rows, P=P_spl, PM=PM,
+                  Wm=Wm, n_chunks=max(1, -(-max(tq_s + [1]) // CP)),
                   rw_max=rw_max_s, specs=spl_specs)
         out_cap_base += int(out_extra.max(initial=0))
     out_cap = _pow2ceil(out_cap_base)
     body = _make_shard_body(cfg, m_loc, W, G, n_chunks, out_cap, n_cols,
                             r_wide_max=r_wide_max,
-                            level_specs=level_specs, ks=ks)
+                            level_specs=level_specs, ks=ks, f64=f64)
 
     def put(x):
         # make_array_from_callback works identically under one controller
@@ -899,15 +1485,15 @@ def mesh_stream_spgemm(
     n_ladder = (1 + 2 * len(level_specs)
                 + ((6 + 2 * len(ks["specs"])) if ksp is not None else 0))
 
-    if exchange == "allgather":
-        bi_h, bx_h, bd_h, _ = _stack_shards(bsh, jnp.float32)
+    def run_allgather():
+        bi_h, bx_h, bd_h, _ = _stack_shards(bsh, dtype)
         bnnz_max = bx_h.shape[1]
 
         def step(ai, ax, ad, bi, bx, bd, wide_rid, *lv):
             ai, ax, ad = ai[0], ax[0], ad[0]
             g_indptr = jax.lax.all_gather(bi[0], ROW_AXIS)   # (D, k_loc+1)
             g_packed = jax.lax.all_gather(
-                pack_csr_arrays(bx[0], bd[0]), ROW_AXIS).reshape(-1, 2)
+                _pack_payload(bx[0], bd[0]), ROW_AXIS).reshape(-1, CH)
             base = jnp.arange(D, dtype=jnp.int32)[:, None] * bnnz_max
             b_start = (g_indptr[:, :-1] + base).reshape(-1)
             b_len = (g_indptr[:, 1:] - g_indptr[:, :-1]).reshape(-1)
@@ -917,10 +1503,15 @@ def mesh_stream_spgemm(
         sharded = jax.jit(jax.shard_map(
             step, mesh=mesh, in_specs=(P(ROW_AXIS),) * (6 + n_ladder),
             out_specs=(P(ROW_AXIS),) * 3))
-        nnz_row, cols, vals = sharded(
-            put(ai_h), put(ax_h), put(ad_h), put(bi_h), put(bx_h),
-            put(bd_h),
-            *extra_args(ksp["spl_cols"] if ksp is not None else None))
+        args_ = (put(ai_h), put(ax_h), put(ad_h), put(bi_h), put(bx_h),
+                 put(bd_h),
+                 *extra_args(ksp["spl_cols"] if ksp is not None
+                             else None))
+        _set_last_exec(sharded, args_)
+        return sharded(*args_)
+
+    if exchange == "allgather":
+        nnz_row, cols, vals = run_allgather()
     else:
         k_loc = max(1, -(-bsh.m // D))
         if cfg.mesh_device_planning:
@@ -1035,7 +1626,24 @@ def mesh_stream_spgemm(
                 live_sends.append(put(send_idx[r].astype(np.int32)))
                 live_sends.append(put(send_valid[r]))
 
-        _, bx_h, bd_h, _ = _stack_shards(bsh, jnp.float32)
+        # ---- auto-fallback gate (round-5 hygiene): the per-round pow2
+        # padding can make a scattered need pattern move MORE bytes than
+        # full replication; fall back to all_gather and say so ----
+        needset_bytes = int(sum(round_nnz[1:])) * rec_bytes
+        allgather_bytes = b_nnz * rec_bytes
+        if cfg.mesh_exchange_auto and needset_bytes > allgather_bytes:
+            nnz_row, cols, vals = run_allgather()
+            stats = NeedsetStats(
+                allgather_bytes=allgather_bytes,
+                needset_bytes=needset_bytes, pairs_nnz=pair_nnz,
+                mode="allgather(auto)")
+            meta = {"ranges": a_ranges, "out_cap": out_cap,
+                    "m_loc": m_loc, "shape": (ash.m, bsh.n),
+                    "stats": stats, "ksplit": _ksplit_meta(ksp),
+                    "route": "stream"}
+            return nnz_row, cols, vals, meta
+
+        _, bx_h, bd_h, _ = _stack_shards(bsh, dtype)
         perms = [[(s, (s + r) % D) for s in range(D)] for r in range(D)]
         payload_rounds = [r for r in range(D) if round_nnz[r] > 0]
 
@@ -1076,7 +1684,7 @@ def mesh_stream_spgemm(
                 n_chunks_r[r] = max(1, -(-max(tqs + [1]) // CP))
                 rw_max_r[r], wide_rid_r[r], specs_r[r] = _mesh_wide_plans(
                     ops_list, W, cfg.stream_level_factor,
-                    cfg.stream_max_width)
+                    cfg.stream_max_width, n_cols=n_cols)
 
             overlap_extras = []
             for r in rounds_live:
@@ -1105,8 +1713,8 @@ def mesh_stream_spgemm(
                 sends = rest[n_extras:]
                 ai_, axr_, ad_ = ai[0], axr[0], ad[0]
                 b_start_, b_len_ = rbs[0], rbl[0]
-                packed = pack_csr_arrays(bx[0], bd[0])
-                base_buf = jnp.zeros((RBT, 2), jnp.int32)
+                packed = _pack_payload(bx[0], bd[0])
+                base_buf = jnp.zeros((RBT, CH), jnp.int32)
                 chain = {}
                 buf = base_buf
                 si = 0
@@ -1144,13 +1752,14 @@ def mesh_stream_spgemm(
                         cfg, G, W, n_cols, ai_, axr_, ad_, b_start_,
                         b_len_, buf_for(r), wrid[0], lv, specs_r[r],
                         m=m_loc, n_ch=n_chunks_r[r], rw_max=rw_max_r[r],
-                        row_mask=mask)
+                        row_mask=mask, f64=f64)
                     nnz_row = nnz_row + res[0]
                     pipes.append(res)
 
                 merged = None
                 if ksp is not None:
-                    n_split, Pp, Wm = ks["n_split"], ks["P"], ks["Wm"]
+                    n_split, n_rows = ks["n_split"], ks["n_rows"]
+                    Pp, PMp, Wm = ks["P"], ks["PM"], ks["Wm"]
                     si_ = ex[idx][0]
                     sx_ = ex[idx + 1][0]
                     sv_ = ex[idx + 2][0]
@@ -1161,68 +1770,32 @@ def mesh_stream_spgemm(
                               ex[idx + 6: idx + 6 + 2 * len(ks["specs"])]]
                     # k-split slots are self-owned by construction:
                     # their records live in the round-0 prefix
-                    _, rows_s, q_s, staged_s, lout_s = _stream_pipeline(
+                    offs_p = jnp.arange(n_rows + 1,
+                                        dtype=jnp.int32) * Pp
+                    p_cols = jnp.full((n_rows * Pp,), n_cols, jnp.int32)
+                    p_vals = jnp.zeros((n_rows * Pp,),
+                                       jnp.float64 if f64
+                                       else jnp.float32)
+                    _, p_cols, p_vals = _stream_pipeline(
                         cfg, G, W, n_cols, si_, sx_, sv_, b_start_,
                         b_len_, buf_for(0), spl_wrid[0], spl_lv,
-                        ks["specs"], m=n_split, n_ch=ks["n_chunks"],
-                        rw_max=ks["rw_max"])
-                    offs_p = jnp.arange(n_split + 1,
-                                        dtype=jnp.int32) * Pp
-                    p_cols = jnp.full((n_split * Pp,), n_cols, jnp.int32)
-                    p_vals = jnp.zeros((n_split * Pp,), jnp.float32)
-                    nw_s = jnp.sum((q_s > W).astype(jnp.int32))
-                    for stg in staged_s:
-                        p_cols, p_vals = stream_emit(
-                            rows_s, stg[0], stg[1], stg[2], stg[3], nw_s,
-                            offs_p, p_cols, p_vals, contained_only=True)
-                    for rid_out, col_c, val_c, fcnt in lout_s:
-                        rid_b = jnp.broadcast_to(rid_out[:, None],
-                                                 col_c.shape)
-                        p_cols, p_vals = stream_emit(
-                            rows_s, rid_b, col_c, val_c, fcnt, zero,
-                            offs_p, p_cols, p_vals, wide_only=True)
-                    g_c = jax.lax.all_gather(
-                        p_cols.reshape(n_split, Pp), ROW_AXIS)
-                    g_v = jax.lax.all_gather(
-                        p_vals.reshape(n_split, Pp), ROW_AXIS)
-                    D_ax = g_c.shape[0]
-                    mc = jnp.transpose(g_c, (1, 0, 2)).reshape(
-                        n_split, D_ax * Pp)
-                    mv = jnp.transpose(g_v, (1, 0, 2)).reshape(
-                        n_split, D_ax * Pp)
-                    if Wm > D_ax * Pp:
-                        mc = jnp.pad(mc, ((0, 0), (0, Wm - D_ax * Pp)),
-                                     constant_values=n_cols)
-                        mv = jnp.pad(mv, ((0, 0), (0, Wm - D_ax * Pp)))
-                    col_s, val_s = _sort_cols(mc, mv,
-                                              cfg.stream_sort_impl)
-                    rid_bm = jax.lax.broadcasted_iota(
-                        jnp.int32, (n_split, Wm), 0)
-                    last, run_sum = _contract_rect(rid_bm, col_s, val_s,
-                                                   n_cols)
-                    _, col_m, val_m, cnt_m = _compact_rect(
-                        last, rid_bm, col_s, run_sum,
-                        compact_impl=cfg.stream_compact_impl)
-                    nnz_row = nnz_row.at[spl_tgt].set(
-                        cnt_m, mode="drop", unique_indices=True)
-                    merged = (spl_emit, col_m, val_m, cnt_m)
+                        ks["specs"], m=n_rows, n_ch=ks["n_chunks"],
+                        rw_max=ks["rw_max"], f64=f64,
+                        emit_to=(offs_p, p_cols, p_vals))
+                    nnz_row, merged = _ksplit_merge(
+                        cfg, p_cols, p_vals, spl_tgt, spl_emit,
+                        nnz_row, n_split=n_split, PM=PMp, Wm=Wm,
+                        n_cols=n_cols)
 
                 offs = jnp.concatenate(
                     [jnp.zeros((1,), jnp.int32), cumsum1d(nnz_row)])
                 c_cols = jnp.zeros((out_cap,), jnp.int32)
-                c_vals = jnp.zeros((out_cap,), jnp.float32)
-                for (_, rows_p, q_p, staged_p, lout_p) in pipes:
-                    nw = jnp.sum((q_p > W).astype(jnp.int32))
-                    for stg in staged_p:
-                        c_cols, c_vals = stream_emit(
-                            rows_p, stg[0], stg[1], stg[2], stg[3], nw,
-                            offs, c_cols, c_vals, contained_only=True)
-                    for rid_out, col_c, val_c, fcnt in lout_p:
-                        rid_b = jnp.broadcast_to(rid_out[:, None],
-                                                 col_c.shape)
-                        c_cols, c_vals = stream_emit(
-                            rows_p, rid_b, col_c, val_c, fcnt, zero,
-                            offs, c_cols, c_vals, wide_only=True)
+                c_vals = jnp.zeros((out_cap,),
+                                   jnp.float64 if f64 else jnp.float32)
+                for pipe_r in pipes:
+                    c_cols, c_vals = _emit_pipeline(
+                        cfg, G, W, n_cols, pipe_r, offs, c_cols,
+                        c_vals, f64=f64)
                 if merged is not None:
                     spl_emit_m, col_m, val_m, cnt_m = merged
                     rid_e = jnp.broadcast_to(spl_emit_m[:, None],
@@ -1237,15 +1810,17 @@ def mesh_stream_spgemm(
             sharded = jax.jit(jax.shard_map(
                 step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
                 out_specs=(P(ROW_AXIS),) * 3))
-            nnz_row, cols, vals = sharded(
-                put(ai_h), ax_remap_a, put(ad_h), put(bx_h), put(bd_h),
-                rb_start_a, rb_len_a, *overlap_extras, *live_sends)
+            args_ = (put(ai_h), ax_remap_a, put(ad_h), put(bx_h),
+                     put(bd_h), rb_start_a, rb_len_a, *overlap_extras,
+                     *live_sends)
+            _set_last_exec(sharded, args_)
+            nnz_row, cols, vals = sharded(*args_)
         else:
             def step(ai, axr, ad, bx, bd, rbs, rbl, wide_rid, *rest):
                 lv = rest[: n_ladder - 1]
                 sends = rest[n_ladder - 1:]
                 ai, axr, ad = ai[0], axr[0], ad[0]
-                packed = pack_csr_arrays(bx[0], bd[0])
+                packed = _pack_payload(bx[0], bd[0])
                 segs = []
                 si = 0
                 for r in payload_rounds:
@@ -1259,31 +1834,61 @@ def mesh_stream_spgemm(
                     else:
                         segs.append(jax.lax.ppermute(payload, ROW_AXIS,
                                                      perms[r]))
-                b_packed = (jnp.concatenate(segs) if segs
-                            else jnp.zeros((1, 2), jnp.int32))
-                return body(ai, axr, ad, rbs[0], rbl[0], b_packed,
+                b_payload = (jnp.concatenate(segs) if segs
+                             else jnp.zeros((1, CH), jnp.int32))
+                return body(ai, axr, ad, rbs[0], rbl[0], b_payload,
                             wide_rid, *lv)
 
             n_in = 7 + n_ladder + len(live_sends)
             sharded = jax.jit(jax.shard_map(
                 step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
                 out_specs=(P(ROW_AXIS),) * 3))
-            nnz_row, cols, vals = sharded(
-                put(ai_h), ax_remap_a, put(ad_h), put(bx_h), put(bd_h),
-                rb_start_a, rb_len_a, *extra_args(spl_cols_remap),
-                *live_sends)
+            args_ = (put(ai_h), ax_remap_a, put(ad_h), put(bx_h),
+                     put(bd_h), rb_start_a, rb_len_a,
+                     *extra_args(spl_cols_remap), *live_sends)
+            _set_last_exec(sharded, args_)
+            nnz_row, cols, vals = sharded(*args_)
         stats = NeedsetStats(
             # per-shard volume actually moved over the interconnect:
-            # all_gather replicates all of B's (col, val) records; the
-            # need-set rounds move only the padded non-self rounds
-            allgather_bytes=b_nnz * 8,
-            needset_bytes=int(sum(round_nnz[1:])) * 8,
+            # all_gather replicates all of B's records; the need-set
+            # rounds move only the padded non-self rounds
+            allgather_bytes=allgather_bytes,
+            needset_bytes=needset_bytes,
             pairs_nnz=pair_nnz,
+            mode=exchange,
         )
 
     meta = {"ranges": a_ranges, "out_cap": out_cap, "m_loc": m_loc,
-            "shape": (ash.m, bsh.n), "stats": stats}
+            "shape": (ash.m, bsh.n), "stats": stats,
+            "ksplit": _ksplit_meta(ksp), "route": "stream"}
     return nnz_row, cols, vals, meta
+
+
+_last_exec = None
+
+
+def _set_last_exec(fn, args):
+    global _last_exec
+    _last_exec = (fn, args)
+
+
+def last_exec():
+    """Debug/benchmark hook: the (jitted step, device args) of the most
+    recent mesh_stream_spgemm dispatch. Re-invoking times the pure SPMD
+    step — no host replanning, no recompilation (the jit object is
+    reused) — which is what the overlap A/B measures
+    (scripts/ab_overlap.py)."""
+    return _last_exec
+
+
+def _ksplit_meta(ksp) -> Optional[dict]:
+    """Plan summary surfaced in meta so callers/tests can assert the
+    single-row sharding actually engaged (round-5, VERDICT item 1a)."""
+    if ksp is None:
+        return None
+    return dict(n_split=int(ksp["n_split"]), n_rows=int(ksp["n_rows"]),
+                max_parts=int(ksp["max_parts"]),
+                split_ids=np.asarray(ksp["split_ids"]).tolist())
 
 
 def _fetch_global(x) -> np.ndarray:

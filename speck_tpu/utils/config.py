@@ -104,9 +104,32 @@ class SpgemmConfig:
     # partial row over ITS OWN B rows (zero communication for the
     # partials' inputs), partials are all_gathered and merged on the
     # owner. Lifts the 2^30 per-row per-shard ceiling to D * 2^30 and
-    # spreads one giant row's work across the mesh. Rows past 2^30
-    # always split regardless of this knob.
-    mesh_split_min_ops: int = 1 << 28
+    # spreads one giant row's work across the mesh. Rows past
+    # mesh_subrow_max_ops * D always split regardless of this knob.
+    # 2^25 (32M products): past this the in-SPMD wide-row ladder's
+    # transient buffers (~8 bytes * ops * ~2 live levels per shard)
+    # start to crowd a 16 GiB HBM, and splitting also rebalances the
+    # row's work across the mesh (round-5: was 2^28, which let a 2^27-
+    # product row ride the ladder and OOM the 8-shard CPU mesh host).
+    mesh_split_min_ops: int = 1 << 25
+    # per-shard ceiling on one k-split sub-row's products; sub-rows past
+    # it are SECONDARY-split into multiple part-rows (each merged with
+    # the rest of the row's partials on the owner), so oversize rows
+    # degrade to more merge width instead of raising. 2^30 = the int32
+    # stream-position ceiling; lower it only in tests.
+    mesh_subrow_max_ops: int = 1 << 30
+    # ops-balanced A row partitioning over the mesh (HostCSR inputs
+    # only; pre-sharded RowShards keep their given ranges): contiguous
+    # shard boundaries are chosen on the cumulative per-row product
+    # counts instead of equal row counts, so a power-law matrix's heavy
+    # rows don't concentrate the stream work (and the shared n_chunks)
+    # on one shard — the mesh-axis generalization of the reference's
+    # load-balanced row binning (spECK_HashLoadBalancer.cuh:205-305).
+    mesh_balance_rows: bool = True
+    # fall back to all_gather when the padded need-set plan would move
+    # MORE bytes over the interconnect than full replication (per-round
+    # pow2 padding can overshoot on scattered need patterns)
+    mesh_exchange_auto: bool = True
     # need-set exchange planning on device (parallel/mesh_stream.py):
     # per-dst B-row need bitmaps + all exchange tables computed in two
     # jitted passes with ONE D^2 block-count readback, O(nnz/D + b_rows)
@@ -281,6 +304,9 @@ _INI_TUNING_KEYS = {
     "HostAnalysis": ("host_analysis", bool),
     "HostAnalysisMaxNnz": ("host_analysis_max_nnz", int),
     "MeshSplitMinOps": ("mesh_split_min_ops", int),
+    "MeshSubrowMaxOps": ("mesh_subrow_max_ops", int),
+    "MeshBalanceRows": ("mesh_balance_rows", bool),
+    "MeshExchangeAuto": ("mesh_exchange_auto", bool),
     "MeshDevicePlanning": ("mesh_device_planning", bool),
     "StreamWidth": ("stream_width", int),
     "StreamWidthCap": ("stream_width_cap", int),

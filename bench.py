@@ -211,12 +211,20 @@ def main():
     failures = []
 
     def guarded(tag, fn):
+        import gc
+
         try:
             fn()
         except Exception as e:
             failures.append(tag)
             msg = str(e).replace("\n", " ")[:300]
             print(f"# {tag} FAILED: {type(e).__name__}: {msg}", flush=True)
+        finally:
+            # drop every device buffer the config held before the next
+            # one runs: leftover plan staging measurably pressures the
+            # HBM allocator (the giant config measured 2x slower at the
+            # end of a full bench run than standalone)
+            gc.collect()
 
     # ---- config 1b: banded + clustered outlier rows (per-row DIA split:
     # diagonal planes for the banded bulk, stream for the outliers; the

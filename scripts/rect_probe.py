@@ -32,7 +32,7 @@ def main():
     from bench import make_banded, make_prolongation
     from speck_tpu import device_put_csr, spgemm
     from speck_tpu.ops.spgemm import plan_spgemm
-    from speck_tpu.ops.stream import stream_chunks_fused
+    from speck_tpu.ops.stream import stream_chunk
     from speck_tpu.ops.esc import pack_csr_arrays
     from speck_tpu.utils.config import SpgemmConfig
 
@@ -63,14 +63,19 @@ def main():
     print(f"pack B: {ms*1e3:.1f} ms")
 
     def chunks():
-        return stream_chunks_fused(
-            ss.rows_sorted, ss.e, ss.rowend, ss.q_sorted, ss.el,
-            ss.ops_sorted, ss.p0, ss.su, ss.sa, ss.pend, bp, B.indices,
-            B.data, A.data, ss.src, jnp.zeros((m,), jnp.int32),
-            ss.sid_bases, ss.rid_bases, n_chunks=lo.n_chunks, G=lo.G,
-            W=lo.W, n_cols=n, pack_bits=ss.pack_bits, stage=True,
-            f64=False, raw_set=tuple(range(lo.n_chunks)),
-            expand_impl=cfg.stream_expand_impl)
+        nnz_row = jnp.zeros((m,), jnp.int32)
+        out = None
+        for c in range(lo.n_chunks):
+            Gc = lo.g_last if c == lo.n_chunks - 1 else lo.G
+            nnz_row, out = stream_chunk(
+                ss.rows_sorted, ss.e, ss.rowend, ss.q_sorted, ss.el,
+                ss.ops_sorted, ss.p0, ss.su, ss.sa, ss.pend, bp,
+                B.indices, B.data, A.data, ss.src, nnz_row,
+                jnp.int32(c * lo.G * lo.W), ss.rid_bases[c],
+                ss.sid_bases[c], G=Gc, W=lo.W, n_cols=n,
+                pack_bits=ss.pack_bits, stage=True, f64=False,
+                stage_raw=True, expand_impl=cfg.stream_expand_impl)
+        return nnz_row, out
 
     ms, _ = t(chunks)
     print(f"counting chunks ({lo.n_chunks}x{lo.G}x{lo.W}): {ms*1e3:.1f} ms")

@@ -150,15 +150,20 @@ class HostGateLite:
 
 def host_band_extremes(ah, bh):
     """(a_dmin, a_dmax, b_dmin, b_dmax) — the O(rows) half of the lite
-    gate, so hopeless (wide-band) inputs never pay the bincount."""
+    gate, so hopeless (wide-band) inputs never pay the bincount.
+
+    No dtype-converting asarray on the O(nnz) col_ids array: at 28.6M
+    nnz the uint32->int64 copy alone measured ~0.3 s per call on this
+    environment's slow session hosts; _host_band only GATHERS O(rows)
+    elements from it (numpy upcasts the small gathered arrays)."""
     a_dmin, a_dmax = _host_band(
         np.asarray(ah.row_offsets, np.int64),
-        np.asarray(ah.col_ids, np.int64), ah.rows)
+        np.asarray(ah.col_ids), ah.rows)
     if bh is ah:
         return a_dmin, a_dmax, a_dmin, a_dmax
     b_dmin, b_dmax = _host_band(
         np.asarray(bh.row_offsets, np.int64),
-        np.asarray(bh.col_ids, np.int64), bh.rows)
+        np.asarray(bh.col_ids), bh.rows)
     return a_dmin, a_dmax, b_dmin, b_dmax
 
 
@@ -166,7 +171,7 @@ def host_gate_lite(ah, bh, extremes=None) -> HostGateLite:
     if extremes is None:
         extremes = host_band_extremes(ah, bh)
     a_dmin, a_dmax, b_dmin, b_dmax = extremes
-    ci = np.asarray(ah.col_ids, np.int64)
+    ci = np.asarray(ah.col_ids)       # no dtype copy (bincount upcasts)
     b_ip = np.asarray(bh.row_offsets, np.int64)
     cnt_a = np.bincount(ci, minlength=int(bh.rows)) if ci.size else \
         np.zeros(int(bh.rows), np.int64)

@@ -385,6 +385,7 @@ class SpgemmPlan:
                     wide_staged = []
                     for c in range(lo.n_chunks):
                         has_wide = (c * G < lo.r_wide) and not reuse_levels
+                        Gc = (lo.g_last if c == lo.n_chunks - 1 else G)
                         c_cols, c_vals, stg = stream_chunk_numeric(
                             ss.rows_sorted, ss.e, ss.rowend, ss.p0, ss.su,
                             sa_n, ss.pend, b_packed, B.indices, B.data,
@@ -392,7 +393,7 @@ class SpgemmPlan:
                             ss.src, self.row_offsets, c_cols, c_vals,
                             jnp.int32(c * CP),
                             ss.rid_bases[c], ss.sid_bases[c], nwj,
-                            G=G, W=W, n_cols=n, pack_bits=ss.pack_bits,
+                            G=Gc, W=W, n_cols=n, pack_bits=ss.pack_bits,
                             stage_wide=has_wide, f64=f64,
                             sort_impl=self.cfg.stream_sort_impl,
                             compact_impl=self.cfg.stream_compact_impl,
@@ -838,9 +839,39 @@ def _plan_dia(A: DeviceCSR, B: DeviceCSR, cfg: SpgemmConfig,
     )
 
 
-def _host_diag_offsets(h, dmin: int, span: int) -> np.ndarray:
-    """Distinct diagonal offsets (col - row) present in a HostCSR: one
-    O(nnz + span) bincount (no sort)."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("span",))
+def _diag_bitmap_dev(indptr, indices, dmin, *, span: int):
+    """Presence bitmap over diagonal offsets (col - row - dmin): one
+    O(nnz) device pass (boundary scatter + blocked cumsum + max
+    scatter)."""
+    nnz = indices.shape[0]
+    marks = jnp.zeros((nnz,), jnp.int32).at[indptr[1:-1]].add(
+        1, mode="drop")
+    rid = cumsum1d(marks)
+    d = jnp.clip(indices - rid - dmin, 0, span - 1)
+    return jnp.zeros((span,), jnp.int32).at[d].max(1, mode="drop")
+
+
+# past this span the device bitmap fetch outweighs the host bincount
+_DIAG_DEV_SPAN_MAX = 1 << 22
+
+
+def _diag_offsets(dev, h, dmin: int, span: int) -> np.ndarray:
+    """Distinct diagonal offsets (col - row) present in a matrix.
+
+    Device form by default (one O(nnz) vector pass + a (span,) bitmap
+    fetch): the host numpy form needs an O(nnz) row-id decode whose
+    repeat/bincount+cumsum passes measured 3.1-5.5 s at 28.6M nnz on
+    this environment's (slow, single-core) session hosts — the whole
+    stencil-class routing budget. Falls back to host bincount for
+    spans past the fetch-size cutoff or device-less calls."""
+    if dev is not None and span <= _DIAG_DEV_SPAN_MAX:
+        bm = np.asarray(_diag_bitmap_dev(dev.indptr, dev.indices,
+                                         jnp.int32(dmin), span=span))
+        return np.flatnonzero(bm) + dmin
     ip = np.asarray(h.row_offsets, np.int64)
     rid = np.repeat(np.arange(h.rows, dtype=np.int64), ip[1:] - ip[:-1])
     d = np.asarray(h.col_ids, np.int64) - rid
@@ -868,9 +899,9 @@ def _sdia_gate(cfg: SpgemmConfig, A: DeviceCSR, B: DeviceCSR, ah, bh, hg):
     # skip the O(nnz) scans outright
     if ah.nnz * bh.nnz > cfg.sdia_pair_cap * m * bh.rows:
         return None
-    off_a = _host_diag_offsets(ah, hg.a_dmin, span_a)
-    off_b = off_a if bh is ah else _host_diag_offsets(bh, hg.b_dmin,
-                                                      span_b)
+    off_a = _diag_offsets(A, ah, hg.a_dmin, span_a)
+    off_b = off_a if bh is ah else _diag_offsets(B, bh, hg.b_dmin,
+                                                 span_b)
     nd_a, nd_b = len(off_a), len(off_b)
     if nd_a * nd_b > cfg.sdia_pair_cap:
         return None
@@ -1249,6 +1280,15 @@ def plan_spgemm(
         if use_dia_rows and ah is not None:
             use_dia_rows = _host_dia_rows_plausible(
                 ah, ah if (B is A or bh is ah) else bh, cfg)
+            if use_dia_rows:
+                # a HOST-CONFIRMED per-row DIA split claims the banded
+                # bulk, leaving dense tiles ineligible (any tile holding
+                # a dia row is excluded) — the O(nnz) tile_stats pass
+                # (measured 101 ms on config 1b) would be discarded
+                # work. Rows the device band gate then rejects ride the
+                # stream instead: correct, marginally slower, and rare
+                # (non-banded inputs fail the host gate first).
+                use_dense = False
         (rows_sorted, e, q_sorted, el, ops_sorted, e2, q2_sorted,
          cmin_sorted, nnz_init, t_r0, t_kb, t_cb, t_valid, dia_mask,
          pack) = plan_device_stream(
@@ -1500,6 +1540,8 @@ def plan_spgemm(
             staged = []
             for c in range(layout.n_chunks):
                 has_wide = c * G < layout.r_wide
+                # last chunk runs at its live rect-row count (g_last)
+                Gc = (layout.g_last if c == layout.n_chunks - 1 else G)
                 # fused contained-only chunks stage RAW (sorted,
                 # uncompacted): when the plan turns out duplicate-free
                 # the compact pass never runs (see below); wide chunks
@@ -1513,7 +1555,7 @@ def plan_spgemm(
                     p0, su, sa, pend, b_packed, B.indices, B.data, A.data,
                     src, nnz_row,
                     jnp.int32(c * CP), rid_bases[c], sid_bases[c],
-                    G=G, W=W, n_cols=n, pack_bits=pack_bits,
+                    G=Gc, W=W, n_cols=n, pack_bits=pack_bits,
                     stage=fused or has_wide, f64=f64,
                     pallas_contract=cfg.stream_pallas_contract,
                     sort_impl=cfg.stream_sort_impl,

@@ -1624,6 +1624,11 @@ class StreamLayout:
 
     W: int
     G: int                    # rect rows per chunk
+    # rect rows of the LAST chunk (<= G): a stream whose total is not a
+    # multiple of G*W otherwise pays a nearly-dead full chunk (config
+    # 1b: 1026 rect rows over 512-row chunks left 2 live rows in chunk
+    # 3). Shrunk only when the wide region fits the full chunks.
+    g_last: int
     n_chunks: int
     total_q: int              # stream length (sum of allocations)
     n_wide: int               # wide rows (q > W), first in sorted order
@@ -1681,6 +1686,14 @@ def plan_layout(hist: np.ndarray, d_hist: np.ndarray, W: int,
     if need < G:
         G = max(8, -(-need // 8) * 8) if need > 8 else max(1, need)
     n_chunks = -(-total_q // (G * W)) if total_q else 0
+    # last-chunk shrink (see StreamLayout.g_last); wide rows must stay
+    # in full chunks (_wide_slices assumes stride G)
+    g_last = G
+    if n_chunks > 1:
+        rem = need - (n_chunks - 1) * G
+        if rem < G and (n_chunks - 1) * G >= (r_wide or 0):
+            g_last = max(8, -(-rem // 8) * 8) if rem > 8 \
+                else max(1, rem)
 
     n_direct = int(d_hist.sum())
     direct_classes = []
@@ -1691,8 +1704,8 @@ def plan_layout(hist: np.ndarray, d_hist: np.ndarray, W: int,
             direct_classes.append((1 << k, start, cnt))
             start += cnt
     return StreamLayout(
-        W=W, G=G, n_chunks=n_chunks, total_q=total_q, n_wide=n_wide,
-        r_wide=r_wide, wide_segs=wide_segs,
+        W=W, G=G, g_last=g_last, n_chunks=n_chunks, total_q=total_q,
+        n_wide=n_wide, r_wide=r_wide, wide_segs=wide_segs,
         n_stream_rows=n_stream_rows, n_direct_rows=n_direct,
         direct_classes=direct_classes,
     )

@@ -202,7 +202,11 @@ def main():
         t0 = time.perf_counter()
         C_ref = S @ S
         scipy_s = min(scipy_s, time.perf_counter() - t0)
-    mean_s, C1, sum_products = bench_pair("config1_banded_65k_AxA", a1, a1)
+    # headline config: extra iterations — the tunnel's per-run variance
+    # (measured 110-146 ms on identical code in one afternoon) is the
+    # biggest noise source in the recorded vs_baseline
+    mean_s, C1, sum_products = bench_pair("config1_banded_65k_AxA", a1,
+                                          a1, iters=5)
     assert C1.nnz == C_ref.nnz, f"nnz mismatch: {C1.nnz} vs {C_ref.nnz}"
 
     # Every further config runs guarded: one failing config must not cost

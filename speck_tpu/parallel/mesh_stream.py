@@ -1406,6 +1406,18 @@ def mesh_stream_spgemm(
                 f"shard rows {r0}:{r1} pack to {total_qs[-1]} stream "
                 "slots, past the 2^31 int32 ceiling; use more shards")
     G = max(1, cfg.product_budget // W)
+    # exact-size G (round-5, mirrors plan_layout): when every shard's
+    # stream fits one chunk, the full budget rectangle left up to ~27x
+    # dead slots at small scales — size the chunk to the largest
+    # shard's live rect rows (multiple of 8). The k-split sub-pipeline
+    # shares CP, so its totals join the sizing.
+    need = -(-max(total_qs + [1]) // W)
+    if ksp is not None:
+        need = max(need, -(-max(
+            [tight_total_host(ksp["sub_ops"][s], W, min_q)
+             for s in range(D)] + [1]) // W))
+    if need < G:
+        G = max(8, -(-need // 8) * 8) if need > 8 else max(1, need)
     CP = G * W
     n_chunks = max(1, -(-max(total_qs + [1]) // CP))
     out_cap_base = max(total_qs + [1])

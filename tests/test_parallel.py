@@ -524,6 +524,37 @@ def test_mesh_dia_route_rejects_unbanded(rng):
     assert out[3]["route"] == "stream"
 
 
+@pytest.mark.parametrize("exchange", ["allgather", "needset"])
+def test_mesh_two_phase_staging_budget(rng, exchange):
+    """FusedStagingBudget=0 forces the mesh two-phase path: contained
+    chunks run count-only and re-expand straight into C in the emission
+    pass (the bounded-retained-memory guarantee, round-5 VERDICT item
+    1b). Includes a wide row so staged-for-ladder chunks and re-expanded
+    chunks coexist. Oracle-exact."""
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    m = 200
+    rs = np.random.RandomState(61)
+    base = sp.random(m, m, 0.06, format="csr", random_state=rs)
+    base.data = rs.standard_normal(base.nnz)
+    lil = base.tolil()
+    lil[7, :] = rs.standard_normal(m)       # wide row (> W)
+    a = HostCSR.from_scipy(lil.tocsr())
+    cfg = SpgemmConfig(stream_width=64, product_budget=1 << 10,
+                       mesh_split_min_ops=1 << 30,
+                       fused_staging_budget=0)
+    mesh = make_row_mesh(8)
+    nnz_row, cols, vals, meta = mesh_stream_spgemm(
+        a, a, mesh, cfg=cfg, exchange=exchange)
+    got = mesh_stream_to_host_csr(nnz_row, cols, vals, meta)
+    ref = oracle_spgemm(a, a)
+    r = compare_csr(ref, got, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+
+
 def test_mesh_needset_autofallback_to_allgather(rng):
     """Auto-fallback gate (round-5 hygiene): when the padded need-set
     plan would move more bytes than all_gather replication, the step

@@ -38,6 +38,16 @@ B exchange over the mesh axis (ICI on a real slice):
   received-buffer slots on the host. meta["stats"] reports the
   exchanged-bytes reduction vs all_gather.
 
+Kernel-family routing (the single-chip DIA/dense/stream auto-select,
+ops/spgemm, hoisted across devices): banded/stencil inputs take the
+per-shard diagonal-plane convolution with a fixed ring-halo exchange
+(_mesh_sdia_gate/_mesh_sdia_spgemm); tile-bounded inputs under
+``exchange="allgather"`` take the dense-MXU route — densify + batched
+matmuls per shard against the replicated B
+(_mesh_dense_gate/_mesh_dense_spgemm). Under needset the stream keeps
+precedence over dense: the need-set plan can move far less than the
+replication the dense route requires (zero for block structure).
+
 The reference is single-GPU (SURVEY.md §2.2); this layer is new design
 per the BASELINE.json north star.
 """
@@ -1279,6 +1289,265 @@ def _mesh_sdia_spgemm(ash: RowShards, bsh: RowShards, mesh: Mesh,
     return nnz_row, cols, vals, meta
 
 
+def _mesh_dense_gate(ash: RowShards, bsh: RowShards, b_len_h: np.ndarray,
+                     cfg: SpgemmConfig, D: int):
+    """Host eligibility for the mesh dense-MXU route, from per-shard
+    local metadata only (multi-controller safe, like _mesh_sdia_gate).
+
+    The single-chip dense-tile criteria (ops/dense.py: the analogue of
+    spECK's per-block dense-mode select, spECK_HashSpGEMM.cuh:1761-1793)
+    hoisted to per-shard row tiles: EVERY non-empty tile of
+    ``dense_tile_rows`` consecutive local rows must have A-column span
+    <= dense_kw, output-column span <= dense_cw, and per-row lengths
+    <= dense_la / dense_lb. Full cover only — a single ineligible tile
+    sends the whole multiply to the stream (the mesh has no per-tile
+    mixed routing; the single-chip path does).
+
+    Returns dict(kb, cb (D, K) tile window bases, K, kw, cw, la, lb)
+    or None. The route replicates B (all_gather), so the caller only
+    consults this gate when exchange == "allgather" — under needset the
+    stream's exchange plan can move far less than replication (zero for
+    block structure) and keeps precedence."""
+    if not cfg.enable_dense:
+        return None
+    tr = cfg.dense_tile_rows
+    m_loc = max([1] + [r1 - r0 for r0, r1 in ash.ranges])
+    K = -(-m_loc // tr)
+    k_dim = bsh.m
+    k_loc = max(1, -(-k_dim // D))
+    INTM = np.iinfo(np.int64).max
+
+    # global per-B-row first / last+1 column (O(k) ints, owner-combined;
+    # empty rows: first = INTM, last+1 = 0 — both max-combine safely)
+    bf = np.zeros((D, k_loc), np.int64)
+    bl1 = np.zeros((D, k_loc), np.int64)
+    for d, sl in bsh.local.items():
+        ip = np.asarray(sl.row_offsets, np.int64)
+        ci = np.asarray(sl.col_ids, np.int64)
+        ln = ip[1:] - ip[:-1]
+        ne = ln > 0
+        if ci.size:
+            f = np.where(ne, ci[np.minimum(ip[:-1], ci.size - 1)], INTM)
+            l1 = np.where(ne, ci[np.maximum(ip[1:] - 1, 0)] + 1, 0)
+        else:
+            f = np.full(sl.rows, INTM, np.int64)
+            l1 = np.zeros(sl.rows, np.int64)
+        bf[d, : sl.rows] = f
+        bl1[d, : sl.rows] = l1
+    bf = _combine_max(bf).reshape(-1)[:k_dim]
+    bl1 = _combine_max(bl1).reshape(-1)[:k_dim]
+
+    kb = np.zeros((D, K), np.int64)
+    cb = np.zeros((D, K), np.int64)
+    # [violations, kspan, cspan, la, lb] per shard, owner-combined
+    stat = np.zeros((D, 5), np.int64)
+    for d, sl in ash.local.items():
+        ip = np.asarray(sl.row_offsets, np.int64)
+        ci = np.asarray(sl.col_ids, np.int64)
+        lens = ip[1:] - ip[:-1]
+        ne = lens > 0
+        if ci.size:
+            afirst = np.where(ne, ci[np.minimum(ip[:-1], ci.size - 1)],
+                              INTM)
+            alast = np.where(ne, ci[np.maximum(ip[1:] - 1, 0)], -1)
+            starts = np.minimum(ip[:-1], ci.size - 1)
+            # per-row output range / max referenced-B-row length over the
+            # row's B rows (reduceat; empty rows masked — reduceat on an
+            # empty segment returns the element at its start)
+            rmin = np.minimum.reduceat(bf[ci], starts)
+            rmax = np.maximum.reduceat(bl1[ci] - 1, starts)
+            rlb = np.maximum.reduceat(b_len_h[ci], starts)
+            cmin = np.where(ne, rmin, INTM)
+            cmax = np.where(ne, rmax, -1)
+            lb_r = np.where(ne, rlb, 0)
+        else:
+            afirst = np.full(sl.rows, INTM, np.int64)
+            alast = np.full(sl.rows, -1, np.int64)
+            cmin = np.full(sl.rows, INTM, np.int64)
+            cmax = np.full(sl.rows, -1, np.int64)
+            lb_r = np.zeros(sl.rows, np.int64)
+
+        def tiles(x, red, fill):
+            pad = K * tr - sl.rows
+            xp = (np.concatenate([x, np.full(pad, fill, np.int64)])
+                  if pad else x)
+            return red(xp.reshape(K, tr), axis=1)
+
+        t_kmin = tiles(afirst, np.min, INTM)
+        t_kmax = tiles(alast, np.max, -1)
+        t_cmin = tiles(cmin, np.min, INTM)
+        t_cmax = tiles(cmax, np.max, -1)
+        t_la = tiles(lens, np.max, 0)
+        t_lb = tiles(lb_r, np.max, 0)
+        live = t_kmax >= 0
+        kspan = np.where(live, t_kmax - t_kmin + 1, 0)
+        # output-empty tiles (all products vanish) keep cspan 0
+        cspan = np.where(live & (t_cmax >= 0), t_cmax - t_cmin + 1, 0)
+        bad = live & ((kspan > cfg.dense_kw) | (cspan > cfg.dense_cw)
+                      | (t_la > cfg.dense_la) | (t_lb > cfg.dense_lb))
+        stat[d] = [int(bad.sum()), int(kspan.max(initial=0)),
+                   int(cspan.max(initial=0)), int(t_la.max(initial=0)),
+                   int(t_lb.max(initial=0))]
+        kb[d] = np.where(live, t_kmin, 0)
+        cb[d] = np.where(live & (t_cmax >= 0), t_cmin, 0)
+    stat = _combine_max(stat)
+    kb = _combine_max(kb)
+    cb = _combine_max(cb)
+    if int(stat[:, 0].max(initial=0)) > 0:
+        return None
+
+    def up(x, q, lo):
+        return max(lo, -(-int(x) // q) * q)
+
+    kw = up(stat[:, 1].max(initial=1), 128, 128)
+    cw = up(stat[:, 2].max(initial=1), 128, 128)
+    la = up(stat[:, 3].max(initial=1), 8, 8)
+    lb = up(stat[:, 4].max(initial=1), 8, 8)
+    # per-shard working set (dense windows, MXU outputs, staged rows,
+    # padded output) within the memory budget
+    out_cap = _pow2ceil(max(1, m_loc * cw))
+    bytes_ = 4 * (2 * K * tr * kw + 2 * K * kw * cw + 4 * K * tr * cw
+                  + K * tr * (la + lb)) + out_cap * 12
+    if bytes_ > cfg.dia_mem_budget:
+        return None
+    return dict(kb=kb.astype(np.int32), cb=cb.astype(np.int32), K=K,
+                kw=kw, cw=cw, la=la, lb=lb)
+
+
+def _mesh_dense_spgemm(ash: RowShards, bsh: RowShards, mesh: Mesh,
+                       cfg: SpgemmConfig, dn: dict, dtype, b_nnz: int):
+    """Execute the mesh dense-MXU route: B replicated by all_gather,
+    every shard runs its row tiles as densify -> batched MXU matmul
+    (values + exact bf16 pattern counts) -> rank-sort compaction —
+    ops/dense.dense_tiles restructured for the SPMD body (local A,
+    gathered B addressed shard-by-shard). Output format matches the
+    stream mesh ((nnz_row, cols, vals, meta) for
+    mesh_stream_to_host_csr)."""
+    from ..ops.dense import _densify_scatter, _densify_sorted
+
+    D = mesh.devices.size
+    m, n = ash.m, bsh.n
+    k_dim = bsh.m
+    tr, K = cfg.dense_tile_rows, dn["K"]
+    kw, cw, la, lb = dn["kw"], dn["cw"], dn["la"], dn["lb"]
+    ai_h, ax_h, ad_h, a_ranges = _stack_shards(ash, dtype)
+    bi_h, bx_h, bd_h, _ = _stack_shards(bsh, dtype)
+    bnnz_max = bx_h.shape[1]
+    m_loc = ai_h.shape[1] - 1
+    rows_d = np.array([[r1 - r0] for r0, r1 in a_ranges], np.int32)
+    out_cap = _pow2ceil(max(1, m_loc * cw))
+    _dens = (_densify_scatter if cfg.dense_densify == "scatter"
+             else _densify_sorted)
+
+    def put(x):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, P(ROW_AXIS))
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+
+    def step(ai, ax, ad, bi, bx, bd, kb, cb, rdv):
+        ai_, ax_, ad_ = ai[0], ax[0], ad[0]
+        kb_, cb_, nrows = kb[0], cb[0], rdv[0, 0]
+        # ---- B replication: per-shard payloads concatenate with pad
+        # gaps; global row q lives in shard q // k_loc at local offset
+        # q - shard*k_loc, so (start, len) come straight from the
+        # gathered indptrs (the run_allgather addressing)
+        g_indptr = jax.lax.all_gather(bi[0], ROW_AXIS)      # (D, k_loc+1)
+        g_cols = jax.lax.all_gather(bx[0], ROW_AXIS).reshape(-1)
+        g_vals = jax.lax.all_gather(bd[0], ROW_AXIS).reshape(-1)
+        base = jnp.arange(D, dtype=jnp.int32)[:, None] * bnnz_max
+        b_start = (g_indptr[:, :-1] + base).reshape(-1)
+        b_len = (g_indptr[:, 1:] - g_indptr[:, :-1]).reshape(-1)
+
+        # ---- A side: (K*tr, la) rectangles -> (K*tr, kw) dense windows
+        rows = (jnp.arange(K, dtype=jnp.int32)[:, None] * tr
+                + jnp.arange(tr, dtype=jnp.int32)[None, :]).reshape(-1)
+        vrow = rows < nrows
+        r = jnp.where(vrow, rows, 0)
+        p0 = ai_[r]
+        ln = jnp.where(vrow, ai_[r + 1] - p0, 0)
+        j = jnp.arange(la, dtype=jnp.int32)[None, :]
+        alive = j < ln[:, None]
+        idx = jnp.where(alive, p0[:, None] + j, 0)
+        acol = jnp.where(alive, ax_[idx], 0)
+        aval = jnp.where(alive, ad_[idx], 0)
+        kb_row = jnp.repeat(kb_, tr)
+        kloc = jnp.where(alive, acol - kb_row[:, None], kw)
+        A_dense, A_hit = _dens(kloc, aval, kw)
+
+        # ---- B side: (K*kw, lb) rectangles over the tiles' k-windows.
+        # Window rows the shard's A never references multiply zero
+        # A_dense columns, so their values are harmless
+        ks = (kb_[:, None]
+              + jnp.arange(kw, dtype=jnp.int32)[None, :]).reshape(-1)
+        vk = ks < k_dim
+        kq = jnp.where(vk, ks, 0)
+        q0 = b_start[kq]
+        qln = jnp.where(vk, b_len[kq], 0)
+        jb = jnp.arange(lb, dtype=jnp.int32)[None, :]
+        blive = jb < qln[:, None]
+        bidx = jnp.where(blive, q0[:, None] + jb, 0)
+        bcol = jnp.where(blive, g_cols[bidx], 0)
+        bval = jnp.where(blive, g_vals[bidx], 0)
+        cb_k = jnp.repeat(cb_, kw)
+        cloc = jnp.where(blive, bcol - cb_k[:, None], cw)
+        B_dense, B_hit = _dens(cloc, bval, cw)
+
+        # ---- MXU: values at full precision; exact structural counts
+        # (bf16 pattern matmul, counts <= dense_la <= 256 — the presence
+        # bitmap analogue, spECK_HashSpGEMM.cuh:1210-1233)
+        A3 = A_dense.reshape(K, tr, kw)
+        B3 = B_dense.reshape(K, kw, cw)
+        C_vals = jnp.einsum(
+            "abk,akc->abc", A3, B3,
+            precision=jax.lax.Precision.HIGHEST).reshape(K * tr, cw)
+        C_cnt = jnp.einsum(
+            "abk,akc->abc",
+            A_hit.reshape(K, tr, kw).astype(jnp.bfloat16),
+            B_hit.reshape(K, kw, cw).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32).reshape(K * tr, cw)
+
+        cb_row = jnp.repeat(cb_, tr)
+        tcw = jnp.arange(cw, dtype=jnp.int32)[None, :]
+        present = ((C_cnt > 0.5) & vrow[:, None]
+                   & ((cb_row[:, None] + tcw) < n))
+        # rank-sort compaction: rows come out column-sorted for free
+        rank = jnp.cumsum(present.astype(jnp.int32), axis=1) - 1
+        key = jnp.where(present, rank, cw + tcw)
+        cols_g = jnp.where(present, cb_row[:, None] + tcw, n)
+        _, cols_c, vals_c = jax.lax.sort(
+            (key, cols_g, C_vals), dimension=1, num_keys=1)
+
+        counts = jnp.sum(present, axis=1, dtype=jnp.int32)[:m_loc]
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), cumsum1d(counts)])
+        jj = jax.lax.broadcasted_iota(jnp.int32, (m_loc, cw), 1)
+        flat = jnp.where(jj < counts[:, None], offs[:-1][:, None] + jj,
+                         out_cap)
+        c_cols = jnp.zeros((out_cap,), jnp.int32).at[flat].set(
+            cols_c[:m_loc], mode="drop", unique_indices=True)
+        c_vals = jnp.zeros((out_cap,), ad_.dtype).at[flat].set(
+            vals_c[:m_loc], mode="drop", unique_indices=True)
+        return counts[None], c_cols[None], c_vals[None]
+
+    sharded = jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(P(ROW_AXIS),) * 9,
+        out_specs=(P(ROW_AXIS),) * 3))
+    args_ = (put(ai_h), put(ax_h), put(ad_h), put(bi_h), put(bx_h),
+             put(bd_h), put(dn["kb"]), put(dn["cb"]), put(rows_d))
+    _set_last_exec(sharded, args_)
+    nnz_row, cols, vals = sharded(*args_)
+    itemsize = jnp.dtype(dtype).itemsize
+    rep = b_nnz * (4 + itemsize)
+    stats = NeedsetStats(allgather_bytes=rep, needset_bytes=rep,
+                         pairs_nnz=np.zeros((D, D), np.int64),
+                         mode="dense_allgather")
+    meta = {"ranges": a_ranges, "out_cap": out_cap, "m_loc": m_loc,
+            "shape": (m, n), "stats": stats, "ksplit": None,
+            "route": "dense"}
+    return nnz_row, cols, vals, meta
+
+
 def mesh_stream_spgemm(
     a,
     b,
@@ -1366,6 +1635,17 @@ def mesh_stream_spgemm(
     sd = _mesh_sdia_gate(ash, bsh, cfg, float(ops_sh.sum()), D)
     if sd is not None:
         return _mesh_sdia_spgemm(ash, bsh, mesh, cfg, sd, dtype, b_nnz)
+
+    # ---- mesh dense-MXU route: tile-bounded inputs run densify +
+    # batched matmuls per shard. B is replicated, so the gate is only
+    # consulted when the caller already chose replication (allgather);
+    # under needset the exchange plan's (possibly zero) communication
+    # keeps precedence over MXU throughput ----
+    if exchange == "allgather":
+        dn = _mesh_dense_gate(ash, bsh, b_len_h, cfg, D)
+        if dn is not None:
+            return _mesh_dense_spgemm(ash, bsh, mesh, cfg, dn, dtype,
+                                      b_nnz)
 
     # k-split rows (single-row sharding): removed from their owner's
     # local A, their slots re-dealt by B-row owner (_plan_ksplit_shards)

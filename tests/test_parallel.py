@@ -515,12 +515,114 @@ def test_mesh_dia_route(make, name):
 
 def test_mesh_dia_route_rejects_unbanded(rng):
     """Unstructured inputs must NOT take the DIA route (band/pair gates
-    reject) — they run the stream as before."""
+    reject) — they run the stream as before. (Under needset the dense
+    gate is never consulted, so the route is exactly the stream; a small
+    random matrix under allgather is dense-ELIGIBLE and is covered by
+    test_mesh_dense_route_* below.)"""
     from speck_tpu.parallel import make_row_mesh, mesh_stream_spgemm
 
     a = random_host_csr(rng, 128, 128, 0.05)
     mesh = make_row_mesh(8)
-    out = mesh_stream_spgemm(a, a, mesh, exchange="allgather")
+    out = mesh_stream_spgemm(a, a, mesh, exchange="needset")
+    assert out[3]["route"] == "stream"
+
+
+def _blockperm_host(m=512, blk=64, nnz_per_row=8, seed=23):
+    """Block-PERMUTED structure: row block d's columns live in block
+    p(d) = D-1-d (the reversal), so the diagonals spread across the
+    whole matrix (the sdia halo gate rejects: halo would need non-ring
+    shards) while every 64-row tile has A-span, output-span and row
+    lengths inside the dense windows — the mesh dense-MXU route's home
+    turf."""
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+
+    rs = np.random.RandomState(seed)
+    nb = m // blk
+    rows = np.repeat(np.arange(m), nnz_per_row)
+    pd = (nb - 1 - (rows // blk)) * blk       # target block base
+    cols = pd + rs.randint(0, blk, rows.shape[0])
+    vals = rs.standard_normal(rows.shape[0])
+    mat = sp.csr_matrix((vals, (rows, cols)), shape=(m, m))
+    mat.sum_duplicates()
+    return HostCSR.from_scipy(mat)
+
+
+@pytest.mark.parametrize("tile_rows", [256, 32])
+def test_mesh_dense_route(rng, tile_rows):
+    """Mesh dense-MXU route (round-5): block-permuted tile-bounded
+    inputs under allgather run densify + batched MXU matmuls per shard
+    (meta['route'] == 'dense', stats.mode == 'dense_allgather'),
+    oracle-exact — at one tile per shard and at K=2 tiles. The same
+    input under needset keeps the stream (the dense route replicates B,
+    so it never overrides a cheaper exchange plan), and
+    EnableDense=false restores the stream under allgather too."""
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    a = _blockperm_host()
+    mesh = make_row_mesh(8)
+    ref = oracle_spgemm(a, a)
+    cfg = SpgemmConfig(dense_tile_rows=tile_rows)
+    nnz_row, cols, vals, meta = mesh_stream_spgemm(
+        a, a, mesh, cfg=cfg, exchange="allgather")
+    assert meta["route"] == "dense", meta["route"]
+    assert meta["stats"].mode == "dense_allgather"
+    got = mesh_stream_to_host_csr(nnz_row, cols, vals, meta)
+    r = compare_csr(ref, got, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+    if tile_rows != 256:
+        return
+    # needset: gate not consulted (replication would undo the plan)
+    out = mesh_stream_spgemm(a, a, mesh, exchange="needset")
+    assert out[3]["route"] == "stream"
+    # disabled: stream under allgather as before
+    out = mesh_stream_spgemm(
+        a, a, mesh, cfg=SpgemmConfig(enable_dense=False),
+        exchange="allgather")
+    assert out[3]["route"] == "stream"
+    got = mesh_stream_to_host_csr(*out)
+    assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok
+
+
+def test_mesh_dense_route_fp64(rng):
+    """Mesh dense route at fp64 (x64 payloads end-to-end, values at
+    fp64 tolerance)."""
+    import jax.numpy as jnp
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        a = _blockperm_host(m=256, blk=32, nnz_per_row=6, seed=29)
+        mesh = make_row_mesh(8)
+        out = mesh_stream_spgemm(a, a, mesh, exchange="allgather",
+                                 dtype=jnp.float64)
+        assert out[3]["route"] == "dense"
+        got = mesh_stream_to_host_csr(*out)
+        ref = oracle_spgemm(a, a)
+        r = compare_csr(ref, got, compare_data=True, rel_tol=1e-12)
+        assert r.ok, r.message
+        assert got.data.dtype == np.float64
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_mesh_dense_route_rejects_wide_rows(rng):
+    """A single row past dense_la sends the whole multiply to the
+    stream (full cover only — the mesh has no per-tile mixed routing)."""
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+    from speck_tpu.parallel import make_row_mesh, mesh_stream_spgemm
+
+    a = _blockperm_host()
+    lil = sp.csr_matrix(
+        (a.data, a.col_ids, a.row_offsets), shape=a.shape).tolil()
+    rs = np.random.RandomState(7)
+    lil[5, :200] = rs.standard_normal(200)   # row length 200 > dense_la
+    a2 = HostCSR.from_scipy(lil.tocsr())
+    mesh = make_row_mesh(8)
+    out = mesh_stream_spgemm(a2, a2, mesh, exchange="allgather")
     assert out[3]["route"] == "stream"
 
 

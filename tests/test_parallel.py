@@ -608,6 +608,24 @@ def test_mesh_dense_route_fp64(rng):
         jax.config.update("jax_enable_x64", False)
 
 
+def test_mesh_dense_route_rectangular(rng):
+    """Rectangular A·B on the mesh dense route (the sDIA route is
+    square-only; dense tiles aren't): any small random rect pair is
+    tile-bounded, so allgather routes it dense. Oracle-exact."""
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    a = random_host_csr(rng, 128, 96, 0.1)
+    b = random_host_csr(rng, 96, 160, 0.1)
+    mesh = make_row_mesh(8)
+    out = mesh_stream_spgemm(a, b, mesh, exchange="allgather")
+    assert out[3]["route"] == "dense"
+    got = mesh_stream_to_host_csr(*out)
+    ref = oracle_spgemm(a, b)
+    r = compare_csr(ref, got, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+
+
 def test_mesh_dense_route_rejects_wide_rows(rng):
     """A single row past dense_la sends the whole multiply to the
     stream (full cover only — the mesh has no per-tile mixed routing)."""

@@ -626,6 +626,39 @@ def test_mesh_dense_route_rectangular(rng):
     assert r.ok, r.message
 
 
+def test_mesh_dense_route_balanced_ragged_shards(rng):
+    """Dense route with ops-balanced (ragged) A shards: a work-skewed
+    but tile-bounded input triggers balanced_row_ranges, so shard row
+    counts differ and shards pad to the max; tiles may straddle two
+    source blocks (kspan = union, still inside the window).
+    Oracle-exact with the executed ranges actually unbalanced."""
+    import scipy.sparse as sp
+    from speck_tpu.formats.csr import HostCSR
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+
+    m, blk = 512, 64
+    nb = m // blk
+    rs = np.random.RandomState(77)
+    lens = np.where(np.arange(m) < m // 4, 32, 4)   # 8x ops skew
+    rows = np.repeat(np.arange(m), lens)
+    pd = (nb - 1 - (rows // blk)) * blk
+    cols = pd + rs.randint(0, blk, rows.shape[0])
+    mat = sp.csr_matrix(
+        (rs.standard_normal(rows.shape[0]), (rows, cols)), shape=(m, m))
+    mat.sum_duplicates()
+    a = HostCSR.from_scipy(mat)
+    mesh = make_row_mesh(8)
+    out = mesh_stream_spgemm(a, a, mesh, exchange="allgather")
+    assert out[3]["route"] == "dense"
+    sizes = {r1 - r0 for r0, r1 in out[3]["ranges"]}
+    assert len(sizes) > 1, out[3]["ranges"]   # balanced ranges engaged
+    got = mesh_stream_to_host_csr(*out)
+    ref = oracle_spgemm(a, a)
+    r = compare_csr(ref, got, compare_data=True, rel_tol=2e-3)
+    assert r.ok, r.message
+
+
 def test_mesh_dense_route_rejects_wide_rows(rng):
     """A single row past dense_la sends the whole multiply to the
     stream (full cover only — the mesh has no per-tile mixed routing)."""

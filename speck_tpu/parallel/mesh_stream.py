@@ -1270,12 +1270,16 @@ def _mesh_sdia_spgemm(ash: RowShards, bsh: RowShards, mesh: Mesh,
             vals_s, mode="drop", unique_indices=True)
         return counts[None], c_cols[None], c_vals[None]
 
-    sharded = jax.jit(jax.shard_map(
+    args_ = (put(ai_h), put(ax_h), put(ad_h), put(bi_h), put(bx_h),
+             put(bd_h), put(r0s))
+    key = ("sdia", _mesh_key(mesh), _cfg_key(cfg), str(jnp.dtype(dtype)),
+           m, n, m_loc, off_a, off_b, off_c, dmin_a, dmin_b, blk, nblk,
+           out_cap, same, _argsig(args_))
+    sharded, reused = _cached_step(key, lambda: jax.jit(jax.shard_map(
         step, mesh=mesh, in_specs=(P(ROW_AXIS),) * 7,
-        out_specs=(P(ROW_AXIS),) * 3))
-    nnz_row, cols, vals = sharded(
-        put(ai_h), put(ax_h), put(ad_h), put(bi_h), put(bx_h),
-        put(bd_h), put(r0s))
+        out_specs=(P(ROW_AXIS),) * 3)))
+    _set_last_exec(sharded, args_)
+    nnz_row, cols, vals = sharded(*args_)
     itemsize = jnp.dtype(dtype).itemsize
     stats = NeedsetStats(
         allgather_bytes=b_nnz * (4 + itemsize),
@@ -1285,7 +1289,7 @@ def _mesh_sdia_spgemm(ash: RowShards, bsh: RowShards, mesh: Mesh,
     )
     meta = {"ranges": a_ranges, "out_cap": out_cap, "m_loc": m_loc,
             "shape": (m, n), "stats": stats, "ksplit": None,
-            "route": "sdia"}
+            "route": "sdia", "compiled_reused": reused}
     return nnz_row, cols, vals, meta
 
 
@@ -1530,11 +1534,14 @@ def _mesh_dense_spgemm(ash: RowShards, bsh: RowShards, mesh: Mesh,
             vals_c[:m_loc], mode="drop", unique_indices=True)
         return counts[None], c_cols[None], c_vals[None]
 
-    sharded = jax.jit(jax.shard_map(
-        step, mesh=mesh, in_specs=(P(ROW_AXIS),) * 9,
-        out_specs=(P(ROW_AXIS),) * 3))
     args_ = (put(ai_h), put(ax_h), put(ad_h), put(bi_h), put(bx_h),
              put(bd_h), put(dn["kb"]), put(dn["cb"]), put(rows_d))
+    key = ("dense", _mesh_key(mesh), _cfg_key(cfg),
+           str(jnp.dtype(dtype)), m, n, k_dim, tr, K, kw, cw, la, lb,
+           m_loc, out_cap, bnnz_max, _argsig(args_))
+    sharded, reused = _cached_step(key, lambda: jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(P(ROW_AXIS),) * 9,
+        out_specs=(P(ROW_AXIS),) * 3)))
     _set_last_exec(sharded, args_)
     nnz_row, cols, vals = sharded(*args_)
     itemsize = jnp.dtype(dtype).itemsize
@@ -1544,7 +1551,7 @@ def _mesh_dense_spgemm(ash: RowShards, bsh: RowShards, mesh: Mesh,
                          mode="dense_allgather")
     meta = {"ranges": a_ranges, "out_cap": out_cap, "m_loc": m_loc,
             "shape": (m, n), "stats": stats, "ksplit": None,
-            "route": "dense"}
+            "route": "dense", "compiled_reused": reused}
     return nnz_row, cols, vals, meta
 
 
@@ -1741,6 +1748,14 @@ def mesh_stream_spgemm(
     body = _make_shard_body(cfg, m_loc, W, G, n_chunks, out_cap, n_cols,
                             r_wide_max=r_wide_max,
                             level_specs=level_specs, ks=ks, f64=f64)
+    # static signature of the shard body for the compiled-step cache
+    # (everything that shapes its trace beyond the arg shapes)
+    ks_key = None if ks is None else (
+        ks["n_split"], ks["n_rows"], ks["P"], ks["PM"], ks["Wm"],
+        ks["n_chunks"], ks["rw_max"], _specs_key(ks["specs"]))
+    body_key = (m_loc, W, G, n_chunks, out_cap, n_cols, r_wide_max,
+                _specs_key(level_specs), ks_key, f64)
+    compiled_reused = False
 
     def put(x):
         # make_array_from_callback works identically under one controller
@@ -1778,6 +1793,7 @@ def mesh_stream_spgemm(
                 + ((6 + 2 * len(ks["specs"])) if ksp is not None else 0))
 
     def run_allgather():
+        nonlocal compiled_reused
         bi_h, bx_h, bd_h, _ = _stack_shards(bsh, dtype)
         bnnz_max = bx_h.shape[1]
 
@@ -1792,13 +1808,19 @@ def mesh_stream_spgemm(
             return body(ai, ax, ad, b_start, b_len, g_packed, wide_rid,
                         *lv)
 
-        sharded = jax.jit(jax.shard_map(
-            step, mesh=mesh, in_specs=(P(ROW_AXIS),) * (6 + n_ladder),
-            out_specs=(P(ROW_AXIS),) * 3))
         args_ = (put(ai_h), put(ax_h), put(ad_h), put(bi_h), put(bx_h),
                  put(bd_h),
                  *extra_args(ksp["spl_cols"] if ksp is not None
                              else None))
+        key = ("stream_ag", _mesh_key(mesh), _cfg_key(cfg),
+               str(jnp.dtype(dtype)), body_key, bnnz_max, n_ladder,
+               _argsig(args_))
+        sharded, reused = _cached_step(
+            key, lambda: jax.jit(jax.shard_map(
+                step, mesh=mesh,
+                in_specs=(P(ROW_AXIS),) * (6 + n_ladder),
+                out_specs=(P(ROW_AXIS),) * 3)))
+        compiled_reused = reused
         _set_last_exec(sharded, args_)
         return sharded(*args_)
 
@@ -1932,7 +1954,8 @@ def mesh_stream_spgemm(
             meta = {"ranges": a_ranges, "out_cap": out_cap,
                     "m_loc": m_loc, "shape": (ash.m, bsh.n),
                     "stats": stats, "ksplit": _ksplit_meta(ksp),
-                    "route": "stream"}
+                    "route": "stream",
+                    "compiled_reused": compiled_reused}
             return nnz_row, cols, vals, meta
 
         _, bx_h, bd_h, _ = _stack_shards(bsh, dtype)
@@ -2099,12 +2122,20 @@ def mesh_stream_spgemm(
                 return nnz_row[None], c_cols[None], c_vals[None]
 
             n_in = 7 + n_extras + len(live_sends)
-            sharded = jax.jit(jax.shard_map(
-                step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
-                out_specs=(P(ROW_AXIS),) * 3))
             args_ = (put(ai_h), ax_remap_a, put(ad_h), put(bx_h),
                      put(bd_h), rb_start_a, rb_len_a, *overlap_extras,
                      *live_sends)
+            key = ("stream_ov", _mesh_key(mesh), _cfg_key(cfg),
+                   str(jnp.dtype(dtype)), m_loc, W, G, out_cap, n_cols,
+                   tuple(int(x) for x in round_nnz),
+                   tuple(payload_rounds), tuple(rounds_live), RBT,
+                   tuple((r, n_chunks_r[r], rw_max_r[r],
+                          _specs_key(specs_r[r])) for r in rounds_live),
+                   ks_key, n_extras, f64, _argsig(args_))
+            sharded, compiled_reused = _cached_step(
+                key, lambda: jax.jit(jax.shard_map(
+                    step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
+                    out_specs=(P(ROW_AXIS),) * 3)))
             _set_last_exec(sharded, args_)
             nnz_row, cols, vals = sharded(*args_)
         else:
@@ -2132,12 +2163,17 @@ def mesh_stream_spgemm(
                             wide_rid, *lv)
 
             n_in = 7 + n_ladder + len(live_sends)
-            sharded = jax.jit(jax.shard_map(
-                step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
-                out_specs=(P(ROW_AXIS),) * 3))
             args_ = (put(ai_h), ax_remap_a, put(ad_h), put(bx_h),
                      put(bd_h), rb_start_a, rb_len_a,
                      *extra_args(spl_cols_remap), *live_sends)
+            key = ("stream_ns", _mesh_key(mesh), _cfg_key(cfg),
+                   str(jnp.dtype(dtype)), body_key,
+                   tuple(int(x) for x in round_nnz),
+                   tuple(payload_rounds), n_ladder, _argsig(args_))
+            sharded, compiled_reused = _cached_step(
+                key, lambda: jax.jit(jax.shard_map(
+                    step, mesh=mesh, in_specs=(P(ROW_AXIS),) * n_in,
+                    out_specs=(P(ROW_AXIS),) * 3)))
             _set_last_exec(sharded, args_)
             nnz_row, cols, vals = sharded(*args_)
         stats = NeedsetStats(
@@ -2152,11 +2188,63 @@ def mesh_stream_spgemm(
 
     meta = {"ranges": a_ranges, "out_cap": out_cap, "m_loc": m_loc,
             "shape": (ash.m, bsh.n), "stats": stats,
-            "ksplit": _ksplit_meta(ksp), "route": "stream"}
+            "ksplit": _ksplit_meta(ksp), "route": "stream",
+            "compiled_reused": compiled_reused}
     return nnz_row, cols, vals, meta
 
 
 _last_exec = None
+
+# ---- compiled-step cache (mesh plan reuse) -------------------------
+# The mesh form of the single-chip plan_spgemm/execute split: repeated
+# multiplies whose HOST plan has the same static signature (same shard
+# shapes, chunk/ladder/exchange-round layout, cfg, mesh) reuse the SAME
+# jitted step object, so jax's jit cache hits — no retrace, no
+# recompile. This is safe because every step closure is deliberately
+# arg-complete: all structure-dependent ARRAYS (indptrs, col ids,
+# remaps, ladder in_maps, exchange tables, send plans) ride the
+# argument list (the multi-controller requirement already forced this),
+# so two plans with equal static keys trace to the same computation.
+# The AMG/GNN repeated-numeric case (same structure, new values) hits
+# by construction; host planning (numpy) still runs and rebuilds the
+# args. Bounded LRU; meta["compiled_reused"] reports a hit.
+from collections import OrderedDict  # noqa: E402
+
+_step_cache: "OrderedDict" = OrderedDict()
+_STEP_CACHE_CAP = 8
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(str(d) for d in mesh.devices.flat), mesh.axis_names)
+
+
+def _cfg_key(cfg: SpgemmConfig):
+    # SpgemmConfig is a frozen dataclass: hashable by field values
+    return cfg
+
+
+def _specs_key(specs):
+    return tuple((s["F"], s["W_in"], s["R_out"], s["in_map"].shape,
+                  s.get("W_buf_in"), s.get("W_buf_out")) for s in specs)
+
+
+def _argsig(args):
+    """Shape/dtype signature of a device-arg tuple — the mechanical part
+    of a step's static key (everything the trace can see of an arg)."""
+    return tuple((tuple(x.shape), str(x.dtype)) for x in args)
+
+
+def _cached_step(key, build):
+    """Return (jitted step, reused: bool) for the given static key."""
+    fn = _step_cache.get(key)
+    if fn is not None:
+        _step_cache.move_to_end(key)
+        return fn, True
+    fn = build()
+    _step_cache[key] = fn
+    while len(_step_cache) > _STEP_CACHE_CAP:
+        _step_cache.popitem(last=False)
+    return fn, False
 
 
 def _set_last_exec(fn, args):

@@ -540,8 +540,12 @@ def _blockperm_host(m=512, blk=64, nnz_per_row=8, seed=23):
     rs = np.random.RandomState(seed)
     nb = m // blk
     rows = np.repeat(np.arange(m), nnz_per_row)
-    pd = (nb - 1 - (rows // blk)) * blk       # target block base
-    cols = pd + rs.randint(0, blk, rows.shape[0])
+    # distinct cols per row (argsort trick): nnz is exactly
+    # m * nnz_per_row for every seed, so two seeds share one static
+    # plan signature (test_mesh_compiled_step_reuse relies on this)
+    pick = np.argsort(rs.random((m, blk)), axis=1)[:, :nnz_per_row]
+    pd0 = (nb - 1 - (np.arange(m) // blk)) * blk   # target block base
+    cols = (pd0[:, None] + pick).reshape(-1)
     vals = rs.standard_normal(rows.shape[0])
     mat = sp.csr_matrix((vals, (rows, cols)), shape=(m, m))
     mat.sum_duplicates()
@@ -624,6 +628,55 @@ def test_mesh_dense_route_rectangular(rng):
     ref = oracle_spgemm(a, b)
     r = compare_csr(ref, got, compare_data=True, rel_tol=2e-3)
     assert r.ok, r.message
+
+
+def test_mesh_compiled_step_reuse(rng):
+    """Mesh plan reuse (round-5): a multiply whose HOST plan has the
+    same static signature as a previous one reuses the SAME jitted step
+    object, so jax's jit cache hits — no retrace, no recompile. The
+    mesh form of the single-chip plan_spgemm/execute split (AMG/GNN
+    repeated numerics). Cache-safety property under test: every step is
+    arg-complete (all structure rides the argument list), so even a
+    DIFFERENT matrix with an identical signature must land oracle-exact
+    on the reused step."""
+    from speck_tpu.formats.csr import HostCSR
+    from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
+                                    mesh_stream_to_host_csr)
+    from speck_tpu.parallel import mesh_stream as ms
+
+    mesh = make_row_mesh(8)
+
+    # stream route (needset): same structure, new values
+    a = random_host_csr(rng, 200, 200, 0.05)
+    out1 = mesh_stream_spgemm(a, a, mesh, exchange="needset")
+    assert out1[3]["route"] == "stream"
+    fn1 = ms.last_exec()[0]
+    a2 = HostCSR(rows=a.rows, cols=a.cols, row_offsets=a.row_offsets,
+                 col_ids=a.col_ids,
+                 data=np.asarray(rng.standard_normal(a.nnz),
+                                 np.float32))
+    out2 = mesh_stream_spgemm(a2, a2, mesh, exchange="needset")
+    assert out2[3]["compiled_reused"] is True
+    assert ms.last_exec()[0] is fn1
+    got = mesh_stream_to_host_csr(*out2)
+    ref = oracle_spgemm(a2, a2)
+    assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok
+
+    # dense route: two DIFFERENT block-permuted matrices share one
+    # static signature (same shapes/windows); the second rides the
+    # first's compiled step and must still be oracle-exact
+    b1 = _blockperm_host(seed=101)
+    b2 = _blockperm_host(seed=202)
+    o1 = mesh_stream_spgemm(b1, b1, mesh, exchange="allgather")
+    assert o1[3]["route"] == "dense"
+    fnd = ms.last_exec()[0]
+    o2 = mesh_stream_spgemm(b2, b2, mesh, exchange="allgather")
+    assert o2[3]["route"] == "dense"
+    assert o2[3]["compiled_reused"] is True
+    assert ms.last_exec()[0] is fnd
+    got2 = mesh_stream_to_host_csr(*o2)
+    assert compare_csr(oracle_spgemm(b2, b2), got2,
+                       compare_data=True, rel_tol=2e-3).ok
 
 
 def test_mesh_dense_route_balanced_ragged_shards(rng):

@@ -517,7 +517,8 @@ def _lut_gather(lut, idx):
 
 
 def _plan_needset_device(ax_h, nnz_d_h, spl_cols_h, spl_nnz_h, b_len_h,
-                         D: int, k_loc: int, put):
+                         D: int, k_loc: int, put,
+                         pad_exact: bool = True):
     """Run phases A/B and return the same plan products the host planner
     yields: (pair_nnz (D,D) np, round_nnz list, ax lut (device, sharded),
     rb_start, rb_len (device, sharded), send plan builder).
@@ -543,7 +544,8 @@ def _plan_needset_device(ax_h, nnz_d_h, spl_cols_h, spl_nnz_h, b_len_h,
     round_nnz = []
     for r in range(D):
         mx = max(int(pair_nnz[(s + r) % D, s]) for s in range(D))
-        round_nnz.append(int(_pow2ceil(mx)) if mx > 0 else 0)
+        round_nnz.append((mx if pad_exact else int(_pow2ceil(mx)))
+                         if mx > 0 else 0)
     seg_off = np.concatenate([[0], np.cumsum(round_nnz)]).astype(np.int64)
     if seg_off[-1] >= 2 ** 31:
         raise ValueError(
@@ -1836,7 +1838,8 @@ def mesh_stream_spgemm(
                 ax_h, nnz_d_h,
                 ksp["spl_cols"] if ksp is not None else None,
                 ksp["spl_indptr"][:, -1] if ksp is not None else None,
-                b_len_h, D, k_loc, put)
+                b_len_h, D, k_loc, put,
+                pad_exact=cfg.mesh_round_pad_exact)
             pair_nnz = dp["pair_nnz"]
             round_nnz = dp["round_nnz"]
             seg_off = dp["seg_off"]
@@ -1880,11 +1883,12 @@ def mesh_stream_spgemm(
             # round r moves pairs src -> dst=(src+r)%D; round 0 is the
             # local self-need (no communication). Each round pads to its
             # own max.
-            round_nnz = [int(_pow2ceil(max(1, max(
-                pair_nnz[(s + r) % D, s] for s in range(D)))))
-                if max(pair_nnz[(s + r) % D, s] for s in range(D)) > 0
-                else 0
-                for r in range(D)]
+            _round_max = [max(pair_nnz[(s + r) % D, s] for s in range(D))
+                          for r in range(D)]
+            round_nnz = [
+                (int(mx) if cfg.mesh_round_pad_exact
+                 else int(_pow2ceil(int(mx)))) if mx > 0 else 0
+                for mx in _round_max]
             seg_off = np.concatenate([[0], np.cumsum(round_nnz)])
 
             # per-round send gather plan (src-local nnz positions) and,
@@ -1940,9 +1944,11 @@ def mesh_stream_spgemm(
                 live_sends.append(put(send_idx[r].astype(np.int32)))
                 live_sends.append(put(send_valid[r]))
 
-        # ---- auto-fallback gate (round-5 hygiene): the per-round pow2
-        # padding can make a scattered need pattern move MORE bytes than
-        # full replication; fall back to all_gather and say so ----
+        # ---- auto-fallback gate (round-5 hygiene): each round pads to
+        # its largest (dst, src) pair (exact by default,
+        # MeshRoundPadExact), which can still make a scattered need
+        # pattern move MORE bytes than full replication; fall back to
+        # all_gather and say so ----
         needset_bytes = int(sum(round_nnz[1:])) * rec_bytes
         allgather_bytes = b_nnz * rec_bytes
         if cfg.mesh_exchange_auto and needset_bytes > allgather_bytes:

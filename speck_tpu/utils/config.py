@@ -127,9 +127,16 @@ class SpgemmConfig:
     # load-balanced row binning (spECK_HashLoadBalancer.cuh:205-305).
     mesh_balance_rows: bool = True
     # fall back to all_gather when the padded need-set plan would move
-    # MORE bytes over the interconnect than full replication (per-round
-    # pow2 padding can overshoot on scattered need patterns)
+    # MORE bytes over the interconnect than full replication (round
+    # padding can overshoot on scattered need patterns)
     mesh_exchange_auto: bool = True
+    # pad each need-set exchange round to its EXACT largest (dst, src)
+    # pair instead of the pow2 ceiling (round-5): the received-buffer
+    # total is an operand shape of the compiled step either way, so pow2
+    # buys no compile reuse across plans — it only inflates the bytes a
+    # scattered need pattern moves (up to 2x per round). pow2 remains
+    # available for cross-matrix plan-shape stability experiments.
+    mesh_round_pad_exact: bool = True
     # need-set exchange planning on device (parallel/mesh_stream.py):
     # per-dst B-row need bitmaps + all exchange tables computed in two
     # jitted passes with ONE D^2 block-count readback, O(nnz/D + b_rows)
@@ -307,6 +314,7 @@ _INI_TUNING_KEYS = {
     "MeshSubrowMaxOps": ("mesh_subrow_max_ops", int),
     "MeshBalanceRows": ("mesh_balance_rows", bool),
     "MeshExchangeAuto": ("mesh_exchange_auto", bool),
+    "MeshRoundPadExact": ("mesh_round_pad_exact", bool),
     "MeshDevicePlanning": ("mesh_device_planning", bool),
     "StreamWidth": ("stream_width", int),
     "StreamWidthCap": ("stream_width_cap", int),

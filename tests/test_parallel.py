@@ -81,6 +81,33 @@ def test_needset_device_plan_matches_host_plan(rng):
     assert offdiag > 0 and stats[True].needset_bytes > 0
 
 
+def test_needset_exact_round_padding(rng):
+    """Round-5: each need-set exchange round pads to its EXACT largest
+    (dst, src) pair by default (MeshRoundPadExact); pow2 padding remains
+    as a knob. Exact must (a) stay oracle-exact, (b) never move more
+    bytes than pow2, and (c) strictly win on a scattered need pattern
+    whose pair maxima are not powers of two — the round-4 critique case
+    where pow2 overshoot made needset lose to all_gather."""
+    from speck_tpu.parallel import mesh_stream_spgemm, mesh_stream_to_host_csr
+
+    a = random_host_csr(rng, 300, 300, 0.02)
+    mesh = make_row_mesh(8)
+    ref = oracle_spgemm(a, a)
+    stats = {}
+    for exact in (True, False):
+        cfg = SpgemmConfig(mesh_round_pad_exact=exact,
+                           mesh_exchange_auto=False)
+        out = mesh_stream_spgemm(a, a, mesh, cfg, exchange="needset")
+        got = mesh_stream_to_host_csr(*out)
+        assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok
+        stats[exact] = out[3]["stats"]
+    assert np.array_equal(stats[True].pairs_nnz, stats[False].pairs_nnz)
+    assert stats[True].needset_bytes <= stats[False].needset_bytes
+    # the per-pair nnz of a random matrix are essentially never all
+    # pow2-aligned, so exact must strictly reduce the moved bytes
+    assert stats[True].needset_bytes < stats[False].needset_bytes
+
+
 def test_stack_row_shards_identity_layout(rng):
     a = random_host_csr(rng, 13, 9, 0.3)
     indptr, indices, data, ranges = stack_row_shards(a, 4)
@@ -765,7 +792,10 @@ def test_mesh_needset_autofallback_to_allgather(rng):
     """Auto-fallback gate (round-5 hygiene): when the padded need-set
     plan would move more bytes than all_gather replication, the step
     runs all_gather and says so in stats.mode; with the gate off the
-    needset plan runs as asked."""
+    needset plan runs as asked. The overshoot case is constructed with
+    pow2 round padding (MeshRoundPadExact=false) — with the exact
+    default, the same dense-ish input no longer overshoots at all,
+    which the last block pins."""
     from speck_tpu.parallel import (make_row_mesh, mesh_stream_spgemm,
                                     mesh_stream_to_host_csr)
 
@@ -774,18 +804,29 @@ def test_mesh_needset_autofallback_to_allgather(rng):
     a = random_host_csr(rng, 96, 96, 0.5)
     mesh = make_row_mesh(8)
     ref = oracle_spgemm(a, a)
-    out = mesh_stream_spgemm(a, a, mesh, exchange="needset")
+    cfg_pow2 = SpgemmConfig(mesh_round_pad_exact=False)
+    out = mesh_stream_spgemm(a, a, mesh, cfg=cfg_pow2, exchange="needset")
     st = out[3]["stats"]
     assert st.needset_bytes > st.allgather_bytes  # the overshoot case
     assert st.mode == "allgather(auto)"
     got = mesh_stream_to_host_csr(*out)
     assert compare_csr(ref, got, compare_data=True, rel_tol=2e-3).ok
 
-    cfg = SpgemmConfig(mesh_exchange_auto=False)
+    cfg = SpgemmConfig(mesh_exchange_auto=False,
+                       mesh_round_pad_exact=False)
     out2 = mesh_stream_spgemm(a, a, mesh, cfg=cfg, exchange="needset")
     assert out2[3]["stats"].mode == "needset"
     got2 = mesh_stream_to_host_csr(*out2)
     assert compare_csr(ref, got2, compare_data=True, rel_tol=2e-3).ok
+
+    # exact round padding (the default): the same input moves FEWER
+    # bytes than replication, so the gate never fires and needset runs
+    out3 = mesh_stream_spgemm(a, a, mesh, exchange="needset")
+    st3 = out3[3]["stats"]
+    assert st3.mode == "needset"
+    assert st3.needset_bytes < st3.allgather_bytes
+    got3 = mesh_stream_to_host_csr(*out3)
+    assert compare_csr(ref, got3, compare_data=True, rel_tol=2e-3).ok
 
 
 def test_mesh_stream_ksplit_giant_row_2e27():
